@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "turns_per_sec": ...}
+
+The flagship metric is ReFeX transcript-feature throughput (turns/sec,
+BASELINE.md) measured on a deterministic synthetic transcript table
+sized to the scale factor; the remaining entries time the temporal /
+dedup / similarity operator suite on the shared testdata tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# synthetic transcript scale: ~22 turns/conversation mean
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "40000"))
+
+
+def main() -> None:
+    from graphrole_spark.session import get_spark
+
+    spark = get_spark("graphrole_spark_bench", cores=CPUS)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+    from graphrole_spark.pipeline import extract_transcript_features
+    from graphrole_spark.sources.transcripts import synthesize_transcripts
+
+    timings: dict[str, float] = {}
+
+    # -- flagship: ReFeX over synthetic transcripts (turns/sec) ------------
+    transcripts = synthesize_transcripts(spark, N_CONVS, seed=42).persist()
+    n_turns = transcripts.count()
+
+    t0 = time.time()
+    feats = extract_transcript_features(transcripts, max_generations=4)
+    n_rows = feats.count()
+    refex_sec = time.time() - t0
+    timings["refex_pipeline_synth"] = round(refex_sec, 3)
+    turns_per_sec = n_turns / refex_sec
+    transcripts.unpersist()
+
+    # -- operator suite on the shared sf tables ------------------------------
+    suite = [
+        "sessionize",
+        "session_agg",
+        "lag_lead",
+        "backfill",
+        "prefix_agg",
+        "asof_join",
+        "range_window",
+        "topk_per_user",
+        "degree_undirected",
+        "degree_directed",
+        "chain_seeds",
+        "refex_gen1",
+        "groupby_agg",
+        "join_agg",
+        "dedup_exact",
+        "token_count",
+        "quality",
+        "minhash_dedup",
+        "simhash_dedup",
+        "cosine_topk",
+        "lsh_topk",
+    ]
+    queries = entrymod.queries()
+    for name in suite:
+        t0 = time.time()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "refex_transcript_feature_extraction+operator_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "turns": n_turns,
+                "feature_rows": n_rows,
+                "turns_per_sec": round(turns_per_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

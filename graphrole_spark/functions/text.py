@@ -1,0 +1,285 @@
+"""Text analysis + deduplication operators for document tables.
+
+Everything in this module is built from JVM-side expressions (string
+functions, higher-order array functions, xxhash64) — no Python UDFs —
+so the hot path stays inside whole-stage codegen and the operators
+scale to billions of documents:
+
+* exact dedup: md5 content hash → groupBy;
+* MinHash + LSH near-dup: shingle → per-seed min-hash signature →
+  banded bucket join → Jaccard verification with array set ops;
+* SimHash: 64-bit sign-aggregated token hashes + Hamming banding;
+* token counting, quality scoring, n-gram Jaccard, language heuristic,
+  rolling-hash fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# -- primitives -------------------------------------------------------------
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count via length arithmetic (identical semantics
+    in ANSI SQL, used by the DuckDB oracle)."""
+    norm = F.regexp_replace(F.trim(text), " +", " ")
+    return F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), " +")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as an array column (JVM higher-order fns)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 32, seed: int = 7) -> Column:
+    """Array of n_hashes min-hash values over the shingle set."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed + i)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+_BIT_MASKS = [1 << b for b in range(63)] + [-(1 << 63)]  # long-typed bit masks
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the whitespace tokens (Charikar 2002), built
+    from xxhash64 + bit arithmetic in pure expressions: one pass over
+    the token hashes with a 64-counter array as fold state."""
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    counts = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def alpha_ratio(text: Column) -> Column:
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    return F.round(alpha / F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def rolling_fingerprint(text: Column, window: int = 8) -> Column:
+    """Deterministic document fingerprint: min hash over all character
+    windows (winnowing-style, collapsed to a single value)."""
+    n = F.greatest(F.length(text) - window + 1, F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.array_min(
+        F.transform(idx, lambda i: F.xxhash64(text.substr(i, F.lit(window))))
+    )
+
+
+# -- document-level operators -------------------------------------------------
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per content hash with the
+    canonical (min) doc_id and the duplicate count."""
+    return (
+        documents.select(F.md5(F.col(text_col)).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    documents: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH.
+
+    signature → ``bands`` band hashes → self-join on (band, hash) →
+    exact Jaccard verification on distinct shingle sets. The candidate
+    join is an equi-join on the band bucket (hash-partitioned, no
+    quadratic blowup); verification cost is bounded by bucket sizes.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    rows = n_hashes // bands
+    sig = documents.select(
+        "doc_id",
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sig = sig.withColumn("sig", minhash_signature(F.col("sh"), n_hashes, seed))
+    banded = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows + r + 1).cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "sh", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
+
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "bhash"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "bhash"
+    )
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_near_duplicates(
+    documents: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via SimHash: band the 64-bit hash into 4×16-bit
+    chunks (any pair within Hamming distance 3 shares ≥ 1 exact chunk),
+    bucket-join, verify with bit_count(xor)."""
+    sh = documents.select("doc_id", simhash64(F.col(text_col)).alias("sim"))
+    chunks = sh.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sim", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chash"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "sim", F.col("ch.chunk").alias("chunk"), F.col("ch.chash").alias("chash"))
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "chunk", "chash"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "chunk", "chash"
+    )
+    return (
+        a.join(b, ["chunk", "chash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (doc_a, doc_b) candidate pairs."""
+    sh = documents.select("doc_id", shingles(F.col(text_col), n).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        candidate_pairs.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+}
+
+
+def language_guess(text: Column) -> Column:
+    """Tiny stopword-marker language heuristic (operator demo; identical
+    arithmetic is expressible in the SQL oracle)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+
+    def score(markers):
+        s = F.lit(0)
+        for mk in markers:
+            s = s + (
+                F.length(padded) - F.length(F.replace(padded, F.lit(mk), F.lit("")))
+            ) / len(mk)
+        return s
+
+    scores = {lang: score(mks) for lang, mks in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(list(_LANG_MARKERS)):  # earlier languages win ties
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: length, tokens, alpha ratio,
+    mean token length — the standard pre-training quality filters."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return documents.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        alpha_ratio(t).alias("alpha_ratio"),
+        F.round(F.length(t) / F.greatest(n_tok, F.lit(1)), 6).alias("chars_per_token"),
+    )

@@ -1,0 +1,75 @@
+"""Distributed vertical log binning.
+
+Two-phase plan (SURVEY.md §2.4 P1):
+
+1. one melt + hash-aggregation pass computes per-(feature, value)
+   histograms — ReFeX feature values are sums/means of small seeds, so
+   distinct counts stay ≪ row counts and the histogram is driver-sized;
+2. the exact reference binning loop
+   (:func:`graphrole_spark.oracle.binning.log_bin_histogram`) runs on
+   each histogram driver-side and yields per-feature *bin boundaries*;
+3. bin assignment goes back into the plan as a JVM-side expression —
+   ``bin = size(filter(boundaries, b -> b < value))`` over a broadcast
+   literal array — so the per-row hot path never touches Python.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphrole_spark.oracle.binning import bin_boundaries
+
+
+def melt_histogram(features: DataFrame, value_cols: Sequence[str]) -> Dict[str, tuple]:
+    """Per-feature (unique values, counts) via a single stack+groupBy pass.
+
+    Returns {feature: (uniq ndarray, counts ndarray)} on the driver.
+    """
+    n = len(value_cols)
+    stack_expr = "stack({}, {}) as (feature, value)".format(
+        n, ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    )
+    hist_rows = (
+        features.selectExpr(stack_expr)
+        .groupBy("feature", "value")
+        .count()
+        .collect()
+    )
+    by_feature: Dict[str, list] = {c: [] for c in value_cols}
+    for row in hist_rows:
+        by_feature[row["feature"]].append((row["value"], row["count"]))
+    out = {}
+    for feat, pairs in by_feature.items():
+        pairs.sort(key=lambda p: p[0])
+        uniq = np.array([p[0] for p in pairs], dtype=float)
+        counts = np.array([p[1] for p in pairs], dtype=np.int64)
+        out[feat] = (uniq, counts)
+    return out
+
+
+def bin_expression(col_name: str, boundaries: np.ndarray) -> Column:
+    """JVM-side bin id: number of boundaries strictly below the value."""
+    if len(boundaries) <= 1:
+        return F.lit(0)
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.size(F.filter(arr, lambda b: b < F.col(col_name)))
+
+
+def binned_columns(
+    features: DataFrame, value_cols: Sequence[str], frac: float = 0.5
+) -> tuple[DataFrame, Dict[str, np.ndarray]]:
+    """Return (frame with each value col replaced by its bin id, the
+    per-feature boundaries used)."""
+    hists = melt_histogram(features, value_cols)
+    bounds = {
+        c: bin_boundaries(hists[c][0], hists[c][1], frac=frac) for c in value_cols
+    }
+    binned = features.select(
+        *[c for c in features.columns if c not in value_cols],
+        *[bin_expression(c, bounds[c]).alias(c) for c in value_cols],
+    )
+    return binned, bounds

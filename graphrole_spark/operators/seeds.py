@@ -1,0 +1,200 @@
+"""Generation-0 (seed) features over an edge DataFrame.
+
+Distributed equivalents of the reference's local + egonet features
+(reference: graphrole/graph/interface/networkx.py:48-83 and
+igraph.py:65-205):
+
+* (weighted) degree — undirected; in/out/total — directed;
+* egonet internal edges: total weight of edges with both endpoints in
+  ego(v) = {v} ∪ N_out(v);
+* egonet external edges: total weight of boundary edges (directed:
+  interior→exterior only);
+* numeric attribute columns from a node-attribute DataFrame.
+
+Everything is expressed as joins + hash aggregations so Catalyst picks
+partial/final aggregation and AQE handles skew. The egonet features use
+the 2-hop membership join — the one intrinsically super-linear step, the
+same work the reference does per node. For chain-shaped graphs (lag-k
+transcript adjacency) prefer the closed forms in
+:mod:`graphrole_spark.pipeline`, which avoid the join entirely.
+
+Edge schema: (src string, dst string, weight double).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: each edge contributes both directions."""
+    return edges.select("src", "dst", "weight").unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+
+
+def node_set(edges: DataFrame, nodes: Optional[DataFrame] = None) -> DataFrame:
+    """Distinct node column from edges, optionally unioned with an
+    explicit node list (to keep isolated nodes, reference semantics)."""
+    from_edges = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    )
+    if nodes is not None:
+        from_edges = from_edges.unionByName(nodes.select("node"))
+    return from_edges.distinct()
+
+
+def degree_features(edges: DataFrame, directed: bool, nodes: DataFrame) -> DataFrame:
+    """Weighted degree columns; missing nodes (no incident edge) get 0.
+
+    Undirected degree counts self-loops twice (networkx convention,
+    covered by the symmetrized union). One shuffle per groupBy; the
+    final outer join is on the node key all later ops also use.
+    """
+    if directed:
+        out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.sum("weight").alias("out_degree")
+        )
+        in_deg = edges.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("weight").alias("in_degree")
+        )
+        feats = (
+            nodes.join(in_deg, "node", "left")
+            .join(out_deg, "node", "left")
+            .na.fill(0.0, ["in_degree", "out_degree"])
+            .withColumn("total_degree", F.col("in_degree") + F.col("out_degree"))
+            .select("node", "in_degree", "out_degree", "total_degree")
+        )
+    else:
+        deg = symmetrize(edges).groupBy(F.col("src").alias("node")).agg(
+            F.sum("weight").alias("degree")
+        )
+        feats = nodes.join(deg, "node", "left").na.fill(0.0, ["degree"])
+    return feats
+
+
+def ego_membership(edges: DataFrame, directed: bool, nodes: DataFrame) -> DataFrame:
+    """(center, member) relation for radius-1 egonets over out-neighbors."""
+    nbrs = edges if directed else symmetrize(edges)
+    member = nbrs.select(F.col("src").alias("center"), F.col("dst").alias("member"))
+    selfs = nodes.select(F.col("node").alias("center"), F.col("node").alias("member"))
+    return member.unionByName(selfs).distinct()
+
+
+def egonet_features(edges: DataFrame, directed: bool, nodes: DataFrame) -> DataFrame:
+    """internal_edges / external_edges per center node.
+
+    internal: join edges into each center's membership on BOTH endpoints;
+    external: src in ego, dst not in ego (plus the symmetric direction
+    for undirected graphs). Each original edge row is counted once per
+    qualifying center, matching the reference's per-edge sums.
+    """
+    m = ego_membership(edges, directed, nodes)
+    e = edges.select("src", "dst", "weight")
+
+    m_src = m.select(F.col("center"), F.col("member").alias("src"))
+    m_dst = m.select(F.col("center"), F.col("member").alias("dst"))
+
+    internal = (
+        e.join(m_src, "src")
+        .join(m_dst, ["center", "dst"], "left_semi")
+        .groupBy("center")
+        .agg(F.sum("weight").alias("internal_edges"))
+    )
+
+    # boundary in the src→dst direction: src ∈ ego(center), dst ∉ ego(center)
+    ext_fwd = (
+        e.join(m_src, "src")
+        .join(m_dst, ["center", "dst"], "left_anti")
+        .groupBy("center")
+        .agg(F.sum("weight").alias("external_edges"))
+    )
+    if directed:
+        external = ext_fwd
+    else:
+        # undirected: also count edges whose *dst* endpoint is the inside one
+        ext_bwd = (
+            e.join(m_dst, "dst")
+            .join(m_src, ["center", "src"], "left_anti")
+            .groupBy("center")
+            .agg(F.sum("weight").alias("external_edges"))
+        )
+        external = (
+            ext_fwd.unionByName(ext_bwd)
+            .groupBy("center")
+            .agg(F.sum("external_edges").alias("external_edges"))
+        )
+
+    return (
+        nodes.join(internal.withColumnRenamed("center", "node"), "node", "left")
+        .join(external.withColumnRenamed("center", "node"), "node", "left")
+        .na.fill(0.0, ["internal_edges", "external_edges"])
+    )
+
+
+def attribute_features(
+    node_attributes: DataFrame,
+    include: Optional[Sequence[str]] = None,
+    exclude: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Numeric attribute columns → ``attribute_<name>`` features.
+
+    ``node_attributes``: DataFrame with a ``node`` column plus attribute
+    columns. Non-numeric columns are skipped; ``exclude`` beats
+    ``include``; nulls become 0 (reference: networkx.py:87-113).
+    """
+    numeric = {
+        f.name
+        for f in node_attributes.schema.fields
+        if f.name != "node" and f.dataType.typeName() in
+        ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    excluded = set(exclude or [])
+    if include:
+        names = [a for a in include if a not in excluded and a in numeric]
+    else:
+        names = [
+            f.name
+            for f in node_attributes.schema.fields
+            if f.name in numeric and f.name not in excluded
+        ]
+    return node_attributes.select(
+        "node",
+        *[
+            F.coalesce(F.col(a).cast("double"), F.lit(0.0)).alias(f"attribute_{a}")
+            for a in names
+        ],
+    )
+
+
+def seed_features(
+    edges: DataFrame,
+    directed: bool = False,
+    nodes: Optional[DataFrame] = None,
+    node_attributes: Optional[DataFrame] = None,
+    attributes_include: Optional[Sequence[str]] = None,
+    attributes_exclude: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Full generation-0 frame: local ⊕ attributes ⊕ egonet, NaN→0.
+
+    Column order matches the reference concat order
+    (reference: base.py:18-26): degree cols, attribute cols, egonet cols.
+    """
+    all_nodes = node_set(edges, nodes)
+    parts = [degree_features(edges, directed, all_nodes)]
+    if node_attributes is not None:
+        parts.append(
+            attribute_features(node_attributes, attributes_include, attributes_exclude)
+        )
+    parts.append(egonet_features(edges, directed, all_nodes))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, "node", "left")
+    value_cols = [c for c in out.columns if c != "node"]
+    return out.na.fill(0.0, value_cols)

@@ -1,0 +1,156 @@
+"""End-to-end transcript feature pipeline (the flagship workload).
+
+Reimagines ReFeX's graph neighborhoods as temporal neighborhoods over
+multi-turn transcripts (BASELINE.json north_star): each turn is an
+entity, its neighbors are the adjacent turns within the conversation
+(lag-k), and every feature is computed point-in-time — a cutoff
+timestamp bounds the scan itself, so no feature can see a later turn
+(zero temporal leakage by construction, property-tested).
+
+Scale design:
+
+* the lag-1 chain seed features have CLOSED FORMS in window functions —
+  degree/internal/external drop out of per-conversation position
+  arithmetic, so generation 0 costs one window pass instead of the
+  generic 2-hop egonet join;
+* all windows partition by ``conv_id``; the recursion's neighbor join
+  keys are ``conv_id#turn_idx`` strings, hash-balanced across the
+  cluster; with lag-1 adjacency every entity has ≤ 2k neighbors, so no
+  skew amplification regardless of conversation length;
+* attribute seeds (text length, tool/role indicators, session position)
+  ride along as ``attribute_*`` columns through the standard pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphrole_spark.operators.recursion import RecursiveFeatureExtractor
+from graphrole_spark.sources.transcripts import derive_edges, entity_col
+from graphrole_spark.temporal.ops import sessionize
+
+DEFAULT_SESSION_GAP = 1800.0
+
+
+def transcript_attribute_features(transcripts: DataFrame) -> DataFrame:
+    """Per-turn numeric attributes (the transcript analog of node
+    attributes, reference: networkx.py:87-113): text length, tool-use
+    and role indicators, session-relative position."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = sessionize(transcripts, ["conv_id"], "ts", DEFAULT_SESSION_GAP)
+    ws = Window.partitionBy("conv_id", "session_seq")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.length("text").cast("double").alias("attribute_text_len"),
+        F.when(F.col("tool").isNotNull() & (F.col("tool") != ""), 1.0)
+        .otherwise(0.0)
+        .alias("attribute_is_tool"),
+        F.when(F.col("role") == "user", 1.0).otherwise(0.0).alias("attribute_is_user"),
+        F.when(F.col("role") == "assistant", 1.0)
+        .otherwise(0.0)
+        .alias("attribute_is_assistant"),
+        F.count("*").over(ws).cast("double").alias("attribute_session_size"),
+        (F.row_number().over(w) - 1).cast("double").alias("attribute_turn_pos"),
+    )
+
+
+def chain_seed_features(
+    transcripts: DataFrame, lag_k: int = 1, with_attributes: bool = True
+) -> DataFrame:
+    """Generation-0 features for the lag-k chain graph, in closed form.
+
+    For the undirected chain with lag-k adjacency, position i of an
+    n-turn conversation has:
+
+    * ``degree(i)      = min(i, k) + min(n-1-i, k)``
+    * ``internal_edges(i)`` = number of chain edges between members of
+      ego(i) = positions [i-k, i+k]: every pair within distance k — for
+      k=1 this equals degree(i); general k: sum over members of forward
+      links staying inside the ego interval;
+    * ``external_edges(i)`` = edges with exactly one endpoint in ego(i).
+
+    Closed forms are exact for k=1 (validated against the generic
+    join-based seeds in tests); for k>1 the generic path is used.
+    """
+    if lag_k != 1:
+        raise NotImplementedError(
+            "closed-form seeds implemented for lag_k=1; use "
+            "operators.seeds.seed_features over derive_edges for k>1"
+        )
+    n = Window.partitionBy("conv_id")
+    base = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.count("*").over(n).alias("n_turns"),
+    )
+    i = F.col("turn_idx").cast("double")
+    last = F.col("n_turns").cast("double") - 1
+    has_prev = (i > 0).cast("double")
+    has_next = (i < last).cast("double")
+    has_prev2 = (i > 1).cast("double")
+    has_next2 = (i < last - 1).cast("double")
+    seeds = base.select(
+        entity_col().alias("node"),
+        "conv_id",
+        "turn_idx",
+        (has_prev + has_next).alias("degree"),
+        (has_prev + has_next).alias("internal_edges"),
+        (has_prev2 + has_next2).alias("external_edges"),
+    )
+    if with_attributes:
+        attrs = transcript_attribute_features(transcripts)
+        seeds = seeds.join(attrs, ["conv_id", "turn_idx"])
+        # reference column order: local, attributes, egonet (base.py:18-26)
+        attr_cols = [c for c in attrs.columns if c.startswith("attribute_")]
+        seeds = seeds.select(
+            "node", "conv_id", "turn_idx", "degree",
+            *attr_cols, "internal_edges", "external_edges",
+        )
+    return seeds
+
+
+def extract_transcript_features(
+    transcripts: DataFrame,
+    cutoff_ts=None,
+    lag_k: int = 1,
+    max_generations: int = 10,
+    with_attributes: bool = True,
+    aggs: Sequence[str] = ("sum", "mean"),
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """Point-in-time ReFeX features per turn.
+
+    ``cutoff_ts`` restricts the input to turns with ``ts <= cutoff``
+    BEFORE any feature computation — the predicate pushes down to the
+    scan, making temporal leakage structurally impossible: features at
+    cutoff t computed on the full table are identical to recomputing on
+    the physical prefix (property-tested in tests/test_pipeline.py).
+
+    Returns (conv_id, turn_idx, <feature columns...>).
+    """
+    t = transcripts
+    if cutoff_ts is not None:
+        t = t.where(F.col("ts") <= F.lit(cutoff_ts))
+
+    edges = derive_edges(t, lag_k=lag_k)
+    seeds = chain_seed_features(t, lag_k=lag_k, with_attributes=with_attributes)
+
+    rfe = RecursiveFeatureExtractor(
+        edges,
+        directed=False,
+        max_generations=max_generations,
+        aggs=aggs,
+        seed_frame=seeds.drop("conv_id", "turn_idx"),
+        checkpoint_dir=checkpoint_dir,
+    )
+    feats = rfe.extract_features()
+    keyed = feats.withColumn("__parts", F.split(F.col("node"), "#")).select(
+        F.col("__parts").getItem(0).alias("conv_id"),
+        F.col("__parts").getItem(1).cast("int").alias("turn_idx"),
+        *[c for c in feats.columns if c != "node"],
+    )
+    return keyed

@@ -1,0 +1,138 @@
+"""As-of (point-in-time) join without a native Spark primitive.
+
+Spark SQL has no ASOF JOIN, and a naive range join degenerates to a
+broadcast-nested-loop. This implementation uses the union + window
+construction: tag both sides, union them, sort once per key, and carry
+the latest right-side values forward onto the probes with
+``last(..., ignorenulls=True)``. Cost = one shuffle on the key + one
+sort — the same as a sort-merge join, with no row explosion, no skew
+amplification beyond the key's own cardinality, and it scales to any
+number of right rows per key (unlike ``pd.merge_asof`` inside
+``applyInPandas``, which needs the whole key group in one executor's
+memory — that variant is provided as ``asof_join_grouped`` for
+comparison/benchmarking).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    allow_exact_matches: bool = True,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the ``value_cols`` of the latest right
+    row with ``right_ts <= left_ts`` (or ``<`` when
+    ``allow_exact_matches=False``) within the same ``on`` key.
+
+    Returns all left columns plus ``<value>_asof`` columns (null when no
+    earlier right row exists — caller decides the fill policy).
+    """
+    on = list(on)
+    value_cols = list(value_cols)
+
+    # probe side keeps all of its columns packed in a struct so arbitrary
+    # schemas survive the union untouched
+    left_packed = left.select(
+        *[F.col(c).alias(f"__k_{c}") for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_probe"),
+        F.struct(*left.columns).alias("__row"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    right_packed = right.select(
+        *[F.col(c).alias(f"__k_{c}") for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_probe"),
+        F.lit(None).cast(left_packed.schema["__row"].dataType).alias("__row"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+
+    unioned = left_packed.unionByName(right_packed)
+    # at equal timestamps: reference rows sort before probes when exact
+    # matches are allowed (probe sees them), after otherwise
+    tie = F.col("__is_probe") if allow_exact_matches else (1 - F.col("__is_probe"))
+    w = (
+        Window.partitionBy(*[f"__k_{c}" for c in on])
+        .orderBy(F.col("__ts"), tie)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "__is_probe",
+        "__row",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+    )
+    probes = filled.where(F.col("__is_probe") == 1)
+    return probes.select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__v_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+
+
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Arrow-batched ``pd.merge_asof`` per key group (cogroup variant).
+
+    Semantically identical to :func:`asof_join` with exact matches; kept
+    as the vectorized alternative for benchmarking. Requires each key
+    group to fit in executor memory — fine for bounded conversations,
+    wrong for unbounded keys, which is why the union+window form is the
+    default.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    on = list(on)
+    value_cols = list(value_cols)
+    # copy the fields — StructType.add mutates, and df.schema is cached
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(f"{c}{suffix}", right.schema[c].dataType) for c in value_cols]
+    )
+
+    # rename the right side up front: when both inputs derive from the same
+    # scan, duplicate attribute ids make Catalyst prune the "other" copy of
+    # a same-named column out of the cogroup
+    right_renamed = right.select(
+        *on,
+        F.col(right_ts).alias("__r_ts"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    out_names = [f.name for f in out_schema.fields]
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty:
+            return pd.DataFrame(columns=out_names)
+        l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
+        r_sorted = r_pdf.drop(columns=list(on)).sort_values("__r_ts", kind="mergesort")
+        merged = pd.merge_asof(
+            l_sorted, r_sorted, left_on=left_ts, right_on="__r_ts",
+            direction="backward",
+        )
+        return merged[out_names]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right_renamed.groupBy(*on))
+        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
+    )

@@ -1,0 +1,128 @@
+"""Temporal primitives: sessionize, lag/lead, backfill, prefix aggregates.
+
+These are the engine's point-in-time surface (BASELINE.json north_rule):
+every operator is a pure DataFrame transformation — single window pass,
+no Python in the hot path — so Catalyst plans one shuffle per
+``partitionBy`` key set and whole-stage-codegens the rest.
+
+Scale notes (10^12 turns): all windows partition by the conversation /
+entity key, so the shuffle is hash(key)-balanced; one pathological key
+(a 10^8-turn conversation) is bounded by sessionized sub-keys where the
+semantics allow (see ``sessionize``). No window here is unbounded over
+the whole table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap_seconds: float,
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Assign a per-key session sequence number using the classic
+    gap-and-cumsum construction: a new session starts whenever the gap to
+    the previous row exceeds ``gap_seconds``.
+
+    Output column ``session_col`` is 0-based per key. One shuffle on
+    ``key_cols``; both window passes share the same partitioning so
+    Catalyst executes them in a single sort.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # TIMESTAMP_NTZ has no direct numeric cast; hop through TIMESTAMP
+    # (lossless with the session pinned to UTC, session.py)
+    gap = F.col(ts_col).cast("timestamp").cast("double") - prev_ts.cast(
+        "timestamp"
+    ).cast("double")
+    is_new = F.when(prev_ts.isNull(), F.lit(0)).when(
+        gap > F.lit(float(gap_seconds)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+
+
+def lag_lead_features(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+    lags: Sequence[int] = (1,),
+    leads: Sequence[int] = (1,),
+) -> DataFrame:
+    """Attach lag/lead columns ``<col>_lag<k>`` / ``<col>_lead<k>``.
+
+    All offsets share one window definition → one shuffle + one sort.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    out = df
+    for col in value_cols:
+        for k in lags:
+            out = out.withColumn(f"{col}_lag{k}", F.lag(col, k).over(w))
+        for k in leads:
+            out = out.withColumn(f"{col}_lead{k}", F.lead(col, k).over(w))
+    return out
+
+
+def backfill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: Optional[str] = None,
+    direction: str = "forward",
+) -> DataFrame:
+    """Fill nulls from the last (forward) or next (backward) non-null
+    value within the key group, in ``order_cols`` order.
+
+    forward: ``last(value, ignorenulls)`` over (-inf, 0];
+    backward: ``first(value, ignorenulls)`` over [0, +inf).
+    """
+    out_col = out_col or f"{value_col}_filled"
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    if direction == "forward":
+        expr = F.last(value_col, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    elif direction == "backward":
+        expr = F.first(value_col, ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+    else:
+        raise ValueError("direction must be 'forward' or 'backward'")
+    return df.withColumn(out_col, expr)
+
+
+def prefix_aggregate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    agg_exprs: dict[str, Column],
+    include_current: bool = True,
+) -> DataFrame:
+    """Point-in-time running aggregates over all earlier rows of the key.
+
+    ``agg_exprs`` maps output column name -> aggregate Column (e.g.
+    ``F.sum("value")``). ``include_current=False`` gives the strict-prefix
+    frame (-inf, -1] — the zero-leakage form: the aggregate at row t sees
+    only rows strictly before t.
+    """
+    upper = 0 if include_current else -1
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    out = df
+    for name, expr in agg_exprs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence: the same ReFeX job at two parallelism
+levels (local[8] vs local[32] — standing in for N vs 4N executors per
+the driver instruction), identical input, reported as throughput at
+both plus efficiency = (T_N / T_4N) / 4 … with the conventional
+definition eff = speedup / resource-ratio.
+
+Writes/updates BENCH.md and prints one JSON line.
+
+Run each measurement in a fresh subprocess (one JVM cannot change its
+master); the child prints a single JSON line consumed here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from graphrole_spark.session import get_spark
+from graphrole_spark.pipeline import extract_transcript_features
+from graphrole_spark.sources.transcripts import synthesize_transcripts
+
+cores = int(sys.argv[1])
+n_convs = int(sys.argv[2])
+spark = get_spark(f"scaling_{cores}", cores=cores)
+t = synthesize_transcripts(spark, n_convs, seed=42).persist()
+n_turns = t.count()
+t0 = time.time()
+feats = extract_transcript_features(t, max_generations=4)
+feats.count()
+sec = time.time() - t0
+print(json.dumps({"cores": cores, "turns": n_turns, "sec": round(sec, 3),
+                  "turns_per_sec": round(n_turns / sec, 1)}))
+"""
+
+
+def run(cores: int, n_convs: int) -> dict:
+    env = dict(os.environ, REPO=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cores), str(n_convs)],
+        capture_output=True, text=True, env=env, cwd=REPO, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "40000"))
+    lo = run(8, n_convs)
+    hi = run(32, n_convs)
+    speedup = lo["sec"] / hi["sec"]
+    eff = speedup / (32 / 8)
+    result = {
+        "n_convs": n_convs,
+        "turns": hi["turns"],
+        "local8": lo,
+        "local32": hi,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+        fh.write(
+            "# BENCH — scaling evidence (north rule)\n\n"
+            "Same ReFeX transcript job, same deterministic input, two "
+            "parallelism levels (stands in for N vs 4N executors per the "
+            "driver instruction).\n\n"
+            "| config | turns | seconds | turns/sec |\n|---|---|---|---|\n"
+            f"| local[8]  | {lo['turns']} | {lo['sec']} | {lo['turns_per_sec']} |\n"
+            f"| local[32] | {hi['turns']} | {hi['sec']} | {hi['turns_per_sec']} |\n\n"
+            f"speedup (8→32 cores): **{result['speedup']}×** — "
+            f"scaling efficiency vs 4× resources: **{result['scaling_efficiency']}**\n\n"
+            "Notes: local mode shares one JVM + driver; shuffle goes through "
+            "local disk, so these numbers lower-bound what a real 4× executor "
+            "scale-out achieves for this shuffle-light plan (windows and "
+            "joins partition by conv_id / entity hash; no global barriers "
+            "besides the per-generation driver step).\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Transcript pipeline: closed-form seeds, zero temporal leakage, resume."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from graphrole_spark.operators.recursion import RecursiveFeatureExtractor
+from graphrole_spark.operators.seeds import seed_features
+from graphrole_spark.pipeline import chain_seed_features, extract_transcript_features
+from graphrole_spark.sources.transcripts import derive_edges, synthesize_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return synthesize_transcripts(spark, 30, seed=42).persist()
+
+
+def test_closed_form_seeds_match_generic(spark, transcripts):
+    """The window-function closed forms must equal the generic 2-hop
+    join seeds on the derived lag-1 chain."""
+    closed = (
+        chain_seed_features(transcripts, with_attributes=False)
+        .select("node", "degree", "internal_edges", "external_edges")
+        .toPandas()
+        .set_index("node")
+        .sort_index()
+    )
+    generic = (
+        seed_features(derive_edges(transcripts, lag_k=1))
+        .toPandas()
+        .set_index("node")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(
+        closed.sort_index(axis=1), generic.sort_index(axis=1), check_dtype=False
+    )
+
+
+def test_zero_temporal_leakage(spark, transcripts):
+    """Features at cutoff t == features recomputed on the physical prefix."""
+    cutoff = transcripts.selectExpr("percentile(cast(ts as double), 0.6) p").collect()[
+        0
+    ]["p"]
+    cutoff_ts = pd.Timestamp(cutoff, unit="s")
+
+    full_at_cutoff = extract_transcript_features(
+        transcripts, cutoff_ts=cutoff_ts, max_generations=3
+    ).toPandas().set_index(["conv_id", "turn_idx"]).sort_index()
+
+    prefix = transcripts.where(F.col("ts") <= F.lit(cutoff_ts))
+    recomputed = extract_transcript_features(
+        prefix, max_generations=3
+    ).toPandas().set_index(["conv_id", "turn_idx"]).sort_index()
+
+    assert sorted(full_at_cutoff.columns) == sorted(recomputed.columns)
+    assert full_at_cutoff.shape == recomputed.shape
+    assert np.allclose(
+        full_at_cutoff.sort_index(axis=1).values,
+        recomputed.sort_index(axis=1).values,
+    )
+
+
+def test_per_turn_text_equality_round_trip(spark, transcripts):
+    """input_hint invariant: joining features back to the transcripts
+    preserves per-turn text exactly under (conv_id, turn_idx) ordering."""
+    feats = extract_transcript_features(transcripts, max_generations=2)
+    joined = (
+        transcripts.join(feats, ["conv_id", "turn_idx"], "left")
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    original = (
+        transcripts.orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(joined, original)
+
+
+def test_checkpoint_resume(spark, transcripts, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    edges = derive_edges(transcripts, lag_k=1)
+    rfe = RecursiveFeatureExtractor(edges, checkpoint_dir=ckpt, max_generations=3)
+    expected = rfe.extract_features().toPandas().set_index("node").sort_index()
+    assert os.path.exists(os.path.join(ckpt, "_lineage.json"))
+    assert rfe.lineage and all("rows_per_sec" in g for g in rfe.lineage)
+
+    # resume from the written checkpoints: must reproduce without rerunning
+    resumed = RecursiveFeatureExtractor.resume(
+        spark, ckpt, edges, max_generations=3
+    )
+    got = resumed._kept.toPandas().set_index("node").sort_index()
+    pd.testing.assert_frame_equal(
+        got.sort_index(axis=1), expected.sort_index(axis=1)
+    )
+
+
+def test_entry_rowcount_positive(spark, transcripts):
+    feats = extract_transcript_features(transcripts, max_generations=2)
+    n = feats.count()
+    assert n == transcripts.count()
+    assert feats.filter(F.col("degree").isNull()).count() == 0

