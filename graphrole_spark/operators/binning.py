@@ -59,6 +59,17 @@ def bin_expression(col_name: str, boundaries: np.ndarray) -> Column:
     return F.size(F.filter(arr, lambda b: b < F.col(col_name)))
 
 
+def binned_columns_from_hists(
+    features: DataFrame, value_cols: Sequence[str], bounds: Dict[str, np.ndarray]
+) -> DataFrame:
+    """Replace each value column by its bin id, given precomputed
+    per-feature boundaries (JVM-side only)."""
+    return features.select(
+        *[c for c in features.columns if c not in value_cols],
+        *[bin_expression(c, bounds[c]).alias(c) for c in value_cols],
+    )
+
+
 def binned_columns(
     features: DataFrame, value_cols: Sequence[str], frac: float = 0.5
 ) -> tuple[DataFrame, Dict[str, np.ndarray]]:
@@ -68,8 +79,4 @@ def binned_columns(
     bounds = {
         c: bin_boundaries(hists[c][0], hists[c][1], frac=frac) for c in value_cols
     }
-    binned = features.select(
-        *[c for c in features.columns if c not in value_cols],
-        *[bin_expression(c, bounds[c]).alias(c) for c in value_cols],
-    )
-    return binned, bounds
+    return binned_columns_from_hists(features, value_cols, bounds), bounds

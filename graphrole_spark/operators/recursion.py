@@ -2,22 +2,33 @@
 
 Each generation is a fixed, small pipeline of Spark jobs (SURVEY.md §2.3):
 
-1. neighbor aggregation — ONE join of the neighbor relation against the
-   previous generation's wide feature frame + ONE hash aggregation with
-   every ``agg(col)`` expression fused (map-side partial aggregation,
-   whole-stage codegen; this is the shuffle that dominates at 10^12
-   turns and the one AQE skew-splits);
-2. horizontal concat — outer join on the node key + ``na.fill(0)``
-   (the reference's NaN→0 invariant, extract.py:112,128-133);
-3. pruning — distributed histogram → driver binning → one Chebyshev
-   aggregation pass → driver component grouping (operators/{binning,
-   pruning}.py);
-4. bookkeeping — retained names per generation on the driver, frames
-   persisted/checkpointed, lineage JSON for resumability.
+1. neighbor aggregation — two physical strategies:
+   * **edges mode** (general graphs): ONE join of the neighbor relation
+     against the previous generation's wide frame + ONE hash aggregation
+     with every ``agg(col)`` expression fused (map-side partial agg,
+     whole-stage codegen; AQE skew-splits this shuffle);
+   * **chain mode** (lag-1 temporal adjacency, the transcript case):
+     neighbor aggregates are just ``lag``/``lead`` window expressions
+     over ``(conv_id, turn_idx)`` — NO join, NO new shuffle; every
+     generation reuses the conversation partitioning, so the whole
+     recursion costs one shuffle total at any scale;
+2. horizontal concat — outer join + ``na.fill(0)`` in edges mode
+   (reference NaN→0 invariant, extract.py:112,128-133); a plain column
+   append in chain mode (neighborless rows get the same 0s the
+   reference's concat+fillna would give them);
+3. pruning — one melt+histogram aggregation (also yields the row count,
+   no separate count job), driver binning, one Chebyshev aggregation
+   pass, driver component grouping;
+4. bookkeeping — retained names per generation on the driver; retained
+   column *values* are frozen by reference into the generation's cached
+   (or checkpointed) frame, so a feature dropped by a LATER generation
+   still reaches the final output, exactly like the reference's
+   ``_final_features`` dict.
 
-Semantics match the reference driver (graphrole/features/extract.py:65-142)
-and are validated against the numpy oracle via allclose in
-tests/test_spark_refex.py.
+Per generation the engine runs exactly TWO actions (histogram +
+Chebyshev) plus optional checkpoint writes — no per-generation count()
+or intermediate kept-frame materialization; the final frame is one
+multi-join at finalize.
 """
 
 from __future__ import annotations
@@ -25,34 +36,47 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphrole_spark.operators.aggregate import AGG_FUNCS as _AGG_FUNCS
 from graphrole_spark.operators.aggregate import neighbor_aggregate
-from graphrole_spark.operators.pruning import prune_features_spark
-from graphrole_spark.operators.seeds import node_set, seed_features, symmetrize
+from graphrole_spark.operators.binning import melt_histogram
+from graphrole_spark.operators.pruning import chebyshev_distances
+from graphrole_spark.operators.binning import binned_columns_from_hists
+from graphrole_spark.operators.seeds import seed_features, symmetrize
+from graphrole_spark.oracle.binning import bin_boundaries
+from graphrole_spark.oracle.prune import group_feature_names, select_features_to_drop
+
+_CHAIN_AGGS = {"sum", "mean", "avg", "max", "min"}
 
 
 class RecursiveFeatureExtractor:
-    """Distributed ReFeX over an edge DataFrame (src, dst, weight).
+    """Distributed ReFeX over an edge DataFrame (src, dst, weight) or a
+    lag-1 conversation chain.
 
-    :param edges: edge relation; for undirected graphs pass each edge once
-        (symmetrization is internal, matching networkx degree semantics)
+    :param edges: edge relation; for undirected graphs pass each edge
+        once (symmetrization is internal, matching networkx degree
+        semantics). May be None in chain mode.
     :param directed: out-neighbor recursion + directed egonets when True
     :param nodes: optional DataFrame with a ``node`` column to keep
         isolated nodes in the output (reference keeps them, 0-filled)
     :param node_attributes: optional DataFrame (node, attr...) whose
         numeric columns become ``attribute_<name>`` seed features
+    :param seed_frame: precomputed generation-0 features (node, f...);
+        may carry extra passthrough key columns named in ``chain_keys``
+    :param chain_keys: (conv_col, idx_col) — activates chain mode:
+        neighbor aggregation via lag/lead windows instead of a join.
+        Requires ``seed_frame`` containing those columns.
     :param checkpoint_dir: when set, per-generation parquet checkpoints +
         ``_lineage.json`` are written there and extraction can resume
     """
 
     def __init__(
         self,
-        edges: DataFrame,
+        edges: Optional[DataFrame] = None,
         directed: bool = False,
         max_generations: int = 10,
         aggs: Sequence[str] = ("sum", "mean"),
@@ -63,13 +87,35 @@ class RecursiveFeatureExtractor:
         checkpoint_dir: Optional[str] = None,
         binning_frac: float = 0.5,
         seed_frame: Optional[DataFrame] = None,
+        chain_keys: Optional[Tuple[str, str]] = None,
     ) -> None:
         for agg in aggs:
             if agg not in _AGG_FUNCS:
                 raise ValueError(f"unsupported agg '{agg}'; use {sorted(_AGG_FUNCS)}")
-        if "weight" not in edges.columns:
-            edges = edges.withColumn("weight", F.lit(1.0))
-        self.edges = edges.select("src", "dst", "weight")
+        self.chain_keys = tuple(chain_keys) if chain_keys else None
+        if self.chain_keys:
+            if seed_frame is None:
+                raise ValueError("chain mode requires seed_frame with the key columns")
+            missing = set(self.chain_keys) - set(seed_frame.columns)
+            if missing:
+                raise ValueError(f"seed_frame lacks chain key columns {missing}")
+            bad = set(aggs) - _CHAIN_AGGS
+            if bad:
+                raise ValueError(f"chain mode supports aggs {_CHAIN_AGGS}; got {bad}")
+            self.edges = None
+            self.spark = seed_frame.sparkSession
+        else:
+            if edges is None:
+                raise ValueError("either edges or chain_keys must be provided")
+            if "weight" not in edges.columns:
+                edges = edges.withColumn("weight", F.lit(1.0))
+            self.edges = edges.select("src", "dst", "weight")
+            self.spark = edges.sparkSession
+            if self.edges.limit(1).count() == 0:
+                raise ValueError("input edge DataFrame must contain at least one edge")
+            nbrs = self.edges if directed else symmetrize(self.edges)
+            self.neighbor_rel = nbrs.select("src", "dst").distinct()
+
         self.directed = directed
         self.max_generations = max_generations
         self.aggs = list(aggs)
@@ -80,40 +126,30 @@ class RecursiveFeatureExtractor:
         self.checkpoint_dir = checkpoint_dir
         self.binning_frac = binning_frac
         self.seed_frame = seed_frame
-        self.spark = edges.sparkSession
-
-        if self.edges.limit(1).count() == 0:
-            raise ValueError("input edge DataFrame must contain at least one edge")
-
-        # deduplicated neighbor relation for the recursion (simple-graph
-        # semantics: the reference aggregates each neighbor's features once)
-        nbrs = self.edges if directed else symmetrize(self.edges)
-        self.neighbor_rel = nbrs.select("src", "dst").distinct()
 
         self.generation_count = 0
         self._generation_dict: Dict[int, Dict[str, None]] = {}
-        self._current: Optional[DataFrame] = None  # post-prune working frame
-        self._kept: Optional[DataFrame] = None     # every retained column
+        self._state: Optional[DataFrame] = None      # cached combined frame
+        self._active_cols: List[str] = []            # surviving feature names
+        self._gen_frames: Dict[int, DataFrame] = {}  # gen -> (node, retained...)
         self._lineage: List[dict] = []
-        self._done = False
+        self._final: Optional[DataFrame] = None
 
     # -- public ---------------------------------------------------------
 
     def extract_features(self) -> DataFrame:
         """Run the recursion (idempotent; memoized like the reference)."""
-        if self._done:
-            return self._kept
-        self._run_generation_zero()
+        if self._final is not None:
+            return self._final
+        self._update(self._seed_features(), 0)
         for gen in range(1, self.max_generations):
             self.generation_count = gen
-            new = self._next_features()
-            retained = self._update(new, gen)
-            if not retained:
+            if not self._update(self._next_features(), gen):
                 break
-        self._done = True
+        self._final = self._finalize()
         if self.checkpoint_dir:
-            self._write_lineage()
-        return self._kept
+            self._write_lineage(done=True)
+        return self._final
 
     def retained_by_generation(self) -> Dict[int, List[str]]:
         return {g: list(d.keys()) for g, d in self._generation_dict.items()}
@@ -124,52 +160,107 @@ class RecursiveFeatureExtractor:
 
     # -- generation steps ----------------------------------------------------
 
-    def _run_generation_zero(self) -> None:
+    def _seed_features(self) -> DataFrame:
         if self.seed_frame is not None:
-            seeds = self.seed_frame
-        else:
-            seeds = seed_features(
-                self.edges,
-                directed=self.directed,
-                nodes=self.nodes,
-                node_attributes=self.node_attributes,
-                attributes_include=self.attributes_include,
-                attributes_exclude=self.attributes_exclude,
-            )
-        self._update(seeds, 0)
-
-    def _next_features(self) -> DataFrame:
-        prev_cols = list(self._generation_dict[self.generation_count - 1].keys())
-        return neighbor_aggregate(self.neighbor_rel, self._kept, prev_cols, self.aggs)
-
-    def _update(self, new_frame: DataFrame, gen: int) -> List[str]:
-        t0 = time.time()
-        new_cols = [c for c in new_frame.columns if c != "node"]
-        if self._current is None:
-            combined = new_frame
-        else:
-            combined = self._current.join(new_frame, "node", "outer")
-        value_cols = [c for c in combined.columns if c != "node"]
-        combined = combined.na.fill(0.0, value_cols).persist()
-
-        to_drop = prune_features_spark(
-            combined, value_cols, self._generation_dict, gen, frac=self.binning_frac
+            return self.seed_frame
+        return seed_features(
+            self.edges,
+            directed=self.directed,
+            nodes=self.nodes,
+            node_attributes=self.node_attributes,
+            attributes_include=self.attributes_include,
+            attributes_exclude=self.attributes_exclude,
         )
-        pruned = combined.drop(*to_drop) if to_drop else combined
+
+    def _prev_cols(self) -> List[str]:
+        return list(self._generation_dict[self.generation_count - 1].keys())
+
+    def _next_features(self) -> Optional[DataFrame]:
+        """New-generation columns. In edges mode: a (node, cols) frame to
+        outer-join. In chain mode: None — columns are appended in-place
+        by :meth:`_combine` via window expressions."""
+        if self.chain_keys:
+            return None
+        return neighbor_aggregate(
+            self.neighbor_rel, self._state, self._prev_cols(), self.aggs
+        )
+
+    def _chain_exprs(self) -> List:
+        """lag/lead neighbor aggregates for the chain graph — appended as
+        columns; neighborless rows evaluate to the 0 the reference's
+        concat+fillna(0) assigns them (mean: 0/0 → null → filled)."""
+        conv, idx = self.chain_keys
+        w = Window.partitionBy(conv).orderBy(idx)
+        exprs = []
+        for agg in self.aggs:
+            for c in self._prev_cols():
+                l, r = F.lag(c).over(w), F.lead(c).over(w)
+                if agg == "sum":
+                    e = F.coalesce(l, F.lit(0.0)) + F.coalesce(r, F.lit(0.0))
+                elif agg in ("mean", "avg"):
+                    cnt = l.isNotNull().cast("double") + r.isNotNull().cast("double")
+                    tot = F.coalesce(l, F.lit(0.0)) + F.coalesce(r, F.lit(0.0))
+                    # guard cnt=0 (ANSI mode would raise on x/0)
+                    e = F.when(cnt > 0, tot / cnt).otherwise(F.lit(0.0))
+                elif agg == "max":
+                    e = F.coalesce(F.greatest(l, r), F.lit(0.0))
+                else:  # min — least() ignores nulls like greatest()
+                    e = F.coalesce(F.least(l, r), F.lit(0.0))
+                exprs.append(e.alias(f"{c}({agg})"))
+        return exprs
+
+    def _combine(self, new_frame: Optional[DataFrame], gen: int) -> Tuple[DataFrame, List[str]]:
+        keys = list(self.chain_keys) if self.chain_keys else []
+        if gen == 0:
+            combined = new_frame
+            new_cols = [c for c in new_frame.columns if c != "node" and c not in keys]
+            value_cols = list(new_cols)
+            return combined.na.fill(0.0, value_cols), new_cols
+        base = self._state.select("node", *keys, *self._active_cols)
+        if self.chain_keys:
+            exprs = self._chain_exprs()
+            combined = base.select("node", *keys, *self._active_cols, *exprs)
+            new_cols = [
+                f"{c}({agg})" for agg in self.aggs for c in self._prev_cols()
+            ]
+        else:
+            combined = base.join(new_frame, "node", "left")
+            new_cols = [c for c in new_frame.columns if c != "node"]
+            combined = combined.na.fill(0.0, new_cols)
+        return combined, new_cols
+
+    def _update(self, new_frame: Optional[DataFrame], gen: int) -> List[str]:
+        t0 = time.time()
+        combined, new_cols = self._combine(new_frame, gen)
+        combined = combined.persist()
+        value_cols = self._active_cols + [c for c in new_cols if c not in self._active_cols] \
+            if gen > 0 else new_cols
+
+        # one melt+histogram pass: bin boundaries AND the row count
+        hists = melt_histogram(combined, value_cols)
+        first = value_cols[0]
+        row_count = int(hists[first][1].sum()) if len(hists[first][1]) else 0
+        bounds = {
+            c: bin_boundaries(hists[c][0], hists[c][1], frac=self.binning_frac)
+            for c in value_cols
+        }
+        binned = binned_columns_from_hists(combined, value_cols, bounds)
+        dists = chebyshev_distances(binned, value_cols)
+        groups = group_feature_names(value_cols, dists, gen)
+        to_drop = select_features_to_drop(groups, self._generation_dict)
 
         retained = sorted(set(new_cols) - set(to_drop))
         self._generation_dict[gen] = dict.fromkeys(retained)
+        self._active_cols = [c for c in value_cols if c not in to_drop]
 
-        if self._kept is None:
-            kept = pruned.select("node", *retained)
-        elif retained:
-            kept = self._kept.join(pruned.select("node", *retained), "node", "left")
-            kept = kept.na.fill(0.0, retained)
-        else:
-            kept = self._kept
+        state = combined
+        gen_frame = combined.select("node", *retained) if retained else None
+        if self.checkpoint_dir:
+            state, gen_frame = self._checkpoint(combined, retained, gen)
+        self._state = state
+        if retained:
+            self._gen_frames[gen] = gen_frame
 
-        self._current, self._kept, row_count = self._materialize(pruned, kept, gen)
-        combined.unpersist()
         self._lineage.append(
             {
                 "generation": gen,
@@ -181,53 +272,78 @@ class RecursiveFeatureExtractor:
             }
         )
         if self.checkpoint_dir:
-            self._write_lineage()
+            self._write_lineage(done=False)
         return retained
+
+    def _finalize(self) -> DataFrame:
+        gens = sorted(self._gen_frames)
+        out = self._gen_frames[gens[0]]
+        for g in gens[1:]:
+            out = out.join(self._gen_frames[g], "node", "left")
+            out = out.na.fill(0.0, list(self._generation_dict[g].keys()))
+        if self.chain_keys:
+            keys = list(self.chain_keys)
+            out = self._state.select("node", *keys).join(out, "node", "left")
+        return out
 
     # -- persistence ----------------------------------------------------------
 
-    def _materialize(self, current: DataFrame, kept: DataFrame, gen: int):
-        """Cut lineage each generation: either parquet checkpoint (resumable,
-        required by the north rule) or persist + count (plan-truncation via
-        cache). Without this the physical plan doubles every generation."""
-        if self.checkpoint_dir:
-            cur_path = os.path.join(self.checkpoint_dir, f"gen={gen}", "current")
-            kept_path = os.path.join(self.checkpoint_dir, f"gen={gen}", "kept")
-            current.write.mode("overwrite").parquet(cur_path)
-            kept.write.mode("overwrite").parquet(kept_path)
-            current = self.spark.read.parquet(cur_path)
-            kept = self.spark.read.parquet(kept_path)
-            return current, kept, current.count()
-        current = current.persist()
-        kept = kept.persist()
-        return current, kept, current.count()
+    def _checkpoint(self, combined: DataFrame, retained: List[str], gen: int):
+        """Parquet the generation (state = node+keys+active, retained slice
+        separately) and re-read — truncates lineage AND provides the
+        resume point; earlier cached state can then be released."""
+        keys = list(self.chain_keys) if self.chain_keys else []
+        base = os.path.join(self.checkpoint_dir, f"gen={gen}")
+        state_path = os.path.join(base, "state")
+        combined.select("node", *keys, *self._active_cols).write.mode(
+            "overwrite"
+        ).parquet(state_path)
+        state = self.spark.read.parquet(state_path)
+        gen_frame = None
+        if retained:
+            ret_path = os.path.join(base, "retained")
+            combined.select("node", *retained).write.mode("overwrite").parquet(ret_path)
+            gen_frame = self.spark.read.parquet(ret_path)
+        combined.unpersist()
+        if self._state is not None:
+            self._state.unpersist()
+        return state, gen_frame
 
-    def _write_lineage(self) -> None:
+    def _write_lineage(self, done: bool) -> None:
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         with open(os.path.join(self.checkpoint_dir, "_lineage.json"), "w") as fh:
             json.dump(
                 {
                     "generations": self._lineage,
                     "generation_dict": self.retained_by_generation(),
+                    "active_cols": self._active_cols,
                     "aggs": self.aggs,
                     "directed": self.directed,
-                    "done": self._done,
+                    "chain_keys": list(self.chain_keys) if self.chain_keys else None,
+                    "done": done,
                 },
                 fh,
                 indent=2,
             )
 
     @classmethod
-    def resume(cls, spark, checkpoint_dir: str, edges: DataFrame, **kwargs):
+    def resume(cls, spark, checkpoint_dir: str, edges: Optional[DataFrame] = None, **kwargs):
         """Rebuild extractor state from a checkpoint directory and continue.
 
-        Reads ``_lineage.json`` + the last generation's parquet frames, so a
-        killed run restarts at the first incomplete generation instead of
-        recomputing from the scan (north_rule resumability).
+        Reads ``_lineage.json`` + per-generation parquet, so a killed run
+        restarts at the first incomplete generation instead of recomputing
+        from the scan (north_rule resumability).
         """
         with open(os.path.join(checkpoint_dir, "_lineage.json")) as fh:
             manifest = json.load(fh)
-        inst = cls(edges, checkpoint_dir=checkpoint_dir, **kwargs)
+        if manifest.get("chain_keys"):
+            kwargs.setdefault("chain_keys", tuple(manifest["chain_keys"]))
+            # placeholder seed frame; replaced by checkpointed state below
+            kwargs.setdefault(
+                "seed_frame",
+                spark.read.parquet(os.path.join(checkpoint_dir, "gen=0", "state")),
+            )
+        inst = cls(edges=edges, checkpoint_dir=checkpoint_dir, **kwargs)
         gens = sorted(int(g) for g in manifest["generation_dict"])
         last = gens[-1]
         inst._generation_dict = {
@@ -235,21 +351,20 @@ class RecursiveFeatureExtractor:
             for g, names in manifest["generation_dict"].items()
         }
         inst._lineage = manifest["generations"]
+        inst._active_cols = manifest["active_cols"]
         inst.generation_count = last
-        inst._current = spark.read.parquet(
-            os.path.join(checkpoint_dir, f"gen={last}", "current")
+        inst._state = spark.read.parquet(
+            os.path.join(checkpoint_dir, f"gen={last}", "state")
         )
-        inst._kept = spark.read.parquet(
-            os.path.join(checkpoint_dir, f"gen={last}", "kept")
-        )
-        if manifest.get("done") or not manifest["generation_dict"].get(str(last)):
-            inst._done = True
-            return inst
-        for gen in range(last + 1, inst.max_generations):
-            inst.generation_count = gen
-            new = inst._next_features()
-            if not inst._update(new, gen):
-                break
-        inst._done = True
-        inst._write_lineage()
+        for g in gens:
+            ret_path = os.path.join(checkpoint_dir, f"gen={g}", "retained")
+            if manifest["generation_dict"].get(str(g)) and os.path.exists(ret_path):
+                inst._gen_frames[g] = spark.read.parquet(ret_path)
+        if not manifest.get("done") and manifest["generation_dict"].get(str(last)):
+            for gen in range(last + 1, inst.max_generations):
+                inst.generation_count = gen
+                if not inst._update(inst._next_features(), gen):
+                    break
+        inst._final = inst._finalize()
+        inst._write_lineage(done=True)
         return inst

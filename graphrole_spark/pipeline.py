@@ -136,15 +136,27 @@ def extract_transcript_features(
     if cutoff_ts is not None:
         t = t.where(F.col("ts") <= F.lit(cutoff_ts))
 
+    if lag_k == 1:
+        # chain mode: the recursion is pure window functions over
+        # (conv_id, turn_idx) — no neighbor join, one shuffle total
+        seeds = chain_seed_features(t, lag_k=1, with_attributes=with_attributes)
+        rfe = RecursiveFeatureExtractor(
+            max_generations=max_generations,
+            aggs=aggs,
+            seed_frame=seeds,
+            chain_keys=("conv_id", "turn_idx"),
+            checkpoint_dir=checkpoint_dir,
+        )
+        return rfe.extract_features().drop("node")
+
     edges = derive_edges(t, lag_k=lag_k)
-    seeds = chain_seed_features(t, lag_k=lag_k, with_attributes=with_attributes)
+    from graphrole_spark.operators.seeds import seed_features as generic_seeds
 
     rfe = RecursiveFeatureExtractor(
         edges,
         directed=False,
         max_generations=max_generations,
         aggs=aggs,
-        seed_frame=seeds.drop("conv_id", "turn_idx"),
         checkpoint_dir=checkpoint_dir,
     )
     feats = rfe.extract_features()

@@ -93,9 +93,36 @@ def test_checkpoint_resume(spark, transcripts, tmp_path):
     resumed = RecursiveFeatureExtractor.resume(
         spark, ckpt, edges, max_generations=3
     )
-    got = resumed._kept.toPandas().set_index("node").sort_index()
+    got = resumed.extract_features().toPandas().set_index("node").sort_index()
     pd.testing.assert_frame_equal(
         got.sort_index(axis=1), expected.sort_index(axis=1)
+    )
+
+
+def test_chain_mode_matches_edges_mode(spark, transcripts):
+    """The window-function recursion (chain mode) must produce exactly
+    the same features as the generic join-based recursion on the same
+    lag-1 graph — same retained names, allclose values."""
+    seeds = chain_seed_features(transcripts, with_attributes=False)
+    chain_rfe = RecursiveFeatureExtractor(
+        seed_frame=seeds, chain_keys=("conv_id", "turn_idx"), max_generations=4
+    )
+    chain = (
+        chain_rfe.extract_features()
+        .toPandas()
+        .set_index("node")
+        .drop(columns=["conv_id", "turn_idx"])
+        .sort_index()
+    )
+
+    edges = derive_edges(transcripts, lag_k=1)
+    edges_rfe = RecursiveFeatureExtractor(edges, max_generations=4)
+    generic = edges_rfe.extract_features().toPandas().set_index("node").sort_index()
+
+    assert chain_rfe.retained_by_generation() == edges_rfe.retained_by_generation()
+    assert sorted(chain.columns) == sorted(generic.columns)
+    assert np.allclose(
+        chain.sort_index(axis=1).values, generic.sort_index(axis=1).values
     )
 
 

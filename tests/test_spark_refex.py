@@ -61,8 +61,7 @@ def test_gen1_features_path4_golden(spark):
     rfe = RecursiveFeatureExtractor(_edges_df(spark, PATH4_EDGES))
     # seed state without gen-0 pruning, exactly like the reference test
     seeds = seed_features(rfe.edges)
-    rfe._current = seeds
-    rfe._kept = seeds
+    rfe._state = seeds
     rfe._generation_dict = {0: dict.fromkeys([c for c in seeds.columns if c != "node"])}
     rfe.generation_count = 1
     got = _to_pandas(rfe._next_features())
