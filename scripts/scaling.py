@@ -52,8 +52,16 @@ def run(cores: int, n_convs: int) -> dict:
 
 def main() -> None:
     n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "40000"))
-    lo = run(8, n_convs)
-    hi = run(32, n_convs)
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    # interleave and take the per-config minimum: this sandbox has noisy
+    # co-tenants (observed 3-5x wall-clock swings on identical runs), and
+    # min-of-N interleaved is robust to contention spikes
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(run(8, n_convs))
+        hi_runs.append(run(32, n_convs))
+    lo = min(lo_runs, key=lambda r: r["sec"])
+    hi = min(hi_runs, key=lambda r: r["sec"])
     speedup = lo["sec"] / hi["sec"]
     eff = speedup / (32 / 8)
     result = {
