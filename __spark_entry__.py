@@ -277,6 +277,97 @@ def q_join_agg(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# relational coverage: set ops, rollup, pivot, anti join, distinct agg,
+# date/time, ranking
+# --------------------------------------------------------------------------
+
+def q_set_ops(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    return with_orders.exceptAll(building.intersect(with_orders)).distinct()
+
+
+def q_rollup(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+    )
+
+
+def q_pivot(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 6))
+        .withColumnsRenamed({"O": "qty_o", "F": "qty_f"})
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+def q_distinct_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def q_daily_counts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+
+
+def q_dense_rank(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id", F.dense_rank().over(w).alias("drk"), F.ntile(4).over(w).alias("quartile")
+    )
+
+
+# --------------------------------------------------------------------------
+# RolX + multimodal (rows-only: NMF / binary decode are not SQL)
+# --------------------------------------------------------------------------
+
+def q_rolx_roles(spark, sf_dir):
+    from graphrole_spark.roles.extract import RoleExtractor
+
+    feats = q_refex_pipeline(spark, sf_dir)
+    value_cols = [c for c in feats.columns if c not in ("conv_id", "turn_idx")]
+    nodeframe = feats.select(
+        F.concat_ws("#", "conv_id", "turn_idx").alias("node"), *value_cols
+    )
+    ext = RoleExtractor(n_roles=3)
+    ext.extract_role_factors(nodeframe)
+    return ext.roles.groupBy("role").agg(F.count("*").alias("n_entities"))
+
+
+def q_media_features(spark, sf_dir):
+    from graphrole_spark.functions.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 200)
+    return extract_media_features(media).select("media_id", "kind")
+
+
+# --------------------------------------------------------------------------
 # text / dedup / quality (documents)
 # --------------------------------------------------------------------------
 
@@ -378,6 +469,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "egonet": q_egonet,
         "groupby_agg": q_groupby_agg,
         "join_agg": q_join_agg,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "pivot": q_pivot,
+        "anti_join": q_anti_join,
+        "distinct_agg": q_distinct_agg,
+        "daily_counts": q_daily_counts,
+        "dense_rank": q_dense_rank,
+        "rolx_roles": q_rolx_roles,
+        "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality": q_quality,
@@ -559,6 +659,45 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 6) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "set_ops": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   round(sum(l_quantity), 6) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 6) AS qty_o,
+                   round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 6) AS qty_f
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "distinct_agg": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "daily_counts": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   count(*) AS n, round(sum(value), 6) AS total
+            FROM events GROUP BY date_trunc('day', ts), event_type
+        """,
+        "dense_rank": """
+            SELECT event_id,
+                   dense_rank() OVER w AS drk,
+                   ntile(4) OVER w AS quartile
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc,

@@ -65,6 +65,13 @@ def main() -> None:
         "refex_gen1",
         "groupby_agg",
         "join_agg",
+        "set_ops",
+        "rollup",
+        "pivot",
+        "anti_join",
+        "distinct_agg",
+        "daily_counts",
+        "dense_rank",
         "dedup_exact",
         "token_count",
         "quality",

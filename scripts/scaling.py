@@ -51,7 +51,7 @@ def run(cores: int, n_convs: int) -> dict:
 
 
 def main() -> None:
-    n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "40000"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "25000"))
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     # interleave and take the per-config minimum: this sandbox has noisy
     # co-tenants (observed 3-5x wall-clock swings on identical runs), and
