@@ -145,6 +145,27 @@ def q_range_window(spark, sf_dir):
     )
 
 
+def q_interval_count(spark, sf_dir):
+    """For each purchase, count same-user clicks within the following
+    hour — a keyed interval join via the bucketed range-join operator."""
+    from graphrole_spark.temporal.range_join import bucketed_range_join
+
+    events = _events(spark, sf_dir)
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+    hits = bucketed_range_join(
+        clicks, purchases, "click_ts", "p_start", "p_end", 3600, keys=["user_id"]
+    ).groupBy("event_id").agg(F.count("*").alias("n_clicks"))
+    return purchases.select("event_id").join(hits, "event_id", "left").select(
+        "event_id", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks")
+    )
+
+
 def q_topk_per_user(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
@@ -461,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_agg": q_prefix_agg,
         "asof_join": q_asof_join,
         "range_window": q_range_window,
+        "interval_count": q_interval_count,
         "topk_per_user": q_topk_per_user,
         "degree_undirected": q_degree_undirected,
         "degree_directed": q_degree_directed,
@@ -556,6 +578,17 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
                          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 6) AS value_10min
             FROM events
+        """,
+        "interval_count": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+            SELECT p.event_id,
+                   count(c.ts) AS n_clicks
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id
+             AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+            GROUP BY p.event_id
         """,
         "topk_per_user": """
             SELECT event_id, rk FROM (

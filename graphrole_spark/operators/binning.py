@@ -27,21 +27,24 @@ from graphrole_spark.oracle.binning import bin_boundaries
 def melt_histogram(features: DataFrame, value_cols: Sequence[str]) -> Dict[str, tuple]:
     """Per-feature (unique values, counts) via a single stack+groupBy pass.
 
+    Features are keyed by ordinal (int) in flight — smaller hash-agg
+    entries and exchange rows than string names. Partial (map-side)
+    aggregation shrinks the shuffle to ~distinct-values-per-partition.
     Returns {feature: (uniq ndarray, counts ndarray)} on the driver.
     """
     n = len(value_cols)
-    stack_expr = "stack({}, {}) as (feature, value)".format(
-        n, ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    stack_expr = "stack({}, {}) as (fid, value)".format(
+        n, ", ".join(f"{i}, `{c}`" for i, c in enumerate(value_cols))
     )
     hist_rows = (
         features.selectExpr(stack_expr)
-        .groupBy("feature", "value")
+        .groupBy("fid", "value")
         .count()
         .collect()
     )
     by_feature: Dict[str, list] = {c: [] for c in value_cols}
     for row in hist_rows:
-        by_feature[row["feature"]].append((row["value"], row["count"]))
+        by_feature[value_cols[row["fid"]]].append((row["value"], row["count"]))
     out = {}
     for feat, pairs in by_feature.items():
         pairs.sort(key=lambda p: p[0])
@@ -52,11 +55,26 @@ def melt_histogram(features: DataFrame, value_cols: Sequence[str]) -> Dict[str, 
 
 
 def bin_expression(col_name: str, boundaries: np.ndarray) -> Column:
-    """JVM-side bin id: number of boundaries strictly below the value."""
-    if len(boundaries) <= 1:
+    """JVM-side bin id: number of boundaries strictly below the value.
+
+    Emitted as a CASE WHEN chain over the (few dozen) boundaries —
+    unlike a higher-order ``filter`` over an array literal, a CASE chain
+    participates in whole-stage codegen, which matters because this
+    expression sits under the hottest per-generation scan. Falls back to
+    the HOF form only for pathologically long boundary lists.
+    """
+    n = len(boundaries)
+    if n <= 1:
         return F.lit(0)
-    arr = F.array(*[F.lit(float(b)) for b in boundaries])
-    return F.size(F.filter(arr, lambda b: b < F.col(col_name)))
+    if n > 256:
+        arr = F.array(*[F.lit(float(b)) for b in boundaries])
+        return F.size(F.filter(arr, lambda b: b < F.col(col_name)))
+    # value v belongs to bin j where boundaries[j-1] < v <= boundaries[j];
+    # flat WHEN chain, first match wins (boundaries ascending)
+    chain = F.when(F.col(col_name) <= float(boundaries[0]), F.lit(0))
+    for j in range(1, n - 1):
+        chain = chain.when(F.col(col_name) <= float(boundaries[j]), F.lit(j))
+    return chain.otherwise(F.lit(n - 1))
 
 
 def binned_columns_from_hists(

@@ -237,15 +237,25 @@ class RecursiveFeatureExtractor:
             if gen > 0 else new_cols
 
         # one melt+histogram pass: bin boundaries AND the row count
+        t_hist = time.time()
         hists = melt_histogram(combined, value_cols)
+        t_hist = time.time() - t_hist
         first = value_cols[0]
         row_count = int(hists[first][1].sum()) if len(hists[first][1]) else 0
         bounds = {
             c: bin_boundaries(hists[c][0], hists[c][1], frac=self.binning_frac)
             for c in value_cols
         }
-        binned = binned_columns_from_hists(combined, value_cols, bounds)
+        # persist the binned projection: without the barrier Catalyst
+        # collapses it into the pairwise aggregate and re-evaluates every
+        # bin expression once per feature PAIR (O(F²·bounds) per row)
+        binned = binned_columns_from_hists(
+            combined.select("node", *value_cols), value_cols, bounds
+        ).persist()
+        t_cheb = time.time()
         dists = chebyshev_distances(binned, value_cols)
+        t_cheb = time.time() - t_cheb
+        binned.unpersist()
         groups = group_feature_names(value_cols, dists, gen)
         to_drop = select_features_to_drop(groups, self._generation_dict)
 
@@ -267,6 +277,9 @@ class RecursiveFeatureExtractor:
                 "retained": retained,
                 "dropped": sorted(to_drop),
                 "row_count": row_count,
+                "n_features": len(value_cols),
+                "histogram_sec": round(t_hist, 3),
+                "chebyshev_sec": round(t_cheb, 3),
                 "seconds": round(time.time() - t0, 3),
                 "rows_per_sec": round(row_count / max(time.time() - t0, 1e-9), 1),
             }
