@@ -84,6 +84,23 @@ class RoleExtractor:
             'Role explanation ("sense making") is not yet implemented.'
         )
 
+    def description_length(self, features: DataFrame) -> Tuple[float, float]:
+        """(encoding cost, KL error cost) of the fitted model, computed as
+        Spark aggregations (roles/mdl_dist.py) — usable on factorizations
+        too large to collect. Reference semantics: description_length.py:8-61."""
+        if self.node_role_factor is None:
+            raise ValueError("call extract_role_factors first")
+        from graphrole_spark.roles.mdl_dist import description_length_distributed
+
+        value_cols = [c for c in features.columns if c != "node"]
+        return description_length_distributed(
+            features,
+            value_cols,
+            self.node_role_factor,
+            self._role_cols,
+            self.role_feature_factor.values,
+        )
+
     # -- fitting ------------------------------------------------------------
 
     def extract_role_factors(self, features: DataFrame) -> None:

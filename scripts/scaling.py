@@ -52,23 +52,26 @@ def run(cores: int, n_convs: int) -> dict:
 
 def main() -> None:
     n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "25000"))
+    lo_cores, hi_cores = (
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
+    )
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     # interleave and take the per-config minimum: this sandbox has noisy
     # co-tenants (observed 3-5x wall-clock swings on identical runs), and
     # min-of-N interleaved is robust to contention spikes
     lo_runs, hi_runs = [], []
     for _ in range(repeats):
-        lo_runs.append(run(8, n_convs))
-        hi_runs.append(run(32, n_convs))
+        lo_runs.append(run(lo_cores, n_convs))
+        hi_runs.append(run(hi_cores, n_convs))
     lo = min(lo_runs, key=lambda r: r["sec"])
     hi = min(hi_runs, key=lambda r: r["sec"])
     speedup = lo["sec"] / hi["sec"]
-    eff = speedup / (32 / 8)
+    eff = speedup / (hi_cores / lo_cores)
     result = {
         "n_convs": n_convs,
         "turns": hi["turns"],
-        "local8": lo,
-        "local32": hi,
+        "lo": lo,
+        "hi": hi,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
     }
@@ -80,9 +83,9 @@ def main() -> None:
             "parallelism levels (stands in for N vs 4N executors per the "
             "driver instruction).\n\n"
             "| config | turns | seconds | turns/sec |\n|---|---|---|---|\n"
-            f"| local[8]  | {lo['turns']} | {lo['sec']} | {lo['turns_per_sec']} |\n"
-            f"| local[32] | {hi['turns']} | {hi['sec']} | {hi['turns_per_sec']} |\n\n"
-            f"speedup (8→32 cores): **{result['speedup']}×** — "
+            f"| local[{lo['cores']}]  | {lo['turns']} | {lo['sec']} | {lo['turns_per_sec']} |\n"
+            f"| local[{hi['cores']}] | {hi['turns']} | {hi['sec']} | {hi['turns_per_sec']} |\n\n"
+            f"speedup ({lo['cores']}→{hi['cores']} cores): **{result['speedup']}×** — "
             f"scaling efficiency vs 4× resources: **{result['scaling_efficiency']}**\n\n"
             "Notes: local mode shares one JVM + driver; shuffle goes through "
             "local disk, so these numbers lower-bound what a real 4× executor "
