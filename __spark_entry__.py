@@ -353,6 +353,14 @@ def q_daily_counts(spark, sf_dir):
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
 
 
+def q_percentiles(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
 def q_dense_rank(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
@@ -498,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "daily_counts": q_daily_counts,
         "dense_rank": q_dense_rank,
+        "percentiles": q_percentiles,
         "rolx_roles": q_rolx_roles,
         "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
@@ -731,6 +740,12 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER w AS quartile
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        """,
+        "percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY event_type
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc,

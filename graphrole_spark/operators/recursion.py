@@ -229,6 +229,29 @@ class RecursiveFeatureExtractor:
             combined = combined.na.fill(0.0, new_cols)
         return combined, new_cols
 
+    def _tiny_query_conf(self):
+        """Context: disable AQE for the per-generation mini-actions.
+
+        The histogram and Chebyshev collects move a few KB — AQE's
+        per-stage re-optimization adds fixed latency × 2 actions ×
+        generations with nothing to adapt. The big shuffles (neighbor
+        join in edges mode) run outside this scope with AQE on.
+        """
+        import contextlib
+
+        spark = self.spark
+
+        @contextlib.contextmanager
+        def ctx():
+            prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                yield
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+        return ctx()
+
     def _update(self, new_frame: Optional[DataFrame], gen: int) -> List[str]:
         t0 = time.time()
         combined, new_cols = self._combine(new_frame, gen)
@@ -238,7 +261,8 @@ class RecursiveFeatureExtractor:
 
         # one melt+histogram pass: bin boundaries AND the row count
         t_hist = time.time()
-        hists = melt_histogram(combined, value_cols)
+        with self._tiny_query_conf():
+            hists = melt_histogram(combined, value_cols)
         t_hist = time.time() - t_hist
         first = value_cols[0]
         row_count = int(hists[first][1].sum()) if len(hists[first][1]) else 0
@@ -253,7 +277,8 @@ class RecursiveFeatureExtractor:
             combined.select("node", *value_cols), value_cols, bounds
         ).persist()
         t_cheb = time.time()
-        dists = chebyshev_distances(binned, value_cols)
+        with self._tiny_query_conf():
+            dists = chebyshev_distances(binned, value_cols)
         t_cheb = time.time() - t_cheb
         binned.unpersist()
         groups = group_feature_names(value_cols, dists, gen)
