@@ -129,6 +129,10 @@ class RecursiveFeatureExtractor:
 
         self.generation_count = 0
         self._generation_dict: Dict[int, Dict[str, None]] = {}
+        # feature columns are immutable and the node set is fixed after
+        # gen 0, so a column's histogram never changes — cache it and
+        # melt only the columns first seen this generation
+        self._hist_cache: Dict[str, tuple] = {}
         self._state: Optional[DataFrame] = None      # cached combined frame
         self._active_cols: List[str] = []            # surviving feature names
         self._gen_frames: Dict[int, DataFrame] = {}  # gen -> (node, retained...)
@@ -259,10 +263,15 @@ class RecursiveFeatureExtractor:
         value_cols = self._active_cols + [c for c in new_cols if c not in self._active_cols] \
             if gen > 0 else new_cols
 
-        # one melt+histogram pass: bin boundaries AND the row count
+        # one melt+histogram pass over the NEW columns only: bin
+        # boundaries AND the row count (old columns come from the cache)
         t_hist = time.time()
-        with self._tiny_query_conf():
-            hists = melt_histogram(combined, value_cols)
+        to_melt = [c for c in value_cols if c not in self._hist_cache]
+        if to_melt:
+            with self._tiny_query_conf():
+                fresh = melt_histogram(combined, to_melt)
+            self._hist_cache.update(fresh)
+        hists = {c: self._hist_cache[c] for c in value_cols}
         t_hist = time.time() - t_hist
         first = value_cols[0]
         row_count = int(hists[first][1].sum()) if len(hists[first][1]) else 0
