@@ -130,6 +130,40 @@ def test_attribute_seed_features(spark):
     assert got["attribute_attr2"].tolist() == [float(i) for i in range(7)]
 
 
+def test_custom_aggs_match_oracle(spark):
+    """aggs kwarg (reference: extract.py:26,47): sum/mean/max parity."""
+    sp = RecursiveFeatureExtractor(
+        _edges_df(spark, SEVEN_EDGES), aggs=("sum", "mean", "max"), max_generations=3
+    ).extract_features()
+    got = _to_pandas(sp)
+    exp = RefexOracle(
+        SEVEN_EDGES, aggs=["sum", "mean", "max"], max_generations=3
+    ).extract_features()
+    exp.index = [str(i) for i in exp.index]
+    assert sorted(got.columns) == sorted(exp.columns)
+    assert np.allclose(got.sort_index(axis=1).values, exp.sort_index(axis=1).values)
+
+
+def test_attribute_include_exclude(spark):
+    attrs = spark.createDataFrame(
+        [(str(i), 1.0, float(i)) for i in range(7)],
+        "node string, attr1 double, attr2 double",
+    )
+    only2 = seed_features(
+        _edges_df(spark, SEVEN_EDGES), node_attributes=attrs,
+        attributes_include=["attr2"],
+    )
+    assert "attribute_attr1" not in only2.columns
+    assert "attribute_attr2" in only2.columns
+    # exclude beats include (reference: README.md:90)
+    both = seed_features(
+        _edges_df(spark, SEVEN_EDGES), node_attributes=attrs,
+        attributes_include=["attr1", "attr2"], attributes_exclude=["attr2"],
+    )
+    assert "attribute_attr2" not in both.columns
+    assert "attribute_attr1" in both.columns
+
+
 def test_retained_generations_match_oracle(spark):
     rfe = RecursiveFeatureExtractor(_edges_df(spark, SEVEN_EDGES))
     rfe.extract_features()
