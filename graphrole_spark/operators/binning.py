@@ -66,15 +66,26 @@ def bin_expression(col_name: str, boundaries: np.ndarray) -> Column:
     n = len(boundaries)
     if n <= 1:
         return F.lit(0)
-    if n > 256:
+    if n > 1024:
         arr = F.array(*[F.lit(float(b)) for b in boundaries])
         return F.size(F.filter(arr, lambda b: b < F.col(col_name)))
-    # value v belongs to bin j where boundaries[j-1] < v <= boundaries[j];
-    # flat WHEN chain, first match wins (boundaries ascending)
-    chain = F.when(F.col(col_name) <= float(boundaries[0]), F.lit(0))
-    for j in range(1, n - 1):
-        chain = chain.when(F.col(col_name) <= float(boundaries[j]), F.lit(j))
-    return chain.otherwise(F.lit(n - 1))
+
+    # balanced binary-search tree of WHENs: value v belongs to bin j where
+    # boundaries[j-1] < v <= boundaries[j]; O(log n) comparisons per row
+    # instead of a linear CASE scan (this expression sits under the hottest
+    # per-generation projection, F features x millions of rows)
+    col = F.col(col_name)
+
+    def tree(lo: int, hi: int) -> Column:
+        # answer bin index within [lo, hi] given boundaries[lo-1] < v
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(col <= float(boundaries[mid]), tree(lo, mid)).otherwise(
+            tree(mid + 1, hi)
+        )
+
+    return tree(0, n - 1)
 
 
 def binned_columns_from_hists(
