@@ -113,6 +113,43 @@ def chain_seed_features(
     return seeds
 
 
+def extract_features_at_cutoffs(
+    transcripts: DataFrame,
+    cutoffs,
+    **kwargs,
+) -> DataFrame:
+    """Feature vectors per entity × timestamp: one point-in-time ReFeX
+    run per cutoff, unioned with a ``cutoff_ts`` column (north_star:
+    role/feature memberships per entity×timestamp, zero leakage at each).
+
+    Column set can differ per cutoff (pruning is data-dependent), so the
+    union aligns by name and 0-fills features absent at a cutoff —
+    consistent with the reference's fillna(0) convention.
+    """
+    runs = []
+    for cutoff in cutoffs:
+        feats = extract_transcript_features(transcripts, cutoff_ts=cutoff, **kwargs)
+        runs.append(feats.withColumn("cutoff_ts", F.lit(cutoff).cast("timestamp")))
+    all_cols = ["conv_id", "turn_idx", "cutoff_ts"]
+    feature_names = sorted(
+        {c for df in runs for c in df.columns if c not in all_cols}
+    )
+    aligned = [
+        df.select(
+            *all_cols,
+            *[
+                (F.col(c) if c in df.columns else F.lit(0.0)).alias(c)
+                for c in feature_names
+            ],
+        )
+        for df in runs
+    ]
+    out = aligned[0]
+    for df in aligned[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def extract_transcript_features(
     transcripts: DataFrame,
     cutoff_ts=None,

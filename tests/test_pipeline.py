@@ -126,6 +126,33 @@ def test_chain_mode_matches_edges_mode(spark, transcripts):
     )
 
 
+def test_multi_cutoff_features(spark, transcripts):
+    """entity×timestamp surface: per-cutoff runs, union-aligned."""
+    from graphrole_spark.pipeline import extract_features_at_cutoffs
+
+    qs = transcripts.selectExpr(
+        "percentile(cast(ts as double), 0.5) p50",
+        "percentile(cast(ts as double), 1.0) p100",
+    ).collect()[0]
+    cutoffs = [pd.Timestamp(qs["p50"], unit="s"), pd.Timestamp(qs["p100"], unit="s")]
+    multi = extract_features_at_cutoffs(transcripts, cutoffs, max_generations=2)
+    pdf = multi.toPandas()
+    got_cutoffs = {pd.Timestamp(c) for c in pdf["cutoff_ts"].unique()}
+    assert got_cutoffs == set(cutoffs)
+    # each slice equals its standalone point-in-time run
+    solo = (
+        extract_transcript_features(transcripts, cutoff_ts=cutoffs[0], max_generations=2)
+        .toPandas().set_index(["conv_id", "turn_idx"]).sort_index()
+    )
+    sliced = (
+        pdf[pdf.cutoff_ts.apply(pd.Timestamp) == cutoffs[0]]
+        .drop(columns=["cutoff_ts"])
+        .set_index(["conv_id", "turn_idx"]).sort_index()
+    )
+    shared = sorted(solo.columns)
+    assert np.allclose(sliced[shared].values, solo[shared].values)
+
+
 def test_entry_rowcount_positive(spark, transcripts):
     feats = extract_transcript_features(transcripts, max_generations=2)
     n = feats.count()
