@@ -24,7 +24,17 @@ SESSION_GAP = 1800
 # helpers
 # --------------------------------------------------------------------------
 
+def _ensure_utc(spark: SparkSession) -> None:
+    # timestamp arithmetic must agree with the (UTC-naive) DuckDB oracle
+    # regardless of how the caller built the session
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_utc(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
@@ -478,6 +488,7 @@ def q_refex_pipeline(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_utc(spark)
     return q_refex_pipeline(spark, "/root/testdata/sf0.001")
 
 
