@@ -58,7 +58,9 @@ def main() -> None:
         "prefix_agg",
         "asof_join",
         "range_window",
+        "interval_count",
         "topk_per_user",
+        "percentiles",
         "degree_undirected",
         "degree_directed",
         "chain_seeds",
