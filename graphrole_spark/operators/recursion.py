@@ -19,20 +19,26 @@ Each generation is a fixed, small pipeline of Spark jobs (SURVEY.md §2.3):
 3. pruning — one melt+histogram aggregation (also yields the row count,
    no separate count job), driver binning, one Chebyshev aggregation
    pass, driver component grouping;
-4. bookkeeping — retained names per generation on the driver; retained
-   column *values* are frozen by reference into the generation's cached
-   (or checkpointed) frame, so a feature dropped by a LATER generation
-   still reaches the final output, exactly like the reference's
-   ``_final_features`` dict.
+4. bookkeeping — retained names per generation on the driver; every
+   retained column is CARRIED FORWARD through each generation's combined
+   frame (a pure column re-select, zero extra compute), so a feature
+   dropped by a LATER generation still reaches the final output exactly
+   like the reference's ``_final_features`` dict — and finalize is a
+   single column projection of the last generation's frame, with NO
+   multi-join.
 
 Per generation the engine runs exactly TWO actions (histogram +
 Chebyshev) plus optional checkpoint writes — no per-generation count()
-or intermediate kept-frame materialization; the final frame is one
-multi-join at finalize.
+or intermediate kept-frame materialization. Cross-generation caches keep
+the per-generation driver constant flat: a feature column is immutable
+once computed, so its histogram/bin boundaries AND its pairwise
+Chebyshev distances to other old columns are computed exactly once;
+each generation only melts/compares the columns it introduced.
 """
 
 from __future__ import annotations
 
+import itertools as it
 import json
 import os
 import time
@@ -44,8 +50,7 @@ from pyspark.sql import functions as F
 from graphrole_spark.operators.aggregate import AGG_FUNCS as _AGG_FUNCS
 from graphrole_spark.operators.aggregate import neighbor_aggregate
 from graphrole_spark.operators.binning import melt_histogram
-from graphrole_spark.operators.pruning import chebyshev_distances
-from graphrole_spark.operators.binning import binned_columns_from_hists
+from graphrole_spark.operators.pruning import chebyshev_distances_arrow
 from graphrole_spark.operators.seeds import seed_features, symmetrize
 from graphrole_spark.oracle.binning import bin_boundaries
 from graphrole_spark.oracle.prune import group_feature_names, select_features_to_drop
@@ -133,9 +138,13 @@ class RecursiveFeatureExtractor:
         # gen 0, so a column's histogram never changes — cache it and
         # melt only the columns first seen this generation
         self._hist_cache: Dict[str, tuple] = {}
+        # ... and for the same reason a (col_i, col_j) Chebyshev distance
+        # never changes — each generation only measures pairs that touch
+        # a newly introduced column
+        self._dist_cache: Dict[frozenset, float] = {}
         self._state: Optional[DataFrame] = None      # cached combined frame
         self._active_cols: List[str] = []            # surviving feature names
-        self._gen_frames: Dict[int, DataFrame] = {}  # gen -> (node, retained...)
+        self._retained_order: List[str] = []         # all retained, gen order
         self._lineage: List[dict] = []
         self._final: Optional[DataFrame] = None
 
@@ -220,10 +229,13 @@ class RecursiveFeatureExtractor:
             new_cols = [c for c in new_frame.columns if c != "node" and c not in keys]
             value_cols = list(new_cols)
             return combined.na.fill(0.0, value_cols), new_cols
-        base = self._state.select("node", *keys, *self._active_cols)
+        # carry every retained column forward (active ⊆ retained): pure
+        # column re-select from the cached previous state, so finalize
+        # needs no joins and a later-dropped feature keeps its values
+        base = self._state.select("node", *keys, *self._retained_order)
         if self.chain_keys:
             exprs = self._chain_exprs()
-            combined = base.select("node", *keys, *self._active_cols, *exprs)
+            combined = base.select("node", *keys, *self._retained_order, *exprs)
             new_cols = [
                 f"{c}({agg})" for agg in self.aggs for c in self._prev_cols()
             ]
@@ -279,31 +291,38 @@ class RecursiveFeatureExtractor:
             c: bin_boundaries(hists[c][0], hists[c][1], frac=self.binning_frac)
             for c in value_cols
         }
-        # persist the binned projection: without the barrier Catalyst
-        # collapses it into the pairwise aggregate and re-evaluates every
-        # bin expression once per feature PAIR (O(F²·bounds) per row)
-        binned = binned_columns_from_hists(
-            combined.select("node", *value_cols), value_cols, bounds
-        ).persist()
+        # distances between two OLD columns are cached (bins immutable);
+        # only pairs touching a column introduced this generation run
+        pairs = list(it.combinations(value_cols, 2))
+        todo = [p for p in pairs if frozenset(p) not in self._dist_cache]
         t_cheb = time.time()
-        with self._tiny_query_conf():
-            dists = chebyshev_distances(binned, value_cols)
+        if todo:
+            # binning + pairwise max fused into one Arrow reduction pass
+            # over the cached frame (no second cache, no per-generation
+            # expression-tree compile)
+            fresh_dists = chebyshev_distances_arrow(combined, bounds, todo)
+            self._dist_cache.update(
+                {frozenset(p): d for p, d in fresh_dists.items()}
+            )
+        dists = {p: self._dist_cache[frozenset(p)] for p in pairs}
         t_cheb = time.time() - t_cheb
-        binned.unpersist()
         groups = group_feature_names(value_cols, dists, gen)
         to_drop = select_features_to_drop(groups, self._generation_dict)
 
         retained = sorted(set(new_cols) - set(to_drop))
         self._generation_dict[gen] = dict.fromkeys(retained)
         self._active_cols = [c for c in value_cols if c not in to_drop]
+        self._retained_order.extend(retained)
 
-        state = combined
-        gen_frame = combined.select("node", *retained) if retained else None
+        prev_state = self._state
         if self.checkpoint_dir:
-            state, gen_frame = self._checkpoint(combined, retained, gen)
-        self._state = state
-        if retained:
-            self._gen_frames[gen] = gen_frame
+            self._state = self._checkpoint(combined, gen)
+        else:
+            self._state = combined
+            # the previous generation's cache is no longer referenced —
+            # finalize reads only the LAST state (carry-forward columns)
+            if prev_state is not None:
+                prev_state.unpersist()
 
         self._lineage.append(
             {
@@ -323,38 +342,28 @@ class RecursiveFeatureExtractor:
         return retained
 
     def _finalize(self) -> DataFrame:
-        gens = sorted(self._gen_frames)
-        out = self._gen_frames[gens[0]]
-        for g in gens[1:]:
-            out = out.join(self._gen_frames[g], "node", "left")
-            out = out.na.fill(0.0, list(self._generation_dict[g].keys()))
-        if self.chain_keys:
-            keys = list(self.chain_keys)
-            out = self._state.select("node", *keys).join(out, "node", "left")
-        return out
+        """Final frame = ONE column projection of the last generation's
+        state — every retained column was carried forward, so there is no
+        multi-join (the reference's ChainMap concat, for free)."""
+        keys = list(self.chain_keys) if self.chain_keys else []
+        return self._state.select("node", *keys, *self._retained_order)
 
     # -- persistence ----------------------------------------------------------
 
-    def _checkpoint(self, combined: DataFrame, retained: List[str], gen: int):
-        """Parquet the generation (state = node+keys+active, retained slice
-        separately) and re-read — truncates lineage AND provides the
-        resume point; earlier cached state can then be released."""
+    def _checkpoint(self, combined: DataFrame, gen: int) -> DataFrame:
+        """Parquet the generation state (node + keys + every retained
+        column so far) and re-read — truncates lineage AND provides the
+        resume point; earlier cached state is then released."""
         keys = list(self.chain_keys) if self.chain_keys else []
-        base = os.path.join(self.checkpoint_dir, f"gen={gen}")
-        state_path = os.path.join(base, "state")
-        combined.select("node", *keys, *self._active_cols).write.mode(
+        state_path = os.path.join(self.checkpoint_dir, f"gen={gen}", "state")
+        combined.select("node", *keys, *self._retained_order).write.mode(
             "overwrite"
         ).parquet(state_path)
         state = self.spark.read.parquet(state_path)
-        gen_frame = None
-        if retained:
-            ret_path = os.path.join(base, "retained")
-            combined.select("node", *retained).write.mode("overwrite").parquet(ret_path)
-            gen_frame = self.spark.read.parquet(ret_path)
         combined.unpersist()
         if self._state is not None:
             self._state.unpersist()
-        return state, gen_frame
+        return state
 
     def _write_lineage(self, done: bool) -> None:
         os.makedirs(self.checkpoint_dir, exist_ok=True)
@@ -364,6 +373,7 @@ class RecursiveFeatureExtractor:
                     "generations": self._lineage,
                     "generation_dict": self.retained_by_generation(),
                     "active_cols": self._active_cols,
+                    "retained_order": self._retained_order,
                     "aggs": self.aggs,
                     "directed": self.directed,
                     "chain_keys": list(self.chain_keys) if self.chain_keys else None,
@@ -399,14 +409,14 @@ class RecursiveFeatureExtractor:
         }
         inst._lineage = manifest["generations"]
         inst._active_cols = manifest["active_cols"]
+        inst._retained_order = manifest.get(
+            "retained_order",
+            [n for g in gens for n in manifest["generation_dict"][str(g)]],
+        )
         inst.generation_count = last
         inst._state = spark.read.parquet(
             os.path.join(checkpoint_dir, f"gen={last}", "state")
         )
-        for g in gens:
-            ret_path = os.path.join(checkpoint_dir, f"gen={g}", "retained")
-            if manifest["generation_dict"].get(str(g)) and os.path.exists(ret_path):
-                inst._gen_frames[g] = spark.read.parquet(ret_path)
         if not manifest.get("done") and manifest["generation_dict"].get(str(last)):
             for gen in range(last + 1, inst.max_generations):
                 inst.generation_count = gen

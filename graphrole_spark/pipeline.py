@@ -35,16 +35,14 @@ from graphrole_spark.temporal.ops import sessionize
 DEFAULT_SESSION_GAP = 1800.0
 
 
-def transcript_attribute_features(transcripts: DataFrame) -> DataFrame:
-    """Per-turn numeric attributes (the transcript analog of node
-    attributes, reference: networkx.py:87-113): text length, tool-use
-    and role indicators, session-relative position."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    t = sessionize(transcripts, ["conv_id"], "ts", DEFAULT_SESSION_GAP)
+def _attribute_exprs() -> list:
+    """Per-turn numeric attribute expressions (the transcript analog of
+    node attributes, reference: networkx.py:87-113): text length,
+    tool-use and role indicators, session-relative position. Requires a
+    frame that already carries ``session_seq`` (sessionized) and a
+    0-based contiguous ``turn_idx``."""
     ws = Window.partitionBy("conv_id", "session_seq")
-    return t.select(
-        "conv_id",
-        "turn_idx",
+    return [
         F.length("text").cast("double").alias("attribute_text_len"),
         F.when(F.col("tool").isNotNull() & (F.col("tool") != ""), 1.0)
         .otherwise(0.0)
@@ -53,9 +51,19 @@ def transcript_attribute_features(transcripts: DataFrame) -> DataFrame:
         F.when(F.col("role") == "assistant", 1.0)
         .otherwise(0.0)
         .alias("attribute_is_assistant"),
+        # conv-hash partitioning satisfies the (conv, session) clustering,
+        # so this window re-sorts within partitions but adds NO exchange
         F.count("*").over(ws).cast("double").alias("attribute_session_size"),
-        (F.row_number().over(w) - 1).cast("double").alias("attribute_turn_pos"),
-    )
+        F.col("turn_idx").cast("double").alias("attribute_turn_pos"),
+    ]
+
+
+def transcript_attribute_features(transcripts: DataFrame) -> DataFrame:
+    """Standalone attribute frame (kept for API parity; the flagship path
+    fuses these expressions into the seed select, see
+    :func:`chain_seed_features`)."""
+    t = sessionize(transcripts, ["conv_id"], "ts", DEFAULT_SESSION_GAP)
+    return t.select("conv_id", "turn_idx", *_attribute_exprs())
 
 
 def chain_seed_features(
@@ -82,35 +90,30 @@ def chain_seed_features(
             "operators.seeds.seed_features over derive_edges for k>1"
         )
     n = Window.partitionBy("conv_id")
-    base = transcripts.select(
-        "conv_id",
-        "turn_idx",
-        F.count("*").over(n).alias("n_turns"),
-    )
+    t = transcripts
+    attr_exprs: list = []
+    if with_attributes:
+        # ONE pass: sessionize + every attribute + every closed form ride
+        # the same conv-hash partitioning — no join, no second shuffle
+        t = sessionize(t, ["conv_id"], "ts", DEFAULT_SESSION_GAP)
+        attr_exprs = _attribute_exprs()
+    base = t.withColumn("n_turns", F.count("*").over(n))
     i = F.col("turn_idx").cast("double")
     last = F.col("n_turns").cast("double") - 1
     has_prev = (i > 0).cast("double")
     has_next = (i < last).cast("double")
     has_prev2 = (i > 1).cast("double")
     has_next2 = (i < last - 1).cast("double")
-    seeds = base.select(
+    # reference column order: local, attributes, egonet (base.py:18-26)
+    return base.select(
         entity_col().alias("node"),
         "conv_id",
         "turn_idx",
         (has_prev + has_next).alias("degree"),
+        *attr_exprs,
         (has_prev + has_next).alias("internal_edges"),
         (has_prev2 + has_next2).alias("external_edges"),
     )
-    if with_attributes:
-        attrs = transcript_attribute_features(transcripts)
-        seeds = seeds.join(attrs, ["conv_id", "turn_idx"])
-        # reference column order: local, attributes, egonet (base.py:18-26)
-        attr_cols = [c for c in attrs.columns if c.startswith("attribute_")]
-        seeds = seeds.select(
-            "node", "conv_id", "turn_idx", "degree",
-            *attr_cols, "internal_edges", "external_edges",
-        )
-    return seeds
 
 
 def extract_features_at_cutoffs(
