@@ -1,18 +1,22 @@
 """Similarity search over embedding columns (array<float>).
 
-* brute-force cosine top-k: broadcast the (small) query side, one
-  codegen'd pass over the corpus — the exact baseline;
-* LSH top-k: deterministic random-hyperplane signatures (seeded, built
-  from xxhash64-derived plane coefficients — no driver-side RNG state),
-  bucket equi-join, cosine verification inside buckets — the scale path
+* brute-force cosine top-k: broadcast the (small, by contract) query
+  side as a numpy matrix and scan the corpus once with an Arrow
+  ``mapInPandas`` block matmul (one BLAS call per batch) — the exact
+  baseline; per-batch top-k keeps the shuffled row count at
+  ``partitions × queries × k`` instead of ``corpus × queries``;
+* LSH top-k: deterministic random-hyperplane signatures (seeded — a
+  pure function of (seed, table, plane, j), so executors and reruns
+  agree), all tables computed in ONE vectorized pandas_udf, bucket
+  equi-join, exact cosine verification inside buckets — the scale path
   (corpus × queries never materializes).
 
-All vector math uses higher-order functions (zip_with/aggregate) —
-JVM-side, no Python in the row path.
+Column-level helpers (``dot``/``l2_norm``/``cosine``) remain available
+as JVM higher-order-function expressions for small candidate sets.
 """
 
-from __future__ import annotations
-
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,26 +52,54 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × corpus scan.
+    """Exact cosine top-k: broadcast queries (numpy) × corpus block scan.
 
-    Returns (query_id, neighbor_id, cosine_sim, rank); self-matches are
-    excluded; ties break on neighbor id for determinism.
+    Each Arrow batch computes ``batch_matrix @ queries.T`` in one BLAS
+    call and emits only its local top-k per query, so the shuffled row
+    count is ``partitions × m × k``, never ``corpus × m``. Returns
+    (query_id, neighbor_id, cosine_sim, rank); self-matches are
+    excluded; ties break on neighbor id for determinism (similarities
+    are rounded to 9 decimals before ranking, matching the SQL oracle).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    Q = np.stack([np.asarray(v, dtype=float) for v in qpdf[vec_col]])
+    qn = np.linalg.norm(Q, axis=1)
+    Qn = Q / np.where(qn > 0, qn, 1.0)[:, None]
+    qids = qpdf[id_col].to_numpy()
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {qid_type}, neighbor_id {id_type}, cosine_sim double"
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cosine_sim"),
-        )
-    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            cn = np.linalg.norm(C, axis=1)
+            Cn = C / np.where(cn > 0, cn, 1.0)[:, None]
+            S = np.round(Cn @ Qn.T, 9)  # (batch, m)
+            nids = pdf[id_col].to_numpy()
+            frames = []
+            for j, qid in enumerate(qids):
+                s = S[:, j]
+                keep = nids != qid  # exclude self-match
+                order = np.lexsort((nids[keep], -s[keep]))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nids[keep][order],
+                            "cosine_sim": s[keep][order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
@@ -81,8 +113,6 @@ def brute_force_topk(
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
     """Deterministic pseudo-random plane coefficients in [-1, 1); pure
     function of (seed, plane, j) so executors and reruns agree."""
-    import numpy as np
-
     rng = np.random.RandomState(seed * 1000003 + plane)
     return [float(x) for x in rng.uniform(-1.0, 1.0, dim)]
 
@@ -99,6 +129,41 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _all_table_buckets(n_planes: int, n_tables: int, seed: int):
+    """pandas_udf: embedding -> array of per-table sign-bucket ids.
+
+    Every table's hyperplanes are applied in ONE numpy matmul per Arrow
+    batch (no per-plane expression trees, no driver-side dimension
+    probe: the plane matrix is built lazily from the first batch's
+    dimensionality, identically on every executor)."""
+    from pyspark.sql.functions import pandas_udf
+
+    state: dict = {}
+
+    def planes_for(dim: int):
+        if dim not in state:
+            rows = [
+                _hyperplane(dim, t * n_planes + p, seed)
+                for t in range(n_tables)
+                for p in range(n_planes)
+            ]
+            state[dim] = np.asarray(rows, dtype=float)  # (T*P, dim)
+        return state[dim]
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=float) for v in vecs])
+        P = planes_for(M.shape[1])
+        bits = (M @ P.T) >= 0  # (n, T*P)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        per_table = bits.reshape(len(M), n_tables, n_planes) @ weights  # (n, T)
+        return pd.Series(list(per_table.astype(np.int64)))
+
+    return buckets
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -112,33 +177,32 @@ def lsh_topk(
     """Approximate cosine top-k via multi-table hyperplane LSH.
 
     Each of ``n_tables`` signature tables buckets both sides; candidates
-    are the union of same-bucket pairs, verified with exact cosine.
-    Recall is tested against :func:`brute_force_topk` in the suite.
+    are the union of same-bucket pairs (one ``posexplode`` of the
+    per-table bucket array + one equi-join on (table, bucket)), verified
+    with exact cosine. Recall is tested against :func:`brute_force_topk`
+    in the suite.
     """
-    dim = len(
-        corpus.select(vec_col).limit(1).collect()[0][0]
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
-    cand = None
-    for t in range(n_tables):
-        planes = [_hyperplane(dim, t * n_planes + p, seed) for p in range(n_planes)]
-        ct = c.select(
-            "neighbor_id", "cv", lsh_signature(F.col("cv"), planes).alias("bucket")
+    buckets = _all_table_buckets(n_planes, n_tables, seed)
+
+    def banded(df, id_alias):
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            _as_double(F.col(vec_col)).alias(f"{id_alias}_v"),
+            F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
         )
-        qt = q.select(
-            "query_id", "qv", lsh_signature(F.col("qv"), planes).alias("bucket")
+
+    ct = banded(corpus, "neighbor_id")
+    qt = banded(queries, "query_id")
+    cand = (
+        ct.join(F.broadcast(qt), ["table", "bucket"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("query_id_v").alias("qv"),
+            F.col("neighbor_id_v").alias("cv"),
         )
-        pairs = ct.join(F.broadcast(qt), "bucket").select(
-            "query_id", "neighbor_id", "qv", "cv"
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"]).where(
-        F.col("neighbor_id") != F.col("query_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
     )
     scored = cand.select(
         "query_id",

@@ -72,9 +72,11 @@ _BIT_MASKS = [1 << b for b in range(63)] + [-(1 << 63)]  # long-typed bit masks
 
 
 def simhash64(text: Column) -> Column:
-    """64-bit SimHash of the whitespace tokens (Charikar 2002), built
-    from xxhash64 + bit arithmetic in pure expressions: one pass over
-    the token hashes with a 64-counter array as fold state."""
+    """64-bit SimHash of the whitespace tokens (Charikar 2002) as a pure
+    column expression (HOF fold). NOTE: higher-order functions are
+    interpreted, not codegen'd — document-scale callers should use
+    :func:`simhash_frame`, which computes the identical value with an
+    explode + 64 conditional sums (whole-stage codegen end to end)."""
     hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
     masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
     zeros = F.array_repeat(F.lit(0).cast("long"), 64)
@@ -95,6 +97,39 @@ def simhash64(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: acc.bitwiseOR(v),
     )
+
+
+def simhash_frame(
+    documents: DataFrame, text_col: str = "text", out_col: str = "sim",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, simhash64) per document, vectorized for scale.
+
+    Same value as :func:`simhash64`, different physical plan: explode the
+    tokens, hash each once, and aggregate 64 conditional ±1 sums per
+    document (bit b set iff its sum > 0). Everything stays inside
+    whole-stage codegen; the explode preserves input partitioning, so
+    map-side partial aggregation collapses each document to one row
+    before any shuffle.
+    """
+    tok_hashes = documents.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("__tok")
+    ).select(id_col, F.xxhash64("__tok").alias("__h"))
+    count_aggs = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"__c{b}")
+        for b, m in enumerate(_BIT_MASKS)
+    ]
+    counts = tok_hashes.groupBy(id_col).agg(*count_aggs)
+    sim = F.lit(0).cast("long")
+    for b, m in enumerate(_BIT_MASKS):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"__c{b}") > 0, F.lit(m).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return counts.select(id_col, sim.alias(out_col))
 
 
 def alpha_ratio(text: Column) -> Column:
@@ -145,20 +180,30 @@ def minhash_near_duplicates(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     rows = n_hashes // bands
-    sig = documents.select(
+    # hash shingle strings once, derive the n_hashes family from the
+    # longs (xxhash64 on a long is ~10x cheaper than on a string)
+    hashed = documents.select(
         "doc_id",
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).where(F.size("sh") > 0)
-    # hash shingle strings once into a real column, then derive the
-    # n_hashes family from the longs (avoids n_hashes string passes)
-    sig = sig.withColumn(
-        "sh_hashed", F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(seed)))
-    ).withColumn(
-        "sig", minhash_signature_from_hashes(F.col("sh_hashed"), n_hashes, seed)
-    ).drop("sh_hashed")
+        F.transform(
+            shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s, F.lit(seed))
+        ).alias("shh"),
+    ).where(F.size("shh") > 0)
+    # signature via explode + n_hashes fused min-aggregates: same values
+    # as the array-fold form, but whole-stage codegen instead of an
+    # interpreted higher-order function, and map-side partial aggregation
+    # collapses each doc to one row before the shuffle
+    exploded = hashed.select("doc_id", F.explode("shh").alias("__h"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(seed + 1 + i))).alias(f"__m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    # band join carries ONLY (doc_id, band, bhash) — the shingle sets
+    # never cross the candidate shuffle; they are re-attached to the far
+    # smaller candidate-pair set for exact Jaccard verification
     banded = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -168,7 +213,7 @@ def minhash_near_duplicates(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at("sig", b * rows + r + 1).cast("string")
+                                    F.col(f"__m{b * rows + r}").cast("string")
                                     for r in range(rows)
                                 ],
                             )
@@ -178,25 +223,31 @@ def minhash_near_duplicates(
                 ]
             )
         ).alias("bh"),
-    ).select("doc_id", "sh", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
 
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "bhash"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "bhash"
-    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bhash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bhash")
     cand = (
         a.join(b, ["band", "bhash"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # verification: shingle-hash sets only for candidate docs (semi-join
+    # prunes the corpus), joined to the candidate pairs
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_small = hashed.join(cand_ids, "doc_id", "left_semi")
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        cand.join(sh_small.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a")), "doc_a")
+        .join(sh_small.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b")), "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -210,7 +261,7 @@ def simhash_near_duplicates(
     """Near-dup pairs via SimHash: band the 64-bit hash into 4×16-bit
     chunks (any pair within Hamming distance 3 shares ≥ 1 exact chunk),
     bucket-join, verify with bit_count(xor)."""
-    sh = documents.select("doc_id", simhash64(F.col(text_col)).alias("sim"))
+    sh = simhash_frame(documents, text_col=text_col, out_col="sim")
     chunks = sh.select(
         "doc_id",
         "sim",
