@@ -143,6 +143,49 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", F.round("value_asof", 6).alias("value_asof"))
 
 
+def q_asof_forward(spark, sf_dir):
+    from graphrole_spark.temporal.asof import asof_join
+
+    events = _events(spark, sf_dir)
+    probes = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    refs = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(probes, refs, ["user_id"], "ts", "ts", ["value"], direction="forward")
+    return out.select("event_id", F.round("value_asof", 6).alias("value_asof"))
+
+
+def q_asof_nearest(spark, sf_dir):
+    from graphrole_spark.temporal.asof import asof_join
+
+    events = _events(spark, sf_dir)
+    probes = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    refs = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(probes, refs, ["user_id"], "ts", "ts", ["value"], direction="nearest")
+    return out.select("event_id", F.round("value_asof", 6).alias("value_asof"))
+
+
+def q_backfill_backward(spark, sf_dir):
+    from graphrole_spark.temporal.ops import backfill
+
+    sparse = _events(spark, sf_dir).withColumn(
+        "v", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    out = backfill(
+        sparse, ["user_id"], ["ts", "event_id"], "v", "next_purchase_value",
+        direction="backward",
+    )
+    return out.select(
+        "event_id", F.round("next_purchase_value", 6).alias("next_purchase_value")
+    )
+
+
 def q_range_window(spark, sf_dir):
     events = _events(spark, sf_dir)
     w = (
@@ -255,6 +298,58 @@ def q_refex_gen1(spark, sf_dir):
         "event_id",
         F.round(F.col("degree(sum)"), 6).alias("degree_sum"),
         F.round(F.col("degree(mean)"), 6).alias("degree_mean"),
+    )
+
+
+def q_log_binning(spark, sf_dir):
+    """Vertical log binning (ReFeX P1) of the events value column: the
+    distributed histogram + exact reference boundary loop + JVM bin
+    expression, value-checked against a recursive-CTE DuckDB oracle
+    (reference semantics: graphrole/features/prune.py:13-56)."""
+    from graphrole_spark.operators.binning import bin_expression, melt_histogram
+    from graphrole_spark.oracle.binning import bin_boundaries
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("value").cast("double").alias("value")
+    )
+    uniq, counts = melt_histogram(ev, ["value"])["value"]
+    bounds = bin_boundaries(uniq, counts, frac=0.5)
+    return ev.select(
+        "event_id", bin_expression("value", bounds).cast("long").alias("bin")
+    )
+
+
+def q_refex_gen2(spark, sf_dir):
+    """Two full recursion generations in chain mode with pruning off —
+    every multi-generation feature value is DuckDB-hash-checked (the
+    flagship pipeline's window recursion, minus the data-dependent
+    pruning that SQL can't express in one statement)."""
+    from graphrole_spark.operators.recursion import RecursiveFeatureExtractor
+    from graphrole_spark.pipeline import chain_seed_features
+
+    t = _events_as_transcripts(spark, sf_dir)
+    seeds = chain_seed_features(t, with_attributes=False).select(
+        "node", "conv_id", "turn_idx", "degree"
+    )
+    rfe = RecursiveFeatureExtractor(
+        seed_frame=seeds,
+        chain_keys=("conv_id", "turn_idx"),
+        max_generations=3,
+        prune=False,
+    )
+    feats = rfe.extract_features()
+    mapped = t.select("event_id", "conv_id", "turn_idx").join(
+        feats, ["conv_id", "turn_idx"]
+    )
+    return mapped.select(
+        "event_id",
+        F.round("degree", 6).alias("degree"),
+        F.round(F.col("degree(sum)"), 6).alias("degree_sum"),
+        F.round(F.col("degree(mean)"), 6).alias("degree_mean"),
+        F.round(F.col("degree(sum)(sum)"), 6).alias("degree_sum_sum"),
+        F.round(F.col("degree(sum)(mean)"), 6).alias("degree_sum_mean"),
+        F.round(F.col("degree(mean)(sum)"), 6).alias("degree_mean_sum"),
+        F.round(F.col("degree(mean)(mean)"), 6).alias("degree_mean_mean"),
     )
 
 
@@ -445,6 +540,30 @@ def q_minhash_dedup(spark, sf_dir):
     return minhash_near_duplicates(docs, jaccard_threshold=0.5)
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard for a deterministic candidate set (each doc
+    vs its successor id) — value-checks the shingle + set-intersection
+    machinery shared with the LSH verifiers."""
+    from graphrole_spark.functions.text import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    )
+    return ngram_jaccard_pairs(docs, pairs).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    from graphrole_spark.functions.text import rolling_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
 def q_simhash_dedup(spark, sf_dir):
     from graphrole_spark.functions.text import simhash_near_duplicates
 
@@ -498,8 +617,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_agg": q_session_agg,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
+        "backfill_backward": q_backfill_backward,
         "prefix_agg": q_prefix_agg,
         "asof_join": q_asof_join,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         "range_window": q_range_window,
         "interval_count": q_interval_count,
         "topk_per_user": q_topk_per_user,
@@ -507,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_directed": q_degree_directed,
         "chain_seeds": q_chain_seeds,
         "refex_gen1": q_refex_gen1,
+        "log_binning": q_log_binning,
+        "refex_gen2": q_refex_gen2,
         "egonet": q_egonet,
         "groupby_agg": q_groupby_agg,
         "join_agg": q_join_agg,
@@ -525,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_guess": q_lang_guess,
         "minhash_dedup": q_minhash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "simhash_dedup": q_simhash_dedup,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
@@ -671,6 +797,75 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_turns > 1
             WINDOW w AS (PARTITION BY user_id ORDER BY turn_idx)
         """,
+        "log_binning": """
+            WITH RECURSIVE
+            hist AS (SELECT CAST(value AS DOUBLE) AS v, count(*) AS c
+                     FROM events GROUP BY 1),
+            o AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist),
+            t AS (SELECT max(cum) AS n FROM o),
+            -- the exact reference loop (prune.py:36-54): each step bins the
+            -- smallest max(int(0.5*unbinned),1) remaining rows, boundary on
+            -- a unique value (ties never straddle bins)
+            bins(bin_id, boundary, placed) AS (
+              SELECT CAST(0 AS BIGINT),
+                     (SELECT min(v) FROM o WHERE cum >=
+                        GREATEST(CAST(floor(0.5 * (SELECT n FROM t)) AS BIGINT), 1)),
+                     (SELECT min(cum) FROM o WHERE cum >=
+                        GREATEST(CAST(floor(0.5 * (SELECT n FROM t)) AS BIGINT), 1))
+              UNION ALL
+              SELECT bin_id + 1,
+                     (SELECT min(v) FROM o WHERE cum >= placed +
+                        GREATEST(CAST(floor(0.5 * ((SELECT n FROM t) - placed)) AS BIGINT), 1)),
+                     (SELECT min(cum) FROM o WHERE cum >= placed +
+                        GREATEST(CAST(floor(0.5 * ((SELECT n FROM t) - placed)) AS BIGINT), 1))
+              FROM bins WHERE placed < (SELECT n FROM t)
+            )
+            SELECT e.event_id,
+                   (SELECT count(*) FROM bins b
+                    WHERE b.boundary < CAST(e.value AS DOUBLE)) AS bin
+            FROM events e
+        """,
+        "refex_gen2": f"""
+            WITH {_ORDERED_CTE},
+            deg AS (
+              SELECT event_id, user_id, turn_idx,
+                     CAST((CASE WHEN turn_idx > 0 THEN 1 ELSE 0 END) +
+                          (CASE WHEN turn_idx < n_turns - 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS degree
+              FROM ordered),
+            g1 AS (
+              SELECT *,
+                     (CASE WHEN lag(degree)  OVER w IS NULL THEN 0 ELSE 1 END +
+                      CASE WHEN lead(degree) OVER w IS NULL THEN 0 ELSE 1 END) AS nbr_cnt,
+                     COALESCE(lag(degree)  OVER w, 0) +
+                     COALESCE(lead(degree) OVER w, 0) AS degree_sum
+              FROM deg
+              WINDOW w AS (PARTITION BY user_id ORDER BY turn_idx)),
+            g1m AS (
+              SELECT *,
+                     CASE WHEN nbr_cnt > 0 THEN degree_sum / nbr_cnt ELSE 0 END
+                       AS degree_mean
+              FROM g1),
+            g2 AS (
+              SELECT *,
+                     COALESCE(lag(degree_sum)  OVER w, 0) +
+                     COALESCE(lead(degree_sum) OVER w, 0) AS degree_sum_sum,
+                     COALESCE(lag(degree_mean)  OVER w, 0) +
+                     COALESCE(lead(degree_mean) OVER w, 0) AS degree_mean_sum
+              FROM g1m
+              WINDOW w AS (PARTITION BY user_id ORDER BY turn_idx))
+            SELECT event_id,
+                   round(degree, 6) AS degree,
+                   round(degree_sum, 6) AS degree_sum,
+                   round(degree_mean, 6) AS degree_mean,
+                   round(degree_sum_sum, 6) AS degree_sum_sum,
+                   round(CASE WHEN nbr_cnt > 0 THEN degree_sum_sum / nbr_cnt ELSE 0 END, 6)
+                     AS degree_sum_mean,
+                   round(degree_mean_sum, 6) AS degree_mean_sum,
+                   round(CASE WHEN nbr_cnt > 0 THEN degree_mean_sum / nbr_cnt ELSE 0 END, 6)
+                     AS degree_mean_mean
+            FROM g2
+        """,
         "egonet": """
             WITH e AS (SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst,
                               1.0 AS w FROM lineitem),
@@ -786,6 +981,82 @@ def oracle_sql() -> dict[str, str]:
                          greatest(length(text), 1), 6) AS alpha_ratio,
                    round(length(text) * 1.0 / greatest(n_tokens, 1), 6) AS chars_per_token
             FROM t
+        """,
+        "backfill_backward": """
+            SELECT event_id,
+                   round(first_value(v IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)
+                     AS next_purchase_value
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN event_type = 'purchase' THEN value END AS v
+                  FROM events)
+        """,
+        "asof_forward": """
+            SELECT p.event_id, round(r.value, 6) AS value_asof
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') p
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
+            ON p.user_id = r.user_id AND p.ts <= r.ts
+        """,
+        "asof_nearest": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'purchase'),
+            b AS (SELECT p.event_id, r.value, r.ts AS rts
+                  FROM p ASOF LEFT JOIN r
+                  ON p.user_id = r.user_id AND p.ts >= r.ts),
+            f AS (SELECT p.event_id, r.value, r.ts AS rts
+                  FROM p ASOF LEFT JOIN r
+                  ON p.user_id = r.user_id AND p.ts <= r.ts)
+            SELECT p.event_id,
+                   round(CASE
+                     WHEN f.rts IS NULL THEN b.value
+                     WHEN b.rts IS NULL THEN f.value
+                     -- ties prefer the backward row (engine tie policy)
+                     WHEN epoch(p.ts) - epoch(b.rts) <= epoch(f.rts) - epoch(p.ts)
+                       THEN b.value
+                     ELSE f.value END, 6) AS value_asof
+            FROM p
+            LEFT JOIN b ON p.event_id = b.event_id
+            LEFT JOIN f ON p.event_id = f.event_id
+        """,
+        "minhash_dedup": f"""
+            WITH t AS (SELECT doc_id,
+                              string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ')
+                                AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 3, 0) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+                  FROM t WHERE len(toks) > 0),
+            -- exact all-pairs oracle: feasible at driver scale (500 docs);
+            -- the engine's banded LSH achieves recall 1 on this corpus
+            -- (near-dup groups sit far above the 0.5 threshold), so the
+            -- emitted pair set AND exact-verified jaccards must match
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                           len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+              FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        """,
+        "ngram_jaccard": """
+            WITH t AS (SELECT doc_id,
+                              string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ')
+                                AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 3, 0) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+                  FROM t)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                         len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
         """,
         "lang_guess": _lang_guess_sql(),
         "cosine_topk": """

@@ -55,8 +55,11 @@ def main() -> None:
         "session_agg",
         "lag_lead",
         "backfill",
+        "backfill_backward",
         "prefix_agg",
         "asof_join",
+        "asof_forward",
+        "asof_nearest",
         "range_window",
         "interval_count",
         "topk_per_user",
@@ -65,6 +68,8 @@ def main() -> None:
         "degree_directed",
         "chain_seeds",
         "refex_gen1",
+        "refex_gen2",
+        "log_binning",
         "groupby_agg",
         "join_agg",
         "set_ops",
@@ -78,6 +83,8 @@ def main() -> None:
         "token_count",
         "quality",
         "minhash_dedup",
+        "ngram_jaccard",
+        "rolling_fingerprint",
         "simhash_dedup",
         "cosine_topk",
         "lsh_topk",

@@ -77,6 +77,12 @@ class RecursiveFeatureExtractor:
         Requires ``seed_frame`` containing those columns.
     :param checkpoint_dir: when set, per-generation parquet checkpoints +
         ``_lineage.json`` are written there and extraction can resume
+    :param prune: when False, skip redundancy pruning entirely — every
+        generated feature is retained. In chain mode this makes the whole
+        recursion ONE lazy plan (window selects over a single
+        conversation partitioning, zero driver actions), which is both
+        the fastest fixed-depth configuration and the SQL-expressible one
+        (the ``refex_gen2`` DuckDB oracle checks its values)
     """
 
     def __init__(
@@ -93,6 +99,7 @@ class RecursiveFeatureExtractor:
         binning_frac: float = 0.5,
         seed_frame: Optional[DataFrame] = None,
         chain_keys: Optional[Tuple[str, str]] = None,
+        prune: bool = True,
     ) -> None:
         for agg in aggs:
             if agg not in _AGG_FUNCS:
@@ -131,6 +138,7 @@ class RecursiveFeatureExtractor:
         self.checkpoint_dir = checkpoint_dir
         self.binning_frac = binning_frac
         self.seed_frame = seed_frame
+        self.prune = prune
 
         self.generation_count = 0
         self._generation_dict: Dict[int, Dict[str, None]] = {}
@@ -271,6 +279,34 @@ class RecursiveFeatureExtractor:
     def _update(self, new_frame: Optional[DataFrame], gen: int) -> List[str]:
         t0 = time.time()
         combined, new_cols = self._combine(new_frame, gen)
+        if not self.prune:
+            # no pruning: nothing to measure, nothing to collect — the
+            # generation is a lazy projection (chain mode: pure window
+            # expressions, still zero exchanges); retain everything
+            retained = sorted(new_cols)
+            self._generation_dict[gen] = dict.fromkeys(retained)
+            self._active_cols = (
+                list(new_cols) if gen == 0 else self._active_cols + list(new_cols)
+            )
+            self._retained_order.extend(retained)
+            if self.checkpoint_dir:
+                self._state = self._checkpoint(combined.persist(), gen)
+            else:
+                self._state = combined
+            self._lineage.append(
+                {
+                    "generation": gen,
+                    "retained": retained,
+                    "dropped": [],
+                    "row_count": None,
+                    "n_features": len(self._active_cols),
+                    "seconds": round(time.time() - t0, 3),
+                    "rows_per_sec": None,
+                }
+            )
+            if self.checkpoint_dir:
+                self._write_lineage(done=False)
+            return retained
         combined = combined.persist()
         value_cols = self._active_cols + [c for c in new_cols if c not in self._active_cols] \
             if gen > 0 else new_cols

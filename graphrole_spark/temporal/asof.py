@@ -30,14 +30,25 @@ def asof_join(
     value_cols: Sequence[str],
     allow_exact_matches: bool = True,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the ``value_cols`` of the latest right
-    row with ``right_ts <= left_ts`` (or ``<`` when
-    ``allow_exact_matches=False``) within the same ``on`` key.
+    """For each left row, attach the ``value_cols`` of the matching right
+    row within the same ``on`` key:
 
+    * ``backward`` (default): latest right row with ``right_ts <=
+      left_ts`` (``<`` when ``allow_exact_matches=False``);
+    * ``forward``: earliest right row with ``right_ts >= left_ts``;
+    * ``nearest``: whichever of the two is closer in time — ties prefer
+      the backward row (documented tie policy; matches the union+window
+      construction deterministically).
+
+    All directions cost ONE shuffle + sort (the union+window trick); the
+    nearest direction evaluates both fills inside the same window pass.
     Returns all left columns plus ``<value>_asof`` columns (null when no
-    earlier right row exists — caller decides the fill policy).
+    matching right row exists — caller decides the fill policy).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     on = list(on)
     value_cols = list(value_cols)
 
@@ -59,26 +70,71 @@ def asof_join(
     )
 
     unioned = left_packed.unionByName(right_packed)
-    # at equal timestamps: reference rows sort before probes when exact
-    # matches are allowed (probe sees them), after otherwise
-    tie = F.col("__is_probe") if allow_exact_matches else (1 - F.col("__is_probe"))
-    w = (
-        Window.partitionBy(*[f"__k_{c}" for c in on])
-        .orderBy(F.col("__ts"), tie)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # at equal timestamps: reference rows sort adjacent to probes so the
+    # frame includes them iff exact matches are allowed
+    tie_back = F.col("__is_probe") if allow_exact_matches else (1 - F.col("__is_probe"))
+    # forward is the mirror image: refs AFTER probes when exact allowed
+    tie_fwd = (1 - F.col("__is_probe")) if allow_exact_matches else F.col("__is_probe")
+    need_back = direction in ("backward", "nearest")
+    need_fwd = direction in ("forward", "nearest")
+    order_tie = tie_back if direction == "backward" else tie_fwd
+    base = Window.partitionBy(*[f"__k_{c}" for c in on]).orderBy(
+        F.col("__ts"), order_tie
     )
-    filled = unioned.select(
-        "__is_probe",
-        "__row",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
-            for c in value_cols
-        ],
-    )
+    # nearest: both fills must come from ONE sorted pass; with exact
+    # matches allowed the probe row sits between equal-ts refs only in
+    # one of the two orders, so nearest uses the forward order and the
+    # backward frame ends one row earlier to exclude the probe itself
+    # (probe rows carry null values, so including them is harmless)
+    w_back = base.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = base.rowsBetween(0, Window.unboundedFollowing)
+
+    fill_cols = []
+    for c in value_cols:
+        if need_back:
+            fill_cols.append(
+                F.last(f"__v_{c}", ignorenulls=True).over(w_back).alias(f"__b_{c}")
+            )
+        if need_fwd:
+            fill_cols.append(
+                F.first(f"__v_{c}", ignorenulls=True).over(w_fwd).alias(f"__f_{c}")
+            )
+    ts_cols = []
+    if direction == "nearest":
+        ts_cols = [
+            F.last(
+                F.when(F.col("__is_probe") == 0, F.col("__ts")), ignorenulls=True
+            ).over(w_back).alias("__b_ts"),
+            F.first(
+                F.when(F.col("__is_probe") == 0, F.col("__ts")), ignorenulls=True
+            ).over(w_fwd).alias("__f_ts"),
+        ]
+    filled = unioned.select("__is_probe", "__row", F.col("__ts"), *fill_cols, *ts_cols)
     probes = filled.where(F.col("__is_probe") == 1)
+
+    if direction == "backward":
+        out_vals = [F.col(f"__b_{c}").alias(f"{c}{suffix}") for c in value_cols]
+    elif direction == "forward":
+        out_vals = [F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in value_cols]
+    else:
+        bd = F.col("__ts").cast("timestamp").cast("double") - F.col(
+            "__b_ts"
+        ).cast("timestamp").cast("double")
+        fd = F.col("__f_ts").cast("timestamp").cast("double") - F.col(
+            "__ts"
+        ).cast("timestamp").cast("double")
+        use_back = F.col("__f_ts").isNull() | (
+            F.col("__b_ts").isNotNull() & (bd <= fd)
+        )
+        out_vals = [
+            F.when(use_back, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ]
     return probes.select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__v_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *out_vals,
     )
 
 
