@@ -15,10 +15,10 @@ Two-phase plan (SURVEY.md §2.4 P1):
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphrole_spark.oracle.binning import bin_boundaries
@@ -52,6 +52,117 @@ def melt_histogram(features: DataFrame, value_cols: Sequence[str]) -> Dict[str, 
         counts = np.array([p[1] for p in pairs], dtype=np.int64)
         out[feat] = (uniq, counts)
     return out
+
+
+def capped_melt(
+    features: DataFrame, value_cols: Sequence[str], cap: int
+) -> Tuple[Dict[str, tuple], Dict[str, tuple]]:
+    """Bounded-driver histogram melt (ONE action, like
+    :func:`melt_histogram`, plus a tiny window over the aggregated rows).
+
+    Collects at most ``cap`` ordered (value, count) rows per feature plus
+    each feature's total row count. Features whose distinct count fits
+    the cap come back complete; the rest come back as their FIRST chunk —
+    the caller finishes the boundary search with
+    :func:`chunked_bin_boundaries`, which never holds more than ``cap``
+    histogram rows on the driver at once.
+
+    Returns ``(complete, truncated)`` where complete maps
+    ``col -> (uniq, counts)`` and truncated maps
+    ``col -> (first_uniq, first_counts, total_rows)``.
+    """
+    n = len(value_cols)
+    stack_expr = "stack({}, {}) as (fid, value)".format(
+        n, ", ".join(f"{i}, `{c}`" for i, c in enumerate(value_cols))
+    )
+    hist = (
+        features.selectExpr(stack_expr)
+        .groupBy("fid", "value")
+        .count()
+    )
+    wf = Window.partitionBy("fid")
+    ranked = hist.select(
+        "fid",
+        "value",
+        "count",
+        F.row_number().over(wf.orderBy("value")).alias("rn"),
+        F.count("*").over(wf).alias("nd"),
+        F.sum("count").over(wf).alias("total"),
+    )
+    rows = ranked.where(F.col("rn") <= cap).collect()
+    by_fid: Dict[int, list] = {i: [] for i in range(n)}
+    meta: Dict[int, tuple] = {}
+    for row in rows:
+        by_fid[row["fid"]].append((row["rn"], row["value"], row["count"]))
+        meta[row["fid"]] = (row["nd"], row["total"])
+    complete: Dict[str, tuple] = {}
+    truncated: Dict[str, tuple] = {}
+    for i, col in enumerate(value_cols):
+        pairs = sorted(by_fid[i])
+        uniq = np.array([p[1] for p in pairs], dtype=float)
+        counts = np.array([p[2] for p in pairs], dtype=np.int64)
+        nd, total = meta.get(i, (0, 0))
+        if nd <= cap:
+            complete[col] = (uniq, counts)
+        else:
+            truncated[col] = (uniq, counts, int(total))
+    return complete, truncated
+
+
+def chunked_bin_boundaries(
+    features: DataFrame,
+    col: str,
+    total: int,
+    first_chunk: Tuple[np.ndarray, np.ndarray],
+    frac: float = 0.5,
+    cap: int = 1_000_000,
+) -> np.ndarray:
+    """Exact vertical-log-bin boundaries for a high-cardinality feature
+    without ever collecting its full histogram.
+
+    Runs the reference boundary loop (oracle.binning.log_bin_histogram
+    semantics) over value-ordered histogram chunks of ≤ ``cap`` rows;
+    when the next boundary falls past the current chunk, the next chunk
+    is fetched with a ``value > last_seen`` filtered aggregation. Bins
+    are log-sized, so in practice a handful of chunks resolves all
+    boundaries; worst case is O(distinct/cap) extra jobs, with driver
+    memory bounded by ``cap`` rows throughout.
+    """
+    bounds: list = []
+    placed = 0
+    cum_offset = 0
+    uniq, counts = first_chunk
+    if total <= 0 or len(uniq) == 0:
+        return np.zeros(0, dtype=float)
+    last_v = float(uniq[-1])
+    while True:
+        if len(uniq):
+            cum = cum_offset + np.cumsum(counts)
+            while placed < total:
+                want = max(int(frac * (total - placed)), 1)
+                target = placed + want
+                idx = int(np.searchsorted(cum, target, side="left"))
+                if idx >= len(cum):
+                    break  # boundary lies in a later chunk
+                bounds.append(float(uniq[idx]))
+                placed = int(cum[idx])
+            if placed >= total:
+                return np.asarray(bounds, dtype=float)
+            cum_offset = int(cum[-1])
+            last_v = float(uniq[-1])
+        rows = (
+            features.select(F.col(col).alias("value"))
+            .where(F.col("value") > F.lit(last_v))
+            .groupBy("value")
+            .count()
+            .orderBy("value")
+            .limit(cap)
+            .collect()
+        )
+        if not rows:
+            return np.asarray(bounds, dtype=float)
+        uniq = np.array([r["value"] for r in rows], dtype=float)
+        counts = np.array([r["count"] for r in rows], dtype=np.int64)
 
 
 def bin_expression(col_name: str, boundaries: np.ndarray) -> Column:

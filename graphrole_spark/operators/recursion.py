@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from graphrole_spark.operators.aggregate import AGG_FUNCS as _AGG_FUNCS
 from graphrole_spark.operators.aggregate import neighbor_aggregate
-from graphrole_spark.operators.binning import melt_histogram
+from graphrole_spark.operators.binning import capped_melt, chunked_bin_boundaries
 from graphrole_spark.operators.pruning import chebyshev_distances_arrow
 from graphrole_spark.operators.seeds import seed_features, symmetrize
 from graphrole_spark.oracle.binning import bin_boundaries
@@ -100,6 +100,7 @@ class RecursiveFeatureExtractor:
         seed_frame: Optional[DataFrame] = None,
         chain_keys: Optional[Tuple[str, str]] = None,
         prune: bool = True,
+        histogram_cap: int = 1_000_000,
     ) -> None:
         for agg in aggs:
             if agg not in _AGG_FUNCS:
@@ -139,13 +140,17 @@ class RecursiveFeatureExtractor:
         self.binning_frac = binning_frac
         self.seed_frame = seed_frame
         self.prune = prune
+        # bounded-driver guarantee: never collect more than this many
+        # histogram rows per feature in one chunk (SURVEY §7 risk 2)
+        self.histogram_cap = int(histogram_cap)
 
         self.generation_count = 0
         self._generation_dict: Dict[int, Dict[str, None]] = {}
         # feature columns are immutable and the node set is fixed after
-        # gen 0, so a column's histogram never changes — cache it and
-        # melt only the columns first seen this generation
-        self._hist_cache: Dict[str, tuple] = {}
+        # gen 0, so a column's bin boundaries (and row count) never
+        # change — cache them and melt only columns first seen this
+        # generation
+        self._bounds_cache: Dict[str, tuple] = {}
         # ... and for the same reason a (col_i, col_j) Chebyshev distance
         # never changes — each generation only measures pairs that touch
         # a newly introduced column
@@ -312,21 +317,33 @@ class RecursiveFeatureExtractor:
             if gen > 0 else new_cols
 
         # one melt+histogram pass over the NEW columns only: bin
-        # boundaries AND the row count (old columns come from the cache)
+        # boundaries AND the row count (old columns come from the cache).
+        # The collect is CAPPED at histogram_cap rows per feature; a
+        # high-cardinality feature falls back to the exact chunked
+        # boundary search (driver memory stays bounded at any scale)
         t_hist = time.time()
-        to_melt = [c for c in value_cols if c not in self._hist_cache]
+        to_melt = [c for c in value_cols if c not in self._bounds_cache]
         if to_melt:
             with self._tiny_query_conf():
-                fresh = melt_histogram(combined, to_melt)
-            self._hist_cache.update(fresh)
-        hists = {c: self._hist_cache[c] for c in value_cols}
+                complete, truncated = capped_melt(
+                    combined, to_melt, self.histogram_cap
+                )
+            for c, (uniq, counts) in complete.items():
+                self._bounds_cache[c] = (
+                    bin_boundaries(uniq, counts, frac=self.binning_frac),
+                    int(counts.sum()) if len(counts) else 0,
+                )
+            for c, (uniq, counts, total) in truncated.items():
+                self._bounds_cache[c] = (
+                    chunked_bin_boundaries(
+                        combined, c, total, (uniq, counts),
+                        frac=self.binning_frac, cap=self.histogram_cap,
+                    ),
+                    total,
+                )
         t_hist = time.time() - t_hist
-        first = value_cols[0]
-        row_count = int(hists[first][1].sum()) if len(hists[first][1]) else 0
-        bounds = {
-            c: bin_boundaries(hists[c][0], hists[c][1], frac=self.binning_frac)
-            for c in value_cols
-        }
+        row_count = self._bounds_cache[value_cols[0]][1]
+        bounds = {c: self._bounds_cache[c][0] for c in value_cols}
         # distances between two OLD columns are cached (bins immutable);
         # only pairs touching a column introduced this generation run
         pairs = list(it.combinations(value_cols, 2))
