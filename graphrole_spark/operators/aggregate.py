@@ -29,6 +29,31 @@ AGG_FUNCS = {
 }
 
 
+def normalize_aggs(aggs):
+    """Accept the reference's pluggable agg surface
+    (reference: graphrole/features/extract.py:26 — callables like
+    ``[np.sum, np.mean]``) as (name, fn) pairs:
+
+    * a string — looked up in :data:`AGG_FUNCS`;
+    * a ``(name, fn)`` tuple — fn maps a Column to an aggregate Column;
+    * a callable — its ``__name__`` becomes the feature-name suffix
+      (``F.sum`` → ``feat(sum)``, matching pandas' display names).
+    """
+    pairs = []
+    for a in aggs:
+        if isinstance(a, str):
+            if a not in AGG_FUNCS:
+                raise ValueError(f"unsupported agg '{a}'; use {sorted(AGG_FUNCS)}")
+            pairs.append((a, AGG_FUNCS[a]))
+        elif isinstance(a, tuple) and len(a) == 2 and callable(a[1]):
+            pairs.append((str(a[0]), a[1]))
+        elif callable(a):
+            pairs.append((a.__name__, a))
+        else:
+            raise ValueError(f"agg must be a name, (name, fn) or callable: {a!r}")
+    return pairs
+
+
 def neighbor_aggregate(
     neighbor_rel: DataFrame,
     features: DataFrame,
@@ -46,9 +71,10 @@ def neighbor_aggregate(
     feats = features.select(
         F.col("node").alias("dst"), *[F.col(c) for c in feature_cols]
     )
+    # feature matrices are all-float64 (reference invariant, SURVEY §1.2)
     agg_exprs = [
-        AGG_FUNCS[agg](F.col(c)).alias(f"{c}({agg})")
-        for agg in aggs
+        fn(F.col(c)).cast("double").alias(f"{c}({name})")
+        for name, fn in normalize_aggs(aggs)
         for c in feature_cols
     ]
     return (

@@ -47,8 +47,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graphrole_spark.operators.aggregate import AGG_FUNCS as _AGG_FUNCS
-from graphrole_spark.operators.aggregate import neighbor_aggregate
+from graphrole_spark.operators.aggregate import neighbor_aggregate, normalize_aggs
 from graphrole_spark.operators.binning import capped_melt, chunked_bin_boundaries
 from graphrole_spark.operators.pruning import chebyshev_distances_arrow
 from graphrole_spark.operators.seeds import seed_features, symmetrize
@@ -102,9 +101,26 @@ class RecursiveFeatureExtractor:
         prune: bool = True,
         histogram_cap: int = 1_000_000,
     ) -> None:
-        for agg in aggs:
-            if agg not in _AGG_FUNCS:
-                raise ValueError(f"unsupported agg '{agg}'; use {sorted(_AGG_FUNCS)}")
+        # reference front door: a networkx/igraph object is accepted in
+        # place of an edge DataFrame and converted once on the driver
+        # (reference dispatch: graph/interface/__init__.py:39-53)
+        if edges is not None and not isinstance(edges, DataFrame):
+            from graphrole_spark.sources.graphs import get_interface
+
+            convert = get_interface(edges)
+            if convert is None:
+                raise TypeError(f"unsupported graph type: {type(edges)!r}")
+            g_edges, g_nodes, g_attrs, g_directed = convert(edges)
+            edges = g_edges
+            directed = g_directed
+            if nodes is None:
+                nodes = g_nodes
+            if node_attributes is None:
+                node_attributes = g_attrs
+
+        agg_pairs = normalize_aggs(aggs)  # validates names/callables
+        aggs = [name for name, _ in agg_pairs]
+        self._agg_pairs = agg_pairs
         self.chain_keys = tuple(chain_keys) if chain_keys else None
         if self.chain_keys:
             if seed_frame is None:
@@ -208,7 +224,7 @@ class RecursiveFeatureExtractor:
         if self.chain_keys:
             return None
         return neighbor_aggregate(
-            self.neighbor_rel, self._state, self._prev_cols(), self.aggs
+            self.neighbor_rel, self._state, self._prev_cols(), self._agg_pairs
         )
 
     def _chain_exprs(self) -> List:
@@ -296,6 +312,14 @@ class RecursiveFeatureExtractor:
             self._retained_order.extend(retained)
             if self.checkpoint_dir:
                 self._state = self._checkpoint(combined.persist(), gen)
+            elif not self.chain_keys:
+                # edges mode references the state twice per generation
+                # (concat base + neighbor agg) — persist to stop the
+                # lazy plan doubling per generation; chain mode is pure
+                # column selects and stays fully lazy. (Earlier caches
+                # are still lazy here — nothing materialized them — so
+                # they stay registered and Spark's LRU evicts as needed.)
+                self._state = combined.persist()
             else:
                 self._state = combined
             self._lineage.append(
