@@ -119,16 +119,49 @@ def chain_seed_features(
 def extract_features_at_cutoffs(
     transcripts: DataFrame,
     cutoffs,
+    share_scan: bool = True,
     **kwargs,
 ) -> DataFrame:
-    """Feature vectors per entity × timestamp: one point-in-time ReFeX
-    run per cutoff, unioned with a ``cutoff_ts`` column (north_star:
-    role/feature memberships per entity×timestamp, zero leakage at each).
+    """Feature vectors per entity × timestamp (north_star: role/feature
+    memberships per entity×timestamp, zero leakage at each cutoff).
 
-    Column set can differ per cutoff (pruning is data-dependent), so the
-    union aligns by name and 0-fills features absent at a cutoff —
-    consistent with the reference's fillna(0) convention.
+    ``share_scan=True`` (default, the scale path): ONE recursion over
+    cutoff-qualified conversation keys — each (cutoff, conv) group holds
+    only rows with ``ts <= cutoff``, so leakage is impossible by
+    construction, and the sessionize/seed scan, the conversation
+    shuffle, and every per-generation driver action are paid ONCE for
+    all cutoffs instead of once per cutoff. Pruning decisions are shared
+    across cutoffs, which also yields a uniform feature schema per
+    cutoff (what a training pipeline wants); retained features common
+    with a standalone run carry identical values (property-tested).
+
+    ``share_scan=False``: one independent point-in-time run per cutoff
+    (per-cutoff pruning exactly as a standalone run), union-aligned by
+    name with 0-fill — the reference's fillna(0) convention.
     """
+    cutoffs = list(cutoffs)
+    if share_scan:
+        ts_type = transcripts.schema["ts"].dataType
+        cut_arr = F.array(*[F.lit(c).cast(ts_type) for c in cutoffs])
+        expanded = transcripts.select(
+            F.posexplode(cut_arr).alias("__ci", "__cutoff"), "*"
+        ).where(F.col("ts") <= F.col("__cutoff"))
+        qualified = expanded.select(
+            F.concat_ws("|", F.col("__ci").cast("string"), "conv_id").alias("conv_id"),
+            "turn_idx", "role", "text", "tool", "ts",
+        )
+        feats = extract_transcript_features(qualified, **kwargs)
+        parts = F.split(F.col("conv_id"), "\\|", 2)
+        feature_names = [c for c in feats.columns if c not in ("conv_id", "turn_idx")]
+        return feats.select(
+            parts.getItem(1).alias("conv_id"),
+            "turn_idx",
+            F.element_at(cut_arr, parts.getItem(0).cast("int") + 1)
+            .cast("timestamp")
+            .alias("cutoff_ts"),
+            *feature_names,
+        )
+
     runs = []
     for cutoff in cutoffs:
         feats = extract_transcript_features(transcripts, cutoff_ts=cutoff, **kwargs)

@@ -126,20 +126,26 @@ def test_chain_mode_matches_edges_mode(spark, transcripts):
     )
 
 
-def test_multi_cutoff_features(spark, transcripts):
-    """entity×timestamp surface: per-cutoff runs, union-aligned."""
-    from graphrole_spark.pipeline import extract_features_at_cutoffs
-
+def _cutoffs(transcripts):
     qs = transcripts.selectExpr(
         "percentile(cast(ts as double), 0.5) p50",
         "percentile(cast(ts as double), 1.0) p100",
     ).collect()[0]
-    cutoffs = [pd.Timestamp(qs["p50"], unit="s"), pd.Timestamp(qs["p100"], unit="s")]
-    multi = extract_features_at_cutoffs(transcripts, cutoffs, max_generations=2)
+    return [pd.Timestamp(qs["p50"], unit="s"), pd.Timestamp(qs["p100"], unit="s")]
+
+
+def test_multi_cutoff_features_per_run(spark, transcripts):
+    """entity×timestamp surface, per-cutoff runs: each slice equals its
+    standalone point-in-time run exactly."""
+    from graphrole_spark.pipeline import extract_features_at_cutoffs
+
+    cutoffs = _cutoffs(transcripts)
+    multi = extract_features_at_cutoffs(
+        transcripts, cutoffs, share_scan=False, max_generations=2
+    )
     pdf = multi.toPandas()
     got_cutoffs = {pd.Timestamp(c) for c in pdf["cutoff_ts"].unique()}
     assert got_cutoffs == set(cutoffs)
-    # each slice equals its standalone point-in-time run
     solo = (
         extract_transcript_features(transcripts, cutoff_ts=cutoffs[0], max_generations=2)
         .toPandas().set_index(["conv_id", "turn_idx"]).sort_index()
@@ -151,6 +157,36 @@ def test_multi_cutoff_features(spark, transcripts):
     )
     shared = sorted(solo.columns)
     assert np.allclose(sliced[shared].values, solo[shared].values)
+
+
+def test_multi_cutoff_features_shared_scan(spark, transcripts):
+    """Shared-scan mode: one recursion for all cutoffs. Zero leakage by
+    construction; features retained in BOTH the shared run and a
+    standalone run carry identical values; schema is uniform."""
+    from graphrole_spark.pipeline import extract_features_at_cutoffs
+
+    cutoffs = _cutoffs(transcripts)
+    multi = extract_features_at_cutoffs(
+        transcripts, cutoffs, share_scan=True, max_generations=2
+    )
+    pdf = multi.toPandas()
+    assert {pd.Timestamp(c) for c in pdf["cutoff_ts"].unique()} == set(cutoffs)
+
+    for cutoff in cutoffs:
+        solo = (
+            extract_transcript_features(
+                transcripts, cutoff_ts=cutoff, max_generations=2
+            ).toPandas().set_index(["conv_id", "turn_idx"]).sort_index()
+        )
+        sliced = (
+            pdf[pdf.cutoff_ts.apply(pd.Timestamp) == cutoff]
+            .drop(columns=["cutoff_ts"])
+            .set_index(["conv_id", "turn_idx"]).sort_index()
+        )
+        assert sliced.shape[0] == solo.shape[0]  # same entity set per cutoff
+        common = sorted(set(solo.columns) & set(sliced.columns))
+        assert "degree" in common and len(common) >= 3
+        assert np.allclose(sliced[common].values, solo[common].values)
 
 
 def test_entry_rowcount_positive(spark, transcripts):
