@@ -219,6 +219,19 @@ def q_interval_count(spark, sf_dir):
     )
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Structured Streaming session_window aggregation executed to
+    completion with trigger(availableNow) — the streaming twin of
+    sessionize+groupBy, value-checked by a gap-sessionization oracle
+    (session_window's [ts, ts+gap) interval ⇒ diff >= gap boundaries)."""
+    from graphrole_spark.streaming.incremental import session_stats_available_now
+
+    _ensure_utc(spark)
+    return session_stats_available_now(
+        spark, f"{sf_dir}/events.parquet", gap_seconds=SESSION_GAP
+    )
+
+
 def q_topk_per_user(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
@@ -624,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "range_window": q_range_window,
         "interval_count": q_interval_count,
+        "streaming_sessions": q_streaming_sessions,
         "topk_per_user": q_topk_per_user,
         "degree_undirected": q_degree_undirected,
         "degree_directed": q_degree_directed,
@@ -735,6 +749,24 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = c.user_id
              AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
             GROUP BY p.event_id
+        """,
+        "streaming_sessions": f"""
+            WITH s AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                          WHEN epoch(ts) - epoch(lag(ts) OVER w) >= {SESSION_GAP}
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            g AS (SELECT user_id, ts, value,
+                         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM s)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL {SESSION_GAP} SECOND AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM g GROUP BY user_id, sess
         """,
         "topk_per_user": """
             SELECT event_id, rk FROM (

@@ -62,6 +62,7 @@ def main() -> None:
         "asof_nearest",
         "range_window",
         "interval_count",
+        "streaming_sessions",
         "topk_per_user",
         "percentiles",
         "degree_undirected",

@@ -173,7 +173,6 @@ class RoleExtractor:
             "node", *[quantize(F.col(c)).alias(c) for c in role_cols]
         )
         self._role_cols = role_cols
-        F_enc = RolxOracle.encoded_factors  # noqa: F841 (driver encode below)
         from graphrole_spark.oracle.quantize import encode as _encode
 
         self.role_feature_factor = pd.DataFrame(

@@ -74,6 +74,61 @@ def stream_session_stats(
     )
 
 
+def session_stats_available_now(
+    spark,
+    parquet_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Run the session_window aggregation as a REAL streaming query over
+    a parquet source with ``trigger(availableNow=True)`` and return the
+    completed result (memory sink, complete mode).
+
+    This is the batch-parity surface for the driver contract: the result
+    equals gap-sessionization with ``diff >= gap`` boundaries (the
+    session_window interval [ts, ts+gap) is half-open), so a plain SQL
+    oracle can value-check the streaming operator. The file source needs
+    a directory — a temp dir of symlinks wraps single-file tables.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    if os.path.isdir(parquet_path):
+        src_dir = parquet_path
+    else:
+        src_dir = tempfile.mkdtemp(prefix="graphrole_stream_")
+        os.symlink(parquet_path, os.path.join(src_dir, os.path.basename(parquet_path)))
+    schema = spark.read.parquet(parquet_path).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    agg = (
+        stream.groupBy(F.session_window(ts_col, f"{gap_seconds} seconds"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"sess_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 _STATE_SCHEMA = "n_turns long, last_idx long"
 _OUT_SCHEMA = "conv_id string, turn_idx long, running_turns long, tail_degree long"
 
