@@ -401,19 +401,21 @@ class RecursiveFeatureExtractor:
             if prev_state is not None:
                 prev_state.unpersist()
 
-        self._lineage.append(
-            {
-                "generation": gen,
-                "retained": retained,
-                "dropped": sorted(to_drop),
-                "row_count": row_count,
-                "n_features": len(value_cols),
-                "histogram_sec": round(t_hist, 3),
-                "chebyshev_sec": round(t_cheb, 3),
-                "seconds": round(time.time() - t0, 3),
-                "rows_per_sec": round(row_count / max(time.time() - t0, 1e-9), 1),
-            }
-        )
+        entry = {
+            "generation": gen,
+            "retained": retained,
+            "dropped": sorted(to_drop),
+            "row_count": row_count,
+            "n_features": len(value_cols),
+            "histogram_sec": round(t_hist, 3),
+            "chebyshev_sec": round(t_cheb, 3),
+            "seconds": round(time.time() - t0, 3),
+            "rows_per_sec": round(row_count / max(time.time() - t0, 1e-9), 1),
+        }
+        if self.checkpoint_dir and getattr(self, "_last_ckpt_partitions", None):
+            entry["checkpoint_partitions"] = len(self._last_ckpt_partitions)
+            entry["partition_rows"] = self._last_ckpt_partitions
+        self._lineage.append(entry)
         if self.checkpoint_dir:
             self._write_lineage(done=False)
         return retained
@@ -437,6 +439,14 @@ class RecursiveFeatureExtractor:
             "overwrite"
         ).parquet(state_path)
         state = self.spark.read.parquet(state_path)
+        # per-partition lineage (north_rule): row count per checkpoint
+        # file — a metadata-light scan over the files just written
+        per_file = (
+            state.groupBy(F.input_file_name().alias("f")).count().collect()
+        )
+        self._last_ckpt_partitions = sorted(
+            (int(r["count"]) for r in per_file), reverse=True
+        )
         combined.unpersist()
         if self._state is not None:
             self._state.unpersist()

@@ -10,8 +10,34 @@ sort within files for the per-turn ordering invariant.
 
 from __future__ import annotations
 
+from typing import Callable, Dict
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# pluggable reader registry (reference: graph/interface/__init__.py:12-17
+# keeps a registry of source adapters; here the sources are table
+# formats). register_reader extends the engine to new formats without
+# touching TableIO.
+READERS: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "parquet": lambda spark, path: spark.read.parquet(path),
+    "iceberg": lambda spark, path: spark.read.format("iceberg").load(path),
+    "json": lambda spark, path: spark.read.json(path),
+    "csv": lambda spark, path: spark.read.option("header", "true").csv(path),
+    "orc": lambda spark, path: spark.read.orc(path),
+}
+
+
+def register_reader(
+    fmt: str, builder: Callable[[SparkSession, str], DataFrame]
+) -> None:
+    READERS[fmt] = builder
+
+
+def get_reader(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
+    if fmt not in READERS:
+        raise ValueError(f"unknown source format '{fmt}'; known: {sorted(READERS)}")
+    return READERS[fmt]
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -29,10 +55,10 @@ class TableIO:
         self.spark = spark
         self.use_iceberg = prefer_iceberg and iceberg_available(spark)
 
-    def read(self, path_or_table: str) -> DataFrame:
-        if self.use_iceberg:
-            return self.spark.read.format("iceberg").load(path_or_table)
-        return self.spark.read.parquet(path_or_table)
+    def read(self, path_or_table: str, fmt: str | None = None) -> DataFrame:
+        if fmt is None:
+            fmt = "iceberg" if self.use_iceberg else "parquet"
+        return get_reader(fmt)(self.spark, path_or_table)
 
     def write_transcripts(
         self, df: DataFrame, path_or_table: str, buckets: int = 64
