@@ -598,6 +598,15 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_cosine_dedup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the fifth dedup mode:
+    exact / minhash / simhash / ngram-jaccard / embedding-cosine)."""
+    from graphrole_spark.functions.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_duplicates(emb, threshold=0.5)
+
+
 def q_lsh_topk(spark, sf_dir):
     from graphrole_spark.functions.similarity import lsh_topk
 
@@ -667,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "simhash_dedup": q_simhash_dedup,
         "cosine_topk": q_cosine_topk,
+        "cosine_dedup": q_cosine_dedup,
         "lsh_topk": q_lsh_topk,
         "refex_pipeline": q_refex_pipeline,
     }
@@ -1110,7 +1120,20 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             WHERE rank <= 5
         """,
-        # minhash_dedup / simhash_dedup / lsh_topk: hash-function-specific
+        "cosine_dedup": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            n AS (SELECT vec_id, e,
+                         sqrt(list_dot_product(e, e)) AS nrm FROM v)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e) /
+                         (CASE WHEN a.nrm > 0 THEN a.nrm ELSE 1 END *
+                          CASE WHEN b.nrm > 0 THEN b.nrm ELSE 1 END), 6) AS cosine_sim
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e) /
+                        (CASE WHEN a.nrm > 0 THEN a.nrm ELSE 1 END *
+                         CASE WHEN b.nrm > 0 THEN b.nrm ELSE 1 END), 6) >= 0.5
+        """,
+        # simhash_dedup / lsh_topk: hash-function-specific
         # (xxhash64) — no portable SQL equivalent; driver records rows-only.
         # refex_pipeline: multi-generation driver loop with data-dependent
         # pruning — not single-statement SQL; rows-only.

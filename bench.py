@@ -88,6 +88,7 @@ def main() -> None:
         "rolling_fingerprint",
         "simhash_dedup",
         "cosine_topk",
+        "cosine_dedup",
         "lsh_topk",
     ]
     queries = entrymod.queries()

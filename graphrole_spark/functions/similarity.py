@@ -110,6 +110,60 @@ def brute_force_topk(
     )
 
 
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim)
+    with ``id_a < id_b`` and similarity ≥ threshold.
+
+    Exact baseline with the right distributed shape: the corpus matrix is
+    broadcast once (rows × dim doubles) and each Arrow batch computes one
+    ``batch @ corpus.T`` BLAS call, emitting ONLY the above-threshold
+    pairs — the n×n similarity matrix never materializes as rows. For
+    corpora whose matrix exceeds broadcast budget, bucket first with the
+    hyperplane LSH (:func:`lsh_topk` machinery) and verify inside
+    buckets, exactly like the MinHash banding path for text.
+    """
+    cpdf = corpus.select(id_col, vec_col).toPandas()
+    M = np.stack([np.asarray(v, dtype=float) for v in cpdf[vec_col]])
+    norms = np.linalg.norm(M, axis=1)
+    Mn = M / np.where(norms > 0, norms, 1.0)[:, None]
+    ids = cpdf[id_col].to_numpy()
+    spark = corpus.sparkSession
+    b_mat = spark.sparkContext.broadcast(Mn)
+    b_ids = spark.sparkContext.broadcast(ids)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+
+    def score(batches):
+        allM, all_ids = b_mat.value, b_ids.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            cn = np.linalg.norm(C, axis=1)
+            Cn = C / np.where(cn > 0, cn, 1.0)[:, None]
+            S = np.round(Cn @ allM.T, 6)  # (batch, n)
+            bids = pdf[id_col].to_numpy()
+            # emit each unordered pair once: batch id < corpus id
+            rows_i, cols_j = np.nonzero(S >= threshold)
+            keep = bids[rows_i] < all_ids[cols_j]
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "id_a": bids[rows_i[keep]],
+                        "id_b": all_ids[cols_j[keep]],
+                        "cosine_sim": S[rows_i[keep], cols_j[keep]],
+                    }
+                )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
     """Deterministic pseudo-random plane coefficients in [-1, 1); pure
     function of (seed, plane, j) so executors and reruns agree."""

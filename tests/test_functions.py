@@ -88,6 +88,24 @@ def test_lsh_recall_vs_brute_force(spark):
     assert len(inter) >= 3  # ≥60% recall on a clustered fixture
 
 
+def test_embedding_near_duplicates(spark):
+    from graphrole_spark.functions.similarity import embedding_near_duplicates
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(30, 8)
+    base[7] = base[3] + 0.01 * rng.randn(8)   # near-dup pair (3, 7)
+    base[20] = base[3] * 2.0                  # exact direction dup (3, 20)
+    pdf = pd.DataFrame(
+        {"vec_id": range(30), "embedding": [list(map(float, v)) for v in base]}
+    )
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    pairs = embedding_near_duplicates(emb, threshold=0.95).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (3, 7) in got and (3, 20) in got and (7, 20) in got
+    assert all(a < b for a, b in got)
+    assert (pairs.cosine_sim >= 0.95).all()
+
+
 def test_media_features_and_frames(spark):
     media = synthesize_media(spark, 30)
     feats = extract_media_features(media).toPandas()
