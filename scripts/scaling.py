@@ -76,23 +76,11 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(result))
-    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
-        fh.write(
-            "# BENCH — scaling evidence (north rule)\n\n"
-            "Same ReFeX transcript job, same deterministic input, two "
-            "parallelism levels (stands in for N vs 4N executors per the "
-            "driver instruction).\n\n"
-            "| config | turns | seconds | turns/sec |\n|---|---|---|---|\n"
-            f"| local[{lo['cores']}]  | {lo['turns']} | {lo['sec']} | {lo['turns_per_sec']} |\n"
-            f"| local[{hi['cores']}] | {hi['turns']} | {hi['sec']} | {hi['turns_per_sec']} |\n\n"
-            f"speedup ({lo['cores']}→{hi['cores']} cores): **{result['speedup']}×** — "
-            f"scaling efficiency vs 4× resources: **{result['scaling_efficiency']}**\n\n"
-            "Notes: local mode shares one JVM + driver; shuffle goes through "
-            "local disk, so these numbers lower-bound what a real 4× executor "
-            "scale-out achieves for this shuffle-light plan (windows and "
-            "joins partition by conv_id / entity hash; no global barriers "
-            "besides the per-generation driver step).\n"
-        )
+    # record the raw measurement; BENCH.md is maintained by hand and
+    # references this file (earlier versions clobbered BENCH.md)
+    log_path = os.path.join(REPO, "BENCH_SCALING.jsonl")
+    with open(log_path, "a") as fh:
+        fh.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":
