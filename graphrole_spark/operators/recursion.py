@@ -74,6 +74,15 @@ class RecursiveFeatureExtractor:
     :param chain_keys: (conv_col, idx_col) — activates chain mode:
         neighbor aggregation via lag/lead windows instead of a join.
         Requires ``seed_frame`` containing those columns.
+    :param chain_block_col: optional block column for SKEW-BOUNDED chain
+        windows: every window partitions by (conv, block) instead of the
+        whole conversation, so one pathological 10^8-turn conversation
+        never pins a single task. The seed frame must carry halo copies
+        of block-edge rows (see ``pipeline.with_chain_blocks``; halo
+        depth ≥ max_generations - 1 makes blocked results bit-identical
+        to whole-conversation windows) plus a boolean ``chain_own_col``
+        marking owner rows — pruning statistics and the final output use
+        owner rows only.
     :param checkpoint_dir: when set, per-generation parquet checkpoints +
         ``_lineage.json`` are written there and extraction can resume
     :param prune: when False, skip redundancy pruning entirely — every
@@ -98,6 +107,8 @@ class RecursiveFeatureExtractor:
         binning_frac: float = 0.5,
         seed_frame: Optional[DataFrame] = None,
         chain_keys: Optional[Tuple[str, str]] = None,
+        chain_block_col: Optional[str] = None,
+        chain_own_col: Optional[str] = None,
         prune: bool = True,
         histogram_cap: int = 1_000_000,
     ) -> None:
@@ -122,10 +133,17 @@ class RecursiveFeatureExtractor:
         aggs = [name for name, _ in agg_pairs]
         self._agg_pairs = agg_pairs
         self.chain_keys = tuple(chain_keys) if chain_keys else None
+        self.chain_block_col = chain_block_col
+        self.chain_own_col = chain_own_col
+        if (chain_block_col is None) != (chain_own_col is None):
+            raise ValueError("chain_block_col and chain_own_col come together")
         if self.chain_keys:
             if seed_frame is None:
                 raise ValueError("chain mode requires seed_frame with the key columns")
-            missing = set(self.chain_keys) - set(seed_frame.columns)
+            required = set(self.chain_keys) | (
+                {chain_block_col, chain_own_col} if chain_block_col else set()
+            )
+            missing = required - set(seed_frame.columns)
             if missing:
                 raise ValueError(f"seed_frame lacks chain key columns {missing}")
             bad = set(aggs) - _CHAIN_AGGS
@@ -227,12 +245,24 @@ class RecursiveFeatureExtractor:
             self.neighbor_rel, self._state, self._prev_cols(), self._agg_pairs
         )
 
+    @property
+    def _chain_extra(self) -> List[str]:
+        """Internal passthrough columns in blocked-chain mode."""
+        return [c for c in (self.chain_block_col, self.chain_own_col) if c]
+
+    def _own_rows(self, frame: DataFrame) -> DataFrame:
+        """Owner-row view (drops halo copies) for statistics/output."""
+        if self.chain_own_col:
+            return frame.where(F.col(self.chain_own_col))
+        return frame
+
     def _chain_exprs(self) -> List:
         """lag/lead neighbor aggregates for the chain graph — appended as
         columns; neighborless rows evaluate to the 0 the reference's
         concat+fillna(0) assigns them (mean: 0/0 → null → filled)."""
         conv, idx = self.chain_keys
-        w = Window.partitionBy(conv).orderBy(idx)
+        parts = [conv] + ([self.chain_block_col] if self.chain_block_col else [])
+        w = Window.partitionBy(*parts).orderBy(idx)
         exprs = []
         for agg in self.aggs:
             for c in self._prev_cols():
@@ -252,7 +282,9 @@ class RecursiveFeatureExtractor:
         return exprs
 
     def _combine(self, new_frame: Optional[DataFrame], gen: int) -> Tuple[DataFrame, List[str]]:
-        keys = list(self.chain_keys) if self.chain_keys else []
+        keys = (
+            list(self.chain_keys) + self._chain_extra if self.chain_keys else []
+        )
         if gen == 0:
             combined = new_frame
             new_cols = [c for c in new_frame.columns if c != "node" and c not in keys]
@@ -347,10 +379,11 @@ class RecursiveFeatureExtractor:
         # boundary search (driver memory stays bounded at any scale)
         t_hist = time.time()
         to_melt = [c for c in value_cols if c not in self._bounds_cache]
+        stats_frame = self._own_rows(combined)
         if to_melt:
             with self._tiny_query_conf():
                 complete, truncated = capped_melt(
-                    combined, to_melt, self.histogram_cap
+                    stats_frame, to_melt, self.histogram_cap
                 )
             for c, (uniq, counts) in complete.items():
                 self._bounds_cache[c] = (
@@ -360,7 +393,7 @@ class RecursiveFeatureExtractor:
             for c, (uniq, counts, total) in truncated.items():
                 self._bounds_cache[c] = (
                     chunked_bin_boundaries(
-                        combined, c, total, (uniq, counts),
+                        stats_frame, c, total, (uniq, counts),
                         frac=self.binning_frac, cap=self.histogram_cap,
                     ),
                     total,
@@ -377,7 +410,7 @@ class RecursiveFeatureExtractor:
             # binning + pairwise max fused into one Arrow reduction pass
             # over the cached frame (no second cache, no per-generation
             # expression-tree compile)
-            fresh_dists = chebyshev_distances_arrow(combined, bounds, todo)
+            fresh_dists = chebyshev_distances_arrow(stats_frame, bounds, todo)
             self._dist_cache.update(
                 {frozenset(p): d for p, d in fresh_dists.items()}
             )
@@ -423,9 +456,12 @@ class RecursiveFeatureExtractor:
     def _finalize(self) -> DataFrame:
         """Final frame = ONE column projection of the last generation's
         state — every retained column was carried forward, so there is no
-        multi-join (the reference's ChainMap concat, for free)."""
+        multi-join (the reference's ChainMap concat, for free). Blocked
+        chain mode keeps owner rows only (halo copies drop out here)."""
         keys = list(self.chain_keys) if self.chain_keys else []
-        return self._state.select("node", *keys, *self._retained_order)
+        return self._own_rows(self._state).select(
+            "node", *keys, *self._retained_order
+        )
 
     # -- persistence ----------------------------------------------------------
 
@@ -433,7 +469,9 @@ class RecursiveFeatureExtractor:
         """Parquet the generation state (node + keys + every retained
         column so far) and re-read — truncates lineage AND provides the
         resume point; earlier cached state is then released."""
-        keys = list(self.chain_keys) if self.chain_keys else []
+        keys = (
+            list(self.chain_keys) + self._chain_extra if self.chain_keys else []
+        )
         state_path = os.path.join(self.checkpoint_dir, f"gen={gen}", "state")
         combined.select("node", *keys, *self._retained_order).write.mode(
             "overwrite"
@@ -464,6 +502,8 @@ class RecursiveFeatureExtractor:
                     "aggs": self.aggs,
                     "directed": self.directed,
                     "chain_keys": list(self.chain_keys) if self.chain_keys else None,
+                    "chain_block_col": self.chain_block_col,
+                    "chain_own_col": self.chain_own_col,
                     "done": done,
                 },
                 fh,
@@ -482,6 +522,9 @@ class RecursiveFeatureExtractor:
             manifest = json.load(fh)
         if manifest.get("chain_keys"):
             kwargs.setdefault("chain_keys", tuple(manifest["chain_keys"]))
+            if manifest.get("chain_block_col"):
+                kwargs.setdefault("chain_block_col", manifest["chain_block_col"])
+                kwargs.setdefault("chain_own_col", manifest["chain_own_col"])
             # placeholder seed frame; replaced by checkpointed state below
             kwargs.setdefault(
                 "seed_frame",

@@ -116,6 +116,61 @@ def chain_seed_features(
     )
 
 
+def with_chain_blocks(
+    seeds: DataFrame,
+    block_size: int,
+    halo: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    block_col: str = "__blk",
+    own_col: str = "__own",
+) -> DataFrame:
+    """Skew-bounding halo explode for blocked chain windows.
+
+    Splits each conversation into ``block_size``-turn blocks and
+    duplicates each block's first/last ``halo`` rows into the
+    neighboring block's group. Every window partition is then at most
+    ``block_size + 2*halo`` rows, regardless of conversation length —
+    one 10^8-turn conversation becomes 10^8/block_size independent
+    tasks. With lag-1 adjacency, a depth-G recursion needs halo = G-1
+    for owner rows to see exactly the values whole-conversation windows
+    would give them (stencil halo-depth argument: the owner row at a
+    block edge depends on neighbor features of generation G-1, which
+    depend on seeds at distance G-1 — all present). Seeds must be
+    computed BEFORE this explode (gen-0 values ride on the halo copies).
+    """
+    if halo < 0:
+        raise ValueError("halo must be >= 0")
+    if block_size <= halo:
+        raise ValueError(
+            f"block_size ({block_size}) must exceed halo ({halo}): a halo "
+            "may only span one neighboring block"
+        )
+    blk = (F.col(idx_col) / block_size).cast("long")
+    pos = F.col(idx_col) % block_size
+    copies = F.array(
+        F.struct(blk.alias("b"), F.lit(True).alias("own")),
+        # head rows serve the PREVIOUS block's lead frontier
+        F.when(
+            (pos < halo) & (blk > 0),
+            F.struct((blk - 1).alias("b"), F.lit(False).alias("own")),
+        ),
+        # tail rows serve the NEXT block's lag frontier
+        F.when(
+            pos >= block_size - halo,
+            F.struct((blk + 1).alias("b"), F.lit(False).alias("own")),
+        ),
+    )
+    exploded = seeds.select(
+        "*", F.explode(F.filter(copies, lambda c: c.isNotNull())).alias("__copy")
+    )
+    return exploded.select(
+        *seeds.columns,
+        F.col("__copy.b").alias(block_col),
+        F.col("__copy.own").alias(own_col),
+    )
+
+
 def extract_features_at_cutoffs(
     transcripts: DataFrame,
     cutoffs,
@@ -194,6 +249,7 @@ def extract_transcript_features(
     with_attributes: bool = True,
     aggs: Sequence[str] = ("sum", "mean"),
     checkpoint_dir: Optional[str] = None,
+    chain_block_size: Optional[int] = None,
 ) -> DataFrame:
     """Point-in-time ReFeX features per turn.
 
@@ -213,12 +269,24 @@ def extract_transcript_features(
         # chain mode: the recursion is pure window functions over
         # (conv_id, turn_idx) — no neighbor join, one shuffle total
         seeds = chain_seed_features(t, lag_k=1, with_attributes=with_attributes)
+        blocked = {}
+        if chain_block_size:
+            # skew bound: no window partition ever exceeds
+            # block_size + 2*(max_generations-1) rows (heavy-tail
+            # conversations stop pinning single tasks); halo depth
+            # max_generations-1 keeps results identical (see
+            # with_chain_blocks)
+            seeds = with_chain_blocks(
+                seeds, chain_block_size, halo=max_generations - 1
+            )
+            blocked = {"chain_block_col": "__blk", "chain_own_col": "__own"}
         rfe = RecursiveFeatureExtractor(
             max_generations=max_generations,
             aggs=aggs,
             seed_frame=seeds,
             chain_keys=("conv_id", "turn_idx"),
             checkpoint_dir=checkpoint_dir,
+            **blocked,
         )
         return rfe.extract_features().drop("node")
 

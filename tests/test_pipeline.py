@@ -189,6 +189,44 @@ def test_multi_cutoff_features_shared_scan(spark, transcripts):
         assert np.allclose(sliced[common].values, solo[common].values)
 
 
+def test_blocked_chain_mode_matches_unblocked(spark):
+    """Skew-bounded (halo-blocked) chain windows must produce exactly
+    the whole-conversation result: same retained names, allclose values
+    — on a heavy-tailed input whose longest conversation spans many
+    blocks."""
+    t = synthesize_transcripts(
+        spark, 40, seed=11, heavy_tail_every=5, heavy_tail_factor=20
+    ).persist()
+    plain = (
+        extract_transcript_features(t, max_generations=4)
+        .toPandas().set_index(["conv_id", "turn_idx"]).sort_index()
+    )
+    blocked = (
+        extract_transcript_features(t, max_generations=4, chain_block_size=16)
+        .toPandas().set_index(["conv_id", "turn_idx"]).sort_index()
+    )
+    t.unpersist()
+    assert sorted(plain.columns) == sorted(blocked.columns)
+    assert plain.shape == blocked.shape
+    assert np.allclose(
+        plain.sort_index(axis=1).values, blocked.sort_index(axis=1).values
+    )
+
+
+def test_with_chain_blocks_guards(spark):
+    from graphrole_spark.pipeline import with_chain_blocks, chain_seed_features
+
+    t = synthesize_transcripts(spark, 5, seed=1)
+    seeds = chain_seed_features(t, with_attributes=False)
+    with pytest.raises(ValueError):
+        with_chain_blocks(seeds, block_size=3, halo=3)  # halo may not span blocks
+    out = with_chain_blocks(seeds, block_size=8, halo=2).toPandas()
+    own = out[out.__own]
+    assert len(own) == seeds.count()  # every source row owned exactly once
+    # halo copies are bounded: at most 2 extra copies per row
+    assert len(out) <= 3 * len(own)
+
+
 def test_entry_rowcount_positive(spark, transcripts):
     feats = extract_transcript_features(transcripts, max_generations=2)
     n = feats.count()
