@@ -438,6 +438,14 @@ def q_rollup(spark, sf_dir):
     )
 
 
+def q_cube(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.round(F.avg("l_discount"), 6).alias("avg_disc"))
+    )
+
+
 def q_pivot(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -659,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg": q_join_agg,
         "set_ops": q_set_ops,
         "rollup": q_rollup,
+        "cube": q_cube,
         "pivot": q_pivot,
         "anti_join": q_anti_join,
         "distinct_agg": q_distinct_agg,
@@ -960,6 +969,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                    round(sum(l_quantity), 6) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   round(avg(l_discount), 6) AS avg_disc
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "pivot": """
             SELECT l_returnflag,

@@ -75,6 +75,7 @@ def main() -> None:
         "join_agg",
         "set_ops",
         "rollup",
+        "cube",
         "pivot",
         "anti_join",
         "distinct_agg",
