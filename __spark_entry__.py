@@ -232,6 +232,16 @@ def q_streaming_sessions(spark, sf_dir):
     )
 
 
+def q_streaming_state(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState)
+    driven to completion — rows-only check (per-batch emission order is
+    engine-internal; batch parity is pytest-verified)."""
+    from graphrole_spark.streaming.incremental import conversation_state_available_now
+
+    _ensure_utc(spark)
+    return conversation_state_available_now(spark, f"{sf_dir}/events.parquet")
+
+
 def q_topk_per_user(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
@@ -655,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_window": q_range_window,
         "interval_count": q_interval_count,
         "streaming_sessions": q_streaming_sessions,
+        "streaming_state": q_streaming_state,
         "topk_per_user": q_topk_per_user,
         "degree_undirected": q_degree_undirected,
         "degree_directed": q_degree_directed,

@@ -74,6 +74,44 @@ def stream_session_stats(
     )
 
 
+def _stream_source_dir(parquet_path: str) -> str:
+    """File-source streams need a directory; wrap single files."""
+    import os
+    import tempfile
+
+    if os.path.isdir(parquet_path):
+        return parquet_path
+    d = tempfile.mkdtemp(prefix="graphrole_stream_")
+    os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
+    return d
+
+
+def conversation_state_available_now(spark, parquet_path: str) -> DataFrame:
+    """Run the stateful per-conversation counter
+    (:func:`stream_conversation_state`, ``applyInPandasWithState``) to
+    completion over a parquet source and return the emitted rows — the
+    driver-contract surface for the custom stateful streaming operator."""
+    import uuid
+
+    schema = spark.read.parquet(parquet_path).schema
+    stream = spark.readStream.schema(schema).parquet(_stream_source_dir(parquet_path))
+    turns = stream.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("long").alias("turn_idx"),
+    )
+    out = stream_conversation_state(turns)
+    name = f"state_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def session_stats_available_now(
     spark,
     parquet_path: str,
@@ -92,17 +130,10 @@ def session_stats_available_now(
     oracle can value-check the streaming operator. The file source needs
     a directory — a temp dir of symlinks wraps single-file tables.
     """
-    import os
-    import tempfile
     import uuid
 
-    if os.path.isdir(parquet_path):
-        src_dir = parquet_path
-    else:
-        src_dir = tempfile.mkdtemp(prefix="graphrole_stream_")
-        os.symlink(parquet_path, os.path.join(src_dir, os.path.basename(parquet_path)))
     schema = spark.read.parquet(parquet_path).schema
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(_stream_source_dir(parquet_path))
     agg = (
         stream.groupBy(F.session_window(ts_col, f"{gap_seconds} seconds"), key_col)
         .agg(
