@@ -32,6 +32,9 @@ def main() -> None:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--generations", type=int, default=5)
     p.add_argument("--cutoff", default=None, help="point-in-time ISO timestamp")
+    p.add_argument("--block-size", type=int, default=None,
+                   help="halo-blocked chain windows: bound window-task size "
+                        "under heavy-tail conversations (identical results)")
     p.add_argument("--resume", action="store_true", help="resume from --checkpoint")
     args = p.parse_args()
 
@@ -57,6 +60,7 @@ def main() -> None:
         cutoff_ts=args.cutoff,
         max_generations=args.generations,
         checkpoint_dir=args.checkpoint,
+        chain_block_size=args.block_size,
     )
     feats.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()

@@ -52,6 +52,19 @@ def test_minhash_near_duplicates(docs):
     assert not any(4 in p for p in got)
 
 
+def test_simhash_frame_matches_column_expression(docs):
+    """The codegen explode+agg form computes the exact same 64-bit value
+    as the HOF fold column expression."""
+    from graphrole_spark.functions.text import simhash_frame
+
+    via_col = (
+        docs.select("doc_id", simhash64(F.col("text")).alias("sim"))
+        .toPandas().set_index("doc_id")["sim"]
+    )
+    via_frame = simhash_frame(docs).toPandas().set_index("doc_id")["sim"]
+    assert via_col.sort_index().equals(via_frame.sort_index())
+
+
 def test_simhash_identical_and_near(docs, spark):
     h = docs.select("doc_id", simhash64(F.col("text")).alias("h")).toPandas()
     h = h.set_index("doc_id")["h"]
