@@ -17,6 +17,7 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    prewarm: bool = True,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
@@ -49,4 +50,25 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if prewarm:
+        prewarm_python_workers(spark, cores)
     return spark
+
+
+def prewarm_python_workers(spark: SparkSession, n: int | None = None) -> None:
+    """Spawn the Arrow Python worker pool once at session build.
+
+    Long-lived executors keep their Python workers across jobs
+    (spark.python.worker.reuse defaults to true), so on a cluster the
+    pool exists before any query; a fresh local session would otherwise
+    charge the one-time pool spawn (~5-10 s for 32 workers) to the first
+    mapInPandas/pandas_udf query that runs."""
+    import pandas as pd  # noqa: F401  (ships with the workers)
+
+    n = n or spark.sparkContext.defaultParallelism
+
+    def _identity(batches):
+        for b in batches:
+            yield b
+
+    spark.range(n, numPartitions=n).mapInPandas(_identity, "id long").count()
