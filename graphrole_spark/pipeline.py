@@ -36,26 +36,26 @@ DEFAULT_SESSION_GAP = 1800.0
 
 
 def _attribute_exprs() -> list:
-    """Per-turn numeric attribute expressions (the transcript analog of
-    node attributes, reference: networkx.py:87-113): text length,
-    tool-use and role indicators, session-relative position. Requires a
-    frame that already carries ``session_seq`` (sessionized) and a
-    0-based contiguous ``turn_idx``."""
+    """Per-turn numeric attribute expressions as (name, expr) pairs (the
+    transcript analog of node attributes, reference:
+    networkx.py:87-113): text length, tool-use and role indicators,
+    session-relative position. Requires a frame that already carries
+    ``session_seq`` (sessionized) and a 0-based contiguous ``turn_idx``."""
     ws = Window.partitionBy("conv_id", "session_seq")
-    return [
-        F.length("text").cast("double").alias("attribute_text_len"),
-        F.when(F.col("tool").isNotNull() & (F.col("tool") != ""), 1.0)
-        .otherwise(0.0)
-        .alias("attribute_is_tool"),
-        F.when(F.col("role") == "user", 1.0).otherwise(0.0).alias("attribute_is_user"),
-        F.when(F.col("role") == "assistant", 1.0)
-        .otherwise(0.0)
-        .alias("attribute_is_assistant"),
+    pairs = [
+        ("text_len", F.length("text").cast("double")),
+        (
+            "is_tool",
+            F.when(F.col("tool").isNotNull() & (F.col("tool") != ""), 1.0).otherwise(0.0),
+        ),
+        ("is_user", F.when(F.col("role") == "user", 1.0).otherwise(0.0)),
+        ("is_assistant", F.when(F.col("role") == "assistant", 1.0).otherwise(0.0)),
         # conv-hash partitioning satisfies the (conv, session) clustering,
         # so this window re-sorts within partitions but adds NO exchange
-        F.count("*").over(ws).cast("double").alias("attribute_session_size"),
-        F.col("turn_idx").cast("double").alias("attribute_turn_pos"),
+        ("session_size", F.count("*").over(ws).cast("double")),
+        ("turn_pos", F.col("turn_idx").cast("double")),
     ]
+    return [(name, expr.alias(f"attribute_{name}")) for name, expr in pairs]
 
 
 def transcript_attribute_features(transcripts: DataFrame) -> DataFrame:
@@ -63,11 +63,15 @@ def transcript_attribute_features(transcripts: DataFrame) -> DataFrame:
     fuses these expressions into the seed select, see
     :func:`chain_seed_features`)."""
     t = sessionize(transcripts, ["conv_id"], "ts", DEFAULT_SESSION_GAP)
-    return t.select("conv_id", "turn_idx", *_attribute_exprs())
+    return t.select("conv_id", "turn_idx", *[e for _, e in _attribute_exprs()])
 
 
 def chain_seed_features(
-    transcripts: DataFrame, lag_k: int = 1, with_attributes: bool = True
+    transcripts: DataFrame,
+    lag_k: int = 1,
+    with_attributes: bool = True,
+    attributes_include: Optional[Sequence[str]] = None,
+    attributes_exclude: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Generation-0 features for the lag-k chain graph, in closed form.
 
@@ -96,7 +100,16 @@ def chain_seed_features(
         # ONE pass: sessionize + every attribute + every closed form ride
         # the same conv-hash partitioning — no join, no second shuffle
         t = sessionize(t, ["conv_id"], "ts", DEFAULT_SESSION_GAP)
-        attr_exprs = _attribute_exprs()
+        pairs = _attribute_exprs()
+        # include/exclude by bare attribute name; exclude wins
+        # (reference contract: README.md:90, base.py:28-48)
+        if attributes_include is not None:
+            inc = set(attributes_include)
+            pairs = [(n, e) for n, e in pairs if n in inc]
+        if attributes_exclude:
+            exc = set(attributes_exclude)
+            pairs = [(n, e) for n, e in pairs if n not in exc]
+        attr_exprs = [e for _, e in pairs]
     base = t.withColumn("n_turns", F.count("*").over(n))
     i = F.col("turn_idx").cast("double")
     last = F.col("n_turns").cast("double") - 1

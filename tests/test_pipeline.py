@@ -227,6 +227,31 @@ def test_with_chain_blocks_guards(spark):
     assert len(out) <= 3 * len(own)
 
 
+def test_chain_attribute_include_exclude(spark, transcripts):
+    """Reference attribute selection contract on the transcript path:
+    include list narrows, exclude wins over include (README.md:90)."""
+    from graphrole_spark.pipeline import chain_seed_features
+
+    both = chain_seed_features(
+        transcripts,
+        attributes_include=["text_len", "is_tool"],
+        attributes_exclude=["is_tool"],
+    )
+    attrs = [c for c in both.columns if c.startswith("attribute_")]
+    assert attrs == ["attribute_text_len"]
+
+
+def test_empty_and_single_row_inputs(spark):
+    """Degenerate inputs flow through the full pipeline."""
+    t3 = synthesize_transcripts(spark, 3, seed=1)
+    empty = t3.where(F.lit(False))
+    out = extract_transcript_features(empty, max_generations=3)
+    assert out.count() == 0
+    single = synthesize_transcripts(spark, 1, seed=1).limit(1)
+    out1 = extract_transcript_features(single, max_generations=3)
+    assert out1.count() == 1
+
+
 def test_entry_rowcount_positive(spark, transcripts):
     feats = extract_transcript_features(transcripts, max_generations=2)
     n = feats.count()
