@@ -633,6 +633,17 @@ def q_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, k=5)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN: k-means coarse quantizer + cell-bucketed
+    candidate join + exact cosine verify (rows-only: centroid training
+    is data/seed-specific; recall vs brute force is pytest-verified)."""
+    from graphrole_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(5)
+    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
 # --------------------------------------------------------------------------
 # flagship ReFeX pipeline (rows-only check: pruning/MDL are data-dependent
 # driver logic, not single-statement SQL)
@@ -698,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_dedup": q_cosine_dedup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "refex_pipeline": q_refex_pipeline,
     }
 
@@ -1158,10 +1170,18 @@ def oracle_sql() -> dict[str, str]:
                         (CASE WHEN a.nrm > 0 THEN a.nrm ELSE 1 END *
                          CASE WHEN b.nrm > 0 THEN b.nrm ELSE 1 END), 6) >= 0.5
         """,
-        # simhash_dedup / lsh_topk: hash-function-specific
-        # (xxhash64) — no portable SQL equivalent; driver records rows-only.
-        # refex_pipeline: multi-generation driver loop with data-dependent
-        # pruning — not single-statement SQL; rows-only.
+        # Rows-only queries (no oracle_sql entry) and why:
+        #   simhash_dedup, lsh_topk, rolling_fingerprint — xxhash64-family
+        #     values, no portable SQL equivalent (pytest parity instead:
+        #     simhash_frame == simhash64 exactly; lsh recall vs brute force);
+        #   rolx_roles — NMF + MDL grid, not SQL (pytest: shapes, row-sums,
+        #     seeded model selection, distributed-vs-oracle parity);
+        #   media_features — binary decode plumbing (deterministic fake);
+        #   refex_pipeline — multi-generation loop with data-dependent
+        #     pruning; its pieces ARE value-checked (log_binning,
+        #     refex_gen1/gen2, chain_seeds);
+        #   streaming_state — applyInPandasWithState emission, batch parity
+        #     pytest-verified.
     }
 
 

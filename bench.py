@@ -91,6 +91,7 @@ def main() -> None:
         "cosine_topk",
         "cosine_dedup",
         "lsh_topk",
+        "ivf_topk",
     ]
     queries = entrymod.queries()
     for name in suite:

@@ -85,7 +85,7 @@ def test_token_count_and_fingerprint(docs):
     assert out.set_index("doc_id").loc[1, "fp"] == out.set_index("doc_id").loc[2, "fp"]
 
 
-def test_lsh_recall_vs_brute_force(spark):
+def _clustered_embeddings(spark):
     rng = np.random.RandomState(5)
     base = rng.randn(40, 16).astype(np.float32)
     # make clusters: rows 0..19 near row 0, rows 20..39 random
@@ -93,12 +93,32 @@ def test_lsh_recall_vs_brute_force(spark):
     pdf = pd.DataFrame(
         {"vec_id": range(40), "embedding": [list(map(float, v)) for v in base]}
     )
-    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    return spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    emb = _clustered_embeddings(spark)
     queries = emb.where(F.col("vec_id") == 0)
     exact = brute_force_topk(emb, queries, k=5).toPandas()
     approx = lsh_topk(emb, queries, k=5, n_planes=6, n_tables=6).toPandas()
     inter = set(exact.neighbor_id) & set(approx.neighbor_id)
     assert len(inter) >= 3  # ≥60% recall on a clustered fixture
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from graphrole_spark.functions.similarity import ivf_topk
+
+    emb = _clustered_embeddings(spark)
+    queries = emb.where(F.col("vec_id") == 0)
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    approx = ivf_topk(emb, queries, k=5, n_cells=6, n_probe=2).toPandas()
+    inter = set(exact.neighbor_id) & set(approx.neighbor_id)
+    # the query's own cluster is one IVF cell: probing it finds the block
+    assert len(inter) >= 4
+    # determinism: same result on a rerun (fixed seed end to end)
+    again = ivf_topk(emb, queries, k=5, n_cells=6, n_probe=2).toPandas()
+    assert approx.sort_values("rank").neighbor_id.tolist() == \
+        again.sort_values("rank").neighbor_id.tolist()
 
 
 def test_embedding_near_duplicates(spark):
