@@ -251,7 +251,10 @@ class RefexOracle:
         pruner = FeaturePruner(self._final_features, self._feature_group_thresh)
         to_drop = pruner.prune_features(self._features)
         self._features = self._features.drop(columns=to_drop)
-        retained = new_features.columns.difference(to_drop)  # sorted Index
+        # reference extract.py:140 relies on Index.difference returning a
+        # SORTED index; pandas 2.x (this env) skips the sort when to_drop
+        # is empty, so sort explicitly to keep the pinned-pandas behavior
+        retained = sorted(set(new_features.columns) - set(to_drop))
         self._final_features[self.generation_count] = (
             self._features[retained].to_dict() if len(retained) else {}
         )
