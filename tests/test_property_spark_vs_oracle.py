@@ -29,16 +29,17 @@ edges_strategy = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None)
-@given(edges=edges_strategy)
-def test_random_graphs_match_numpy_oracle(spark, edges):
-    oracle = RefexOracle(edges, max_generations=3)
+def _compare(spark, edges, weights, directed):
+    oracle = RefexOracle(
+        edges, weights=weights, directed=directed, max_generations=3
+    )
     expected = oracle.extract_features().sort_index()
 
     edf = spark.createDataFrame(
-        [(a, b, 1.0) for a, b in edges], "src string, dst string, weight double"
+        [(a, b, float(w)) for (a, b), w in zip(edges, weights)],
+        "src string, dst string, weight double",
     )
-    rfe = RecursiveFeatureExtractor(edf, max_generations=3)
+    rfe = RecursiveFeatureExtractor(edf, directed=directed, max_generations=3)
     got = rfe.extract_features().toPandas().set_index("node").sort_index()
 
     assert rfe.retained_by_generation() == oracle.retained_by_generation(), edges
@@ -46,4 +47,26 @@ def test_random_graphs_match_numpy_oracle(spark, edges):
     assert np.allclose(
         got.sort_index(axis=1).values,
         expected.sort_index(axis=1).astype(float).values,
-    ), edges
+    ), (edges, weights, directed)
+
+
+@settings(max_examples=7, deadline=None)
+@given(edges=edges_strategy)
+def test_random_graphs_match_numpy_oracle(spark, edges):
+    _compare(spark, edges, [1.0] * len(edges), directed=False)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    edges=edges_strategy,
+    data=st.data(),
+    directed=st.booleans(),
+)
+def test_random_weighted_graphs_match_numpy_oracle(spark, edges, data, directed):
+    weights = data.draw(
+        st.lists(
+            st.sampled_from([0.25, 0.5, 1.0, 2.0, 3.5]),
+            min_size=len(edges), max_size=len(edges),
+        )
+    )
+    _compare(spark, edges, weights, directed=directed)
