@@ -376,6 +376,41 @@ def q_refex_gen2(spark, sf_dir):
     )
 
 
+_MC_CUTOFFS = ["2024-01-10 00:00:00", "2024-01-31 00:00:00"]
+
+
+def q_refex_multicutoff(spark, sf_dir):
+    """Entity×timestamp surface (north_star): ONE shared-scan recursion
+    produces point-in-time features at two cutoffs; every value is
+    DuckDB-checked against per-cutoff prefix recomputation — zero
+    temporal leakage verified by an independent engine."""
+    from graphrole_spark.pipeline import extract_features_at_cutoffs
+
+    t = _events_as_transcripts(spark, sf_dir)
+    feats = extract_features_at_cutoffs(
+        t.drop("event_id"),
+        _MC_CUTOFFS,
+        share_scan=True,
+        max_generations=2,
+        with_attributes=False,
+        prune=False,
+    )
+    mapped = t.select("event_id", "conv_id", "turn_idx").join(
+        feats, ["conv_id", "turn_idx"]
+    )
+    return mapped.select(
+        "event_id",
+        "cutoff_ts",
+        F.round("degree", 6).alias("degree"),
+        F.round("internal_edges", 6).alias("internal_edges"),
+        F.round("external_edges", 6).alias("external_edges"),
+        F.round(F.col("degree(sum)"), 6).alias("degree_sum"),
+        F.round(F.col("degree(mean)"), 6).alias("degree_mean"),
+        F.round(F.col("external_edges(sum)"), 6).alias("external_sum"),
+        F.round(F.col("external_edges(mean)"), 6).alias("external_mean"),
+    )
+
+
 def q_egonet(spark, sf_dir):
     from graphrole_spark.operators.seeds import egonet_features, node_set
 
@@ -684,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refex_gen1": q_refex_gen1,
         "log_binning": q_log_binning,
         "refex_gen2": q_refex_gen2,
+        "refex_multicutoff": q_refex_multicutoff,
         "egonet": q_egonet,
         "groupby_agg": q_groupby_agg,
         "join_agg": q_join_agg,
@@ -939,6 +975,47 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN nbr_cnt > 0 THEN degree_mean_sum / nbr_cnt ELSE 0 END, 6)
                      AS degree_mean_mean
             FROM g2
+        """,
+        "refex_multicutoff": f"""
+            WITH {_ORDERED_CTE},
+            cuts(cutoff_ts) AS (VALUES (TIMESTAMP '{_MC_CUTOFFS[0]}'),
+                                       (TIMESTAMP '{_MC_CUTOFFS[1]}')),
+            -- independent per-cutoff prefix recomputation: the oracle's
+            -- n_turns/windows see ONLY rows with ts <= cutoff
+            pref AS (
+              SELECT c.cutoff_ts, o.event_id, o.user_id, o.turn_idx,
+                     count(*) OVER (PARTITION BY c.cutoff_ts, o.user_id) AS n_turns
+              FROM ordered o JOIN cuts c ON o.ts <= c.cutoff_ts),
+            deg AS (
+              SELECT *,
+                     CAST((CASE WHEN turn_idx > 0 THEN 1 ELSE 0 END) +
+                          (CASE WHEN turn_idx < n_turns - 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS degree,
+                     CAST((CASE WHEN turn_idx > 1 THEN 1 ELSE 0 END) +
+                          (CASE WHEN turn_idx < n_turns - 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS external_edges
+              FROM pref),
+            g1 AS (
+              SELECT *,
+                     (CASE WHEN lag(degree)  OVER w IS NULL THEN 0 ELSE 1 END +
+                      CASE WHEN lead(degree) OVER w IS NULL THEN 0 ELSE 1 END) AS nbr_cnt,
+                     COALESCE(lag(degree)  OVER w, 0) +
+                     COALESCE(lead(degree) OVER w, 0) AS degree_sum,
+                     COALESCE(lag(external_edges)  OVER w, 0) +
+                     COALESCE(lead(external_edges) OVER w, 0) AS external_sum
+              FROM deg
+              WINDOW w AS (PARTITION BY cutoff_ts, user_id ORDER BY turn_idx))
+            SELECT event_id, cutoff_ts,
+                   round(degree, 6) AS degree,
+                   round(degree, 6) AS internal_edges,
+                   round(external_edges, 6) AS external_edges,
+                   round(degree_sum, 6) AS degree_sum,
+                   round(CASE WHEN nbr_cnt > 0 THEN degree_sum / nbr_cnt ELSE 0 END, 6)
+                     AS degree_mean,
+                   round(external_sum, 6) AS external_sum,
+                   round(CASE WHEN nbr_cnt > 0 THEN external_sum / nbr_cnt ELSE 0 END, 6)
+                     AS external_mean
+            FROM g1
         """,
         "egonet": """
             WITH e AS (SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst,

@@ -263,6 +263,7 @@ def extract_transcript_features(
     aggs: Sequence[str] = ("sum", "mean"),
     checkpoint_dir: Optional[str] = None,
     chain_block_size: Optional[int] = None,
+    prune: bool = True,
 ) -> DataFrame:
     """Point-in-time ReFeX features per turn.
 
@@ -299,6 +300,7 @@ def extract_transcript_features(
             seed_frame=seeds,
             chain_keys=("conv_id", "turn_idx"),
             checkpoint_dir=checkpoint_dir,
+            prune=prune,
             **blocked,
         )
         return rfe.extract_features().drop("node")
