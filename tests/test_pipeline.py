@@ -99,6 +99,35 @@ def test_checkpoint_resume(spark, transcripts, tmp_path):
     )
 
 
+def test_checkpoint_resume_chain_blocked(spark, transcripts, tmp_path):
+    """Resumability in blocked chain mode: a finished checkpointed run
+    is reproduced from disk, halo bookkeeping included."""
+    from graphrole_spark.pipeline import chain_seed_features, with_chain_blocks
+
+    ckpt = str(tmp_path / "ckpt_chain")
+    seeds = with_chain_blocks(
+        chain_seed_features(transcripts, with_attributes=False),
+        block_size=16, halo=2,
+    )
+    rfe = RecursiveFeatureExtractor(
+        seed_frame=seeds, chain_keys=("conv_id", "turn_idx"),
+        chain_block_col="__blk", chain_own_col="__own",
+        max_generations=3, checkpoint_dir=ckpt,
+    )
+    expected = (
+        rfe.extract_features().toPandas().set_index("node").sort_index()
+    )
+    assert rfe.lineage and "partition_rows" in rfe.lineage[0]
+
+    resumed = RecursiveFeatureExtractor.resume(spark, ckpt, max_generations=3)
+    got = resumed.extract_features().toPandas().set_index("node").sort_index()
+    import pandas as pd_
+
+    pd_.testing.assert_frame_equal(
+        got.sort_index(axis=1), expected.sort_index(axis=1)
+    )
+
+
 def test_chain_mode_matches_edges_mode(spark, transcripts):
     """The window-function recursion (chain mode) must produce exactly
     the same features as the generic join-based recursion on the same
