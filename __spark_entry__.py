@@ -171,6 +171,24 @@ def q_asof_nearest(spark, sf_dir):
     return out.select("event_id", F.round("value_asof", 6).alias("value_asof"))
 
 
+def q_asof_tolerance(spark, sf_dir):
+    """Backward as-of with a 1-hour tolerance (pandas merge_asof
+    parity): matches older than the tolerance become null."""
+    from graphrole_spark.temporal.asof import asof_join
+
+    events = _events(spark, sf_dir)
+    probes = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    refs = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        probes, refs, ["user_id"], "ts", "ts", ["value"], tolerance_seconds=3600
+    )
+    return out.select("event_id", F.round("value_asof", 6).alias("value_asof"))
+
+
 def q_backfill_backward(spark, sf_dir):
     from graphrole_spark.temporal.ops import backfill
 
@@ -708,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
+        "asof_tolerance": q_asof_tolerance,
         "range_window": q_range_window,
         "interval_count": q_interval_count,
         "streaming_sessions": q_streaming_sessions,
@@ -1177,6 +1196,15 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             LEFT JOIN b ON p.event_id = b.event_id
             LEFT JOIN f ON p.event_id = f.event_id
+        """,
+        "asof_tolerance": """
+            SELECT p.event_id,
+                   round(CASE WHEN epoch(p.ts) - epoch(r.ts) <= 3600
+                              THEN r.value END, 6) AS value_asof
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') p
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
+            ON p.user_id = r.user_id AND p.ts >= r.ts
         """,
         "minhash_dedup": f"""
             WITH t AS (SELECT doc_id,

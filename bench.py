@@ -60,6 +60,7 @@ def main() -> None:
         "asof_join",
         "asof_forward",
         "asof_nearest",
+        "asof_tolerance",
         "range_window",
         "interval_count",
         "streaming_sessions",

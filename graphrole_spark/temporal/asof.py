@@ -15,7 +15,7 @@ comparison/benchmarking).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -31,6 +31,7 @@ def asof_join(
     allow_exact_matches: bool = True,
     suffix: str = "_asof",
     direction: str = "backward",
+    tolerance_seconds: Optional[float] = None,
 ) -> DataFrame:
     """For each left row, attach the ``value_cols`` of the matching right
     row within the same ``on`` key:
@@ -41,6 +42,9 @@ def asof_join(
     * ``nearest``: whichever of the two is closer in time — ties prefer
       the backward row (documented tie policy; matches the union+window
       construction deterministically).
+
+    ``tolerance_seconds`` (pandas ``merge_asof`` parity): a match whose
+    time distance exceeds the tolerance yields null instead.
 
     All directions cost ONE shuffle + sort (the union+window trick); the
     nearest direction evaluates both fills inside the same window pass.
@@ -100,35 +104,52 @@ def asof_join(
                 F.first(f"__v_{c}", ignorenulls=True).over(w_fwd).alias(f"__f_{c}")
             )
     ts_cols = []
-    if direction == "nearest":
-        ts_cols = [
-            F.last(
-                F.when(F.col("__is_probe") == 0, F.col("__ts")), ignorenulls=True
-            ).over(w_back).alias("__b_ts"),
-            F.first(
-                F.when(F.col("__is_probe") == 0, F.col("__ts")), ignorenulls=True
-            ).over(w_fwd).alias("__f_ts"),
-        ]
+    if direction == "nearest" or tolerance_seconds is not None:
+        if need_back:
+            ts_cols.append(
+                F.last(
+                    F.when(F.col("__is_probe") == 0, F.col("__ts")), ignorenulls=True
+                ).over(w_back).alias("__b_ts")
+            )
+        if need_fwd:
+            ts_cols.append(
+                F.first(
+                    F.when(F.col("__is_probe") == 0, F.col("__ts")), ignorenulls=True
+                ).over(w_fwd).alias("__f_ts")
+            )
     filled = unioned.select("__is_probe", "__row", F.col("__ts"), *fill_cols, *ts_cols)
     probes = filled.where(F.col("__is_probe") == 1)
 
+    def _dist(ts_col: str) -> "F.Column":
+        d = F.col("__ts").cast("timestamp").cast("double") - F.col(
+            ts_col
+        ).cast("timestamp").cast("double")
+        return F.abs(d)
+
+    def _tol_guard(expr, ts_col: str):
+        if tolerance_seconds is None:
+            return expr
+        return F.when(_dist(ts_col) <= float(tolerance_seconds), expr)
+
     if direction == "backward":
-        out_vals = [F.col(f"__b_{c}").alias(f"{c}{suffix}") for c in value_cols]
+        out_vals = [
+            _tol_guard(F.col(f"__b_{c}"), "__b_ts").alias(f"{c}{suffix}")
+            for c in value_cols
+        ]
     elif direction == "forward":
-        out_vals = [F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in value_cols]
+        out_vals = [
+            _tol_guard(F.col(f"__f_{c}"), "__f_ts").alias(f"{c}{suffix}")
+            for c in value_cols
+        ]
     else:
-        bd = F.col("__ts").cast("timestamp").cast("double") - F.col(
-            "__b_ts"
-        ).cast("timestamp").cast("double")
-        fd = F.col("__f_ts").cast("timestamp").cast("double") - F.col(
-            "__ts"
-        ).cast("timestamp").cast("double")
+        bd = _dist("__b_ts")
+        fd = _dist("__f_ts")
         use_back = F.col("__f_ts").isNull() | (
             F.col("__b_ts").isNotNull() & (bd <= fd)
         )
         out_vals = [
-            F.when(use_back, F.col(f"__b_{c}"))
-            .otherwise(F.col(f"__f_{c}"))
+            F.when(use_back, _tol_guard(F.col(f"__b_{c}"), "__b_ts"))
+            .otherwise(_tol_guard(F.col(f"__f_{c}"), "__f_ts"))
             .alias(f"{c}{suffix}")
             for c in value_cols
         ]
