@@ -13,8 +13,7 @@ scale to billions of documents:
   rolling-hash fingerprinting.
 """
 
-from __future__ import annotations
-
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -300,16 +299,40 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for given (doc_a, doc_b) candidate pairs."""
-    sh = documents.select("doc_id", shingles(F.col(text_col), n).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    """Exact n-gram Jaccard for given (doc_a, doc_b) candidate pairs.
+
+    The candidate list bounds the work, so the texts (not shingle
+    arrays) ride the pair join and one Arrow ``pandas_udf`` computes
+    the Jaccard of the distinct word-n-gram sets per pair — identical
+    values to the JVM ``shingles``/``array_intersect`` form (same sets),
+    without evaluating an interpreted HOF per shingle."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        def grams(text):
+            toks = _re.sub(r" +", " ", (text or "").strip()).split(" ")
+            upper = max(len(toks) - n, 0)
+            return {" ".join(toks[i : i + n]) for i in range(upper + 1)}
+
+        out = []
+        for x, y in zip(ta, tb):
+            ga, gb = grams(x), grams(y)
+            union = len(ga | gb)
+            out.append(len(ga & gb) / union if union else None)
+        return pd.Series(out, dtype="float64")
+
+    a = documents.select(F.col("doc_id").alias("doc_a"), F.col(text_col).alias("__ta"))
+    b = documents.select(F.col("doc_id").alias("doc_b"), F.col(text_col).alias("__tb"))
     return (
         candidate_pairs.join(a, "doc_a").join(b, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(pair_jaccard(F.col("__ta"), F.col("__tb")), 6).alias("jaccard"),
+        )
     )
 
 
