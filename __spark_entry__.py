@@ -576,13 +576,31 @@ def q_rolx_roles(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    from graphrole_spark.functions.multimodal import (
-        extract_media_features,
-        synthesize_media,
-    )
+    """Multimodal decode plumbing, value-checked: wrap each document's
+    text bytes as an opaque binary payload, run the real Arrow
+    ``mapInPandas`` decode/featurize operator, and project three feature
+    lanes. The deterministic fake decoder is sha256-of-payload bytes, so
+    DuckDB can recompute the exact values (oracle below) — the full
+    plan (binary column, batch iteration, schema) is the production one."""
+    from graphrole_spark.functions.multimodal import extract_media_features
 
-    media = synthesize_media(spark, 200)
-    return extract_media_features(media).select("media_id", "kind")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(0).alias("duration_ms"),
+    )
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+        F.round(F.element_at("features", 16), 6).alias("f15"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -594,6 +612,16 @@ def q_dedup_exact(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return exact_duplicates(docs)
+
+
+def q_corpus_clean(spark, sf_dir):
+    """Composite training-data prep: quality gate + exact dedup in one
+    pipeline (the filter runs before the shuffle; only hash+metrics
+    cross the wire)."""
+    from graphrole_spark.functions.text import clean_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return clean_corpus(docs, min_tokens=20, min_alpha=0.81)
 
 
 def q_token_count(spark, sf_dir):
@@ -754,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolx_roles": q_rolx_roles,
         "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
+        "corpus_clean": q_corpus_clean,
         "token_count": q_token_count,
         "quality": q_quality,
         "lang_guess": q_lang_guess,
@@ -1128,10 +1157,41 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 6) AS p90
             FROM events GROUP BY event_type
         """,
+        "media_features": """
+            -- fake decoder = sha256(payload bytes); payload = utf-8 text.
+            -- feature[i] = digest_byte[i] / 256, recomputed here from the
+            -- hex digest (byte k = hex chars 2k+1..2k+2)
+            WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+            SELECT media_id,
+                   round(((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) / 256.0, 6) AS f0,
+                   round(((strpos('0123456789abcdef', substr(hx, 15, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substr(hx, 16, 1)) - 1) / 256.0, 6) AS f7,
+                   round(((strpos('0123456789abcdef', substr(hx, 31, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substr(hx, 32, 1)) - 1) / 256.0, 6) AS f15
+            FROM h
+        """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc,
                    count(*) AS n_docs
             FROM documents GROUP BY md5(text)
+        """,
+        "corpus_clean": """
+            WITH m AS (
+              SELECT doc_id, md5(text) AS h, length(text) AS n_chars,
+                     CASE WHEN length(regexp_replace(trim(text), ' +', ' ', 'g')) = 0 THEN 0
+                          ELSE length(regexp_replace(trim(text), ' +', ' ', 'g'))
+                             - length(replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', ''))
+                             + 1 END AS n_tokens,
+                     round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
+                           greatest(length(text), 1), 6) AS alpha_ratio
+              FROM documents),
+            g AS (SELECT * FROM m WHERE n_tokens >= 20 AND alpha_ratio >= 0.81)
+            SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars,
+                   min(n_tokens) AS n_tokens,
+                   round(min(alpha_ratio), 6) AS alpha_ratio,
+                   count(*) AS n_copies
+            FROM g GROUP BY h
         """,
         "token_count": """
             SELECT doc_id,
@@ -1281,7 +1341,6 @@ def oracle_sql() -> dict[str, str]:
         #     simhash_frame == simhash64 exactly; lsh recall vs brute force);
         #   rolx_roles — NMF + MDL grid, not SQL (pytest: shapes, row-sums,
         #     seeded model selection, distributed-vs-oracle parity);
-        #   media_features — binary decode plumbing (deterministic fake);
         #   refex_pipeline — multi-generation loop with data-dependent
         #     pruning; its pieces ARE value-checked (log_binning,
         #     refex_gen1/gen2, chain_seeds);

@@ -365,6 +365,50 @@ def language_guess(text: Column) -> Column:
     return out
 
 
+def clean_corpus(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_alpha: float = 0.3,
+) -> DataFrame:
+    """End-to-end training-corpus cleaning pass: quality gate + exact
+    dedup, the first two stages of every pre-training data pipeline.
+
+    1. quality gate — at least ``min_tokens`` whitespace tokens and
+       ``alpha_ratio >= min_alpha`` (both pure codegen expressions);
+    2. exact dedup — one surviving row per distinct content hash,
+       keeping the smallest ``doc_id`` and counting the copies.
+
+    Scale shape: the gate runs BEFORE the dedup shuffle, so only
+    surviving rows (hash + metrics, never the text) cross the wire; the
+    dedup itself is a single hash-partitioned groupBy with map-side
+    partial aggregation.
+
+    Returns ``(doc_id, n_chars, n_tokens, alpha_ratio, n_copies)``.
+    """
+    t = F.col(text_col)
+    gated = documents.select(
+        "doc_id",
+        F.md5(t).alias("__h"),
+        F.length(t).cast("long").alias("n_chars"),
+        token_count(t).cast("long").alias("n_tokens"),
+        alpha_ratio(t).alias("alpha_ratio"),
+    ).where(
+        (F.col("n_tokens") >= min_tokens) & (F.col("alpha_ratio") >= min_alpha)
+    )
+    return (
+        gated.groupBy("__h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_chars").alias("n_chars"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("alpha_ratio").alias("alpha_ratio"),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("__h")
+    )
+
+
 def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: length, tokens, alpha ratio,
     mean token length — the standard pre-training quality filters."""

@@ -52,6 +52,7 @@ from graphrole_spark.operators.binning import capped_melt, chunked_bin_boundarie
 from graphrole_spark.operators.pruning import chebyshev_distances_arrow
 from graphrole_spark.operators.seeds import seed_features, symmetrize
 from graphrole_spark.oracle.binning import bin_boundaries
+from graphrole_spark.operators.model import FeatureModel
 from graphrole_spark.oracle.prune import group_feature_names, select_features_to_drop
 
 _CHAIN_AGGS = {"sum", "mean", "avg", "max", "min"}
@@ -111,7 +112,15 @@ class RecursiveFeatureExtractor:
         chain_own_col: Optional[str] = None,
         prune: bool = True,
         histogram_cap: int = 1_000_000,
+        model: Optional[FeatureModel] = None,
     ) -> None:
+        # transform mode: a frozen FeatureModel replays a fitted run's
+        # pruning decisions — no histogram, no Chebyshev, no driver
+        # actions; aggs and depth come from the model so the generated
+        # feature names line up with the recorded ones
+        if model is not None:
+            aggs = list(model.aggs)
+            max_generations = min(max_generations, model.max_generation + 1)
         # reference front door: a networkx/igraph object is accepted in
         # place of an edge DataFrame and converted once on the driver
         # (reference dispatch: graph/interface/__init__.py:39-53)
@@ -174,6 +183,7 @@ class RecursiveFeatureExtractor:
         self.binning_frac = binning_frac
         self.seed_frame = seed_frame
         self.prune = prune
+        self.model = model
         # bounded-driver guarantee: never collect more than this many
         # histogram rows per feature in one chunk (SURVEY §7 risk 2)
         self.histogram_cap = int(histogram_cap)
@@ -213,6 +223,15 @@ class RecursiveFeatureExtractor:
 
     def retained_by_generation(self) -> Dict[int, List[str]]:
         return {g: list(d.keys()) for g, d in self._generation_dict.items()}
+
+    def fitted_model(self) -> FeatureModel:
+        """Frozen model of this run's pruning decisions (fit/transform
+        split): replay it on new data via the ``model=`` constructor
+        argument or :func:`pipeline.transform_transcript_features` —
+        zero per-generation driver actions, no train/serve skew."""
+        if not self._generation_dict:
+            raise ValueError("extract_features() has not run yet")
+        return FeatureModel.from_extractor(self)
 
     @property
     def lineage(self) -> List[dict]:
@@ -332,6 +351,39 @@ class RecursiveFeatureExtractor:
     def _update(self, new_frame: Optional[DataFrame], gen: int) -> List[str]:
         t0 = time.time()
         combined, new_cols = self._combine(new_frame, gen)
+        if self.model is not None:
+            # frozen-model replay: retained set comes from the fit, the
+            # generation stays a lazy projection (chain mode: zero
+            # driver actions across the whole recursion)
+            retained = self.model.check_generation(gen, new_cols)
+            if retained is None:
+                return []
+            self._generation_dict[gen] = dict.fromkeys(retained)
+            self._active_cols = (
+                list(new_cols) if gen == 0 else self._active_cols + list(new_cols)
+            )
+            self._retained_order.extend(retained)
+            if self.checkpoint_dir:
+                self._state = self._checkpoint(combined.persist(), gen)
+            elif not self.chain_keys:
+                self._state = combined.persist()
+            else:
+                self._state = combined
+            self._lineage.append(
+                {
+                    "generation": gen,
+                    "retained": retained,
+                    "dropped": sorted(set(new_cols) - set(retained)),
+                    "row_count": None,
+                    "n_features": len(self._active_cols),
+                    "seconds": round(time.time() - t0, 3),
+                    "rows_per_sec": None,
+                    "mode": "transform",
+                }
+            )
+            if self.checkpoint_dir:
+                self._write_lineage(done=False)
+            return retained
         if not self.prune:
             # no pruning: nothing to measure, nothing to collect — the
             # generation is a lazy projection (chain mode: pure window
@@ -444,6 +496,12 @@ class RecursiveFeatureExtractor:
             "chebyshev_sec": round(t_cheb, 3),
             "seconds": round(time.time() - t0, 3),
             "rows_per_sec": round(row_count / max(time.time() - t0, 1e-9), 1),
+            # audit record: the frozen log-bin boundaries the pruning
+            # decisions for first-seen columns were measured with (lets
+            # FeatureModel.from_checkpoint reconstruct the full model)
+            "boundaries": {
+                c: [float(x) for x in self._bounds_cache[c][0]] for c in to_melt
+            },
         }
         if self.checkpoint_dir and getattr(self, "_last_ckpt_partitions", None):
             entry["checkpoint_partitions"] = len(self._last_ckpt_partitions)

@@ -264,7 +264,9 @@ def extract_transcript_features(
     checkpoint_dir: Optional[str] = None,
     chain_block_size: Optional[int] = None,
     prune: bool = True,
-) -> DataFrame:
+    model=None,
+    return_extractor: bool = False,
+):
     """Point-in-time ReFeX features per turn.
 
     ``cutoff_ts`` restricts the input to turns with ``ts <= cutoff``
@@ -273,7 +275,13 @@ def extract_transcript_features(
     cutoff t computed on the full table are identical to recomputing on
     the physical prefix (property-tested in tests/test_pipeline.py).
 
-    Returns (conv_id, turn_idx, <feature columns...>).
+    ``model`` (a :class:`~graphrole_spark.operators.model.FeatureModel`)
+    switches to transform mode: the frozen pruning decisions are
+    replayed, depth/aggs come from the model, and in chain mode the
+    whole recursion is one lazy plan with zero driver actions.
+
+    Returns (conv_id, turn_idx, <feature columns...>); with
+    ``return_extractor=True``, a ``(frame, extractor)`` pair.
     """
     t = transcripts
     if cutoff_ts is not None:
@@ -301,9 +309,11 @@ def extract_transcript_features(
             chain_keys=("conv_id", "turn_idx"),
             checkpoint_dir=checkpoint_dir,
             prune=prune,
+            model=model,
             **blocked,
         )
-        return rfe.extract_features().drop("node")
+        out = rfe.extract_features().drop("node")
+        return (out, rfe) if return_extractor else out
 
     edges = derive_edges(t, lag_k=lag_k)
     from graphrole_spark.operators.seeds import seed_features as generic_seeds
@@ -314,6 +324,7 @@ def extract_transcript_features(
         max_generations=max_generations,
         aggs=aggs,
         checkpoint_dir=checkpoint_dir,
+        model=model,
     )
     feats = rfe.extract_features()
     keyed = feats.withColumn("__parts", F.split(F.col("node"), "#")).select(
@@ -321,4 +332,60 @@ def extract_transcript_features(
         F.col("__parts").getItem(1).cast("int").alias("turn_idx"),
         *[c for c in feats.columns if c != "node"],
     )
-    return keyed
+    return (keyed, rfe) if return_extractor else keyed
+
+
+def fit_transcript_features(transcripts: DataFrame, **kwargs):
+    """Fit pass: extract features AND return the frozen
+    :class:`FeatureModel` of the pruning decisions, for later
+    :func:`transform_transcript_features` / incremental updates."""
+    feats, rfe = extract_transcript_features(
+        transcripts, return_extractor=True, **kwargs
+    )
+    return feats, rfe.fitted_model()
+
+
+def transform_transcript_features(
+    transcripts: DataFrame, model, **kwargs
+) -> DataFrame:
+    """Serve pass: replay a fitted model on (new) data.
+
+    No histogram or Chebyshev statistics are recomputed — in chain mode
+    the entire multi-generation recursion compiles to ONE lazy plan
+    (window selects over a single conversation partitioning, zero
+    driver actions, no extra exchanges), the configuration to use when
+    transforming the 10^12-turn table with a model fitted on a sample
+    or on yesterday's run. Output is bit-identical to the fit on the
+    same input (tests/test_model.py).
+    """
+    return extract_transcript_features(transcripts, model=model, **kwargs)
+
+
+def update_transcript_features(
+    transcripts: DataFrame,
+    delta: DataFrame,
+    prev_features: DataFrame,
+    model,
+    **kwargs,
+) -> DataFrame:
+    """Incremental feature maintenance after an append of new turns.
+
+    Every feature window partitions by ``conv_id``, so appended turns
+    can only change features of their own conversations. Given the full
+    updated table, the appended rows (``delta``), the previous feature
+    frame and the frozen model, this recomputes exactly the dirty
+    conversations and reuses the rest:
+
+    * dirty set = distinct ``conv_id`` of ``delta`` — a daily append on
+      a 10^12-turn corpus touches a small fraction of conversations, so
+      the semi/anti joins broadcast the dirty list (AQE);
+    * result is bit-identical to ``transform_transcript_features`` of
+      the whole updated table under the same model (property-tested),
+      at the cost of only the dirty conversations' recompute.
+    """
+    dirty = delta.select("conv_id").distinct()
+    recomputed = transform_transcript_features(
+        transcripts.join(dirty, "conv_id", "left_semi"), model, **kwargs
+    )
+    kept = prev_features.join(dirty, "conv_id", "left_anti")
+    return kept.unionByName(recomputed.select(*kept.columns))
