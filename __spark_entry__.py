@@ -575,6 +575,26 @@ def q_rolx_roles(spark, sf_dir):
     return ext.roles.groupBy("role").agg(F.count("*").alias("n_entities"))
 
 
+def q_rolx_multicutoff(spark, sf_dir):
+    """north_star surface: role memberships per entity×timestamp —
+    joint NMF over the leakage-free multi-cutoff feature frame
+    (rows-only: NMF is not SQL)."""
+    from graphrole_spark.pipeline import extract_roles_at_cutoffs
+
+    t = _events_as_transcripts(spark, sf_dir)
+    qs = t.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), 0.5) p50",
+        "percentile(cast(cast(ts as timestamp) as double), 1.0) p100",
+    ).collect()[0]
+    import pandas as pd
+
+    cutoffs = [pd.Timestamp(qs["p50"], unit="s"), pd.Timestamp(qs["p100"], unit="s")]
+    roles = extract_roles_at_cutoffs(
+        t, cutoffs, n_roles=3, max_generations=2
+    )
+    return roles.groupBy("cutoff_ts", "role").agg(F.count("*").alias("n_entities"))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal decode plumbing, value-checked: wrap each document's
     text bytes as an opaque binary payload, run the real Arrow
@@ -780,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_rank": q_dense_rank,
         "percentiles": q_percentiles,
         "rolx_roles": q_rolx_roles,
+        "rolx_multicutoff": q_rolx_multicutoff,
         "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
@@ -1339,7 +1360,7 @@ def oracle_sql() -> dict[str, str]:
         #   simhash_dedup, lsh_topk, rolling_fingerprint — xxhash64-family
         #     values, no portable SQL equivalent (pytest parity instead:
         #     simhash_frame == simhash64 exactly; lsh recall vs brute force);
-        #   rolx_roles — NMF + MDL grid, not SQL (pytest: shapes, row-sums,
+        #   rolx_roles, rolx_multicutoff — NMF + MDL grid, not SQL (pytest: shapes, row-sums,
         #     seeded model selection, distributed-vs-oracle parity);
         #   refex_pipeline — multi-generation loop with data-dependent
         #     pruning; its pieces ARE value-checked (log_binning,

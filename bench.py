@@ -42,11 +42,25 @@ def main() -> None:
     n_turns = transcripts.count()
 
     t0 = time.time()
-    feats = extract_transcript_features(transcripts, max_generations=4)
+    feats, rfe = extract_transcript_features(
+        transcripts, max_generations=4, return_extractor=True
+    )
     n_rows = feats.count()
     refex_sec = time.time() - t0
     timings["refex_pipeline_synth"] = round(refex_sec, 3)
     turns_per_sec = n_turns / refex_sec
+
+    # -- serve path: replay the frozen model (fit/transform split) ---------
+    # same features, but the recursion is ONE lazy plan with zero
+    # per-generation driver actions — the configuration for transforming
+    # the full-scale table with a model fitted on a sample
+    model = rfe.fitted_model()
+    t0 = time.time()
+    extract_transcript_features(transcripts, model=model).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    transform_sec = time.time() - t0
+    timings["refex_transform_synth"] = round(transform_sec, 3)
     transcripts.unpersist()
 
     # -- operator suite on the shared sf tables ------------------------------
@@ -84,8 +98,10 @@ def main() -> None:
         "daily_counts",
         "dense_rank",
         "dedup_exact",
+        "corpus_clean",
         "token_count",
         "quality",
+        "media_features",
         "minhash_dedup",
         "ngram_jaccard",
         "rolling_fingerprint",
@@ -113,6 +129,7 @@ def main() -> None:
                 "turns": n_turns,
                 "feature_rows": n_rows,
                 "turns_per_sec": round(turns_per_sec, 1),
+                "transform_turns_per_sec": round(n_turns / transform_sec, 1),
                 "cpus": CPUS,
             }
         )

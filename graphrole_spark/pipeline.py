@@ -254,6 +254,52 @@ def extract_features_at_cutoffs(
     return out
 
 
+def extract_roles_at_cutoffs(
+    transcripts: DataFrame,
+    cutoffs,
+    n_roles: Optional[int] = None,
+    soft: bool = False,
+    share_scan: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """Role memberships per entity × timestamp (the north_star output):
+    ``(conv_id, turn_idx, cutoff_ts, role...)`` with zero temporal
+    leakage — every underlying feature uses only turns with
+    ``ts <= cutoff`` (structural property of
+    :func:`extract_features_at_cutoffs`).
+
+    ONE role model (NMF, reference RolX semantics) is fitted jointly
+    over all (entity, cutoff) feature rows, so role labels are
+    comparable across cutoffs and the factorization is paid once — the
+    scale path for "how did this entity's role evolve over time"
+    queries. ``soft=True`` returns role percentages instead of the hard
+    argmax assignment.
+    """
+    from graphrole_spark.roles.extract import RoleExtractor
+
+    feats = extract_features_at_cutoffs(
+        transcripts, cutoffs, share_scan=share_scan, **kwargs
+    )
+    key_cols = ("conv_id", "turn_idx", "cutoff_ts")
+    value_cols = [c for c in feats.columns if c not in key_cols]
+    nodeframe = feats.select(
+        F.concat_ws(
+            "#", "conv_id", "turn_idx", F.col("cutoff_ts").cast("string")
+        ).alias("node"),
+        *value_cols,
+    )
+    ext = RoleExtractor(n_roles=n_roles)
+    ext.extract_role_factors(nodeframe)
+    roles = ext.role_percentage if soft else ext.roles
+    parts = F.split(F.col("node"), "#", 3)
+    return roles.select(
+        parts.getItem(0).alias("conv_id"),
+        parts.getItem(1).cast("int").alias("turn_idx"),
+        parts.getItem(2).cast("timestamp").alias("cutoff_ts"),
+        *[c for c in roles.columns if c != "node"],
+    )
+
+
 def extract_transcript_features(
     transcripts: DataFrame,
     cutoff_ts=None,

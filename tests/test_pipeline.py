@@ -218,6 +218,36 @@ def test_multi_cutoff_features_shared_scan(spark, transcripts):
         assert np.allclose(sliced[common].values, solo[common].values)
 
 
+def test_roles_at_cutoffs(spark, transcripts):
+    """north_star surface: role memberships per entity×timestamp. One
+    joint NMF over all (entity, cutoff) rows — labels comparable across
+    cutoffs; features underneath are the leakage-free multi-cutoff
+    frame."""
+    from graphrole_spark.pipeline import (
+        extract_features_at_cutoffs,
+        extract_roles_at_cutoffs,
+    )
+
+    cutoffs = _cutoffs(transcripts)
+    hard = extract_roles_at_cutoffs(
+        transcripts, cutoffs, n_roles=3, max_generations=2
+    ).toPandas()
+    assert set(hard.columns) == {"conv_id", "turn_idx", "cutoff_ts", "role"}
+    assert hard.role.notna().all()
+    assert {pd.Timestamp(c) for c in hard.cutoff_ts.unique()} == set(cutoffs)
+    n_feat_rows = extract_features_at_cutoffs(
+        transcripts, cutoffs, max_generations=2
+    ).count()
+    assert len(hard) == n_feat_rows
+
+    soft = extract_roles_at_cutoffs(
+        transcripts, cutoffs, n_roles=3, soft=True, max_generations=2
+    ).toPandas()
+    role_cols = [c for c in soft.columns if c.startswith("role_")]
+    assert len(role_cols) == 3
+    assert np.allclose(soft[role_cols].sum(axis=1), 1.0)
+
+
 def test_blocked_chain_mode_matches_unblocked(spark):
     """Skew-bounded (halo-blocked) chain windows must produce exactly
     the whole-conversation result: same retained names, allclose values
