@@ -11,6 +11,16 @@ Cluster usage (north_rule: spark-submit --py-files on multi-executor):
 Local smoke:
 
     python scripts/run_pipeline.py --synthesize 1000 --output /tmp/feats
+
+Fit / transform / incremental (FeatureModel):
+
+    # fit once, freeze the pruning decisions
+    ... run_pipeline.py --input T0 --output /data/f0 --save-model /data/m.json
+    # serve path: replay on the full table (zero per-generation actions)
+    ... run_pipeline.py --input T --output /data/f --model /data/m.json
+    # daily append: recompute only the touched conversations
+    ... run_pipeline.py --input T --update-delta /data/delta \
+        --prev-features /data/f0 --model /data/m.json --output /data/f1
 """
 
 from __future__ import annotations
@@ -36,6 +46,18 @@ def main() -> None:
                    help="halo-blocked chain windows: bound window-task size "
                         "under heavy-tail conversations (identical results)")
     p.add_argument("--resume", action="store_true", help="resume from --checkpoint")
+    p.add_argument("--save-model", default=None,
+                   help="after the fit, save the frozen FeatureModel "
+                        "(pruning decisions + bin boundaries) as JSON here")
+    p.add_argument("--model", default=None,
+                   help="transform mode: replay a saved FeatureModel "
+                        "(zero per-generation driver actions) instead of fitting")
+    p.add_argument("--update-delta", default=None,
+                   help="incremental mode: path of the appended turns; "
+                        "recomputes only their conversations under --model, "
+                        "reusing --prev-features for the rest")
+    p.add_argument("--prev-features", default=None,
+                   help="previous feature parquet for --update-delta")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,15 +76,39 @@ def main() -> None:
     else:
         p.error("provide --input or --synthesize")
 
+    model = None
+    if args.model:
+        from graphrole_spark.operators.model import FeatureModel
+
+        model = FeatureModel.load(args.model)
+
     t0 = time.time()
-    feats = extract_transcript_features(
-        transcripts,
-        cutoff_ts=args.cutoff,
-        max_generations=args.generations,
-        checkpoint_dir=args.checkpoint,
-        chain_block_size=args.block_size,
-    )
+    if args.update_delta:
+        if not (model and args.prev_features):
+            p.error("--update-delta requires --model and --prev-features")
+        from graphrole_spark.pipeline import update_transcript_features
+
+        feats = update_transcript_features(
+            transcripts,
+            load_transcripts(spark, args.update_delta),
+            spark.read.parquet(args.prev_features),
+            model,
+            chain_block_size=args.block_size,
+        )
+        rfe = None
+    else:
+        feats, rfe = extract_transcript_features(
+            transcripts,
+            cutoff_ts=args.cutoff,
+            max_generations=args.generations,
+            checkpoint_dir=args.checkpoint,
+            chain_block_size=args.block_size,
+            model=model,
+            return_extractor=True,
+        )
     feats.write.mode("overwrite").parquet(args.output)
+    if args.save_model and rfe is not None:
+        rfe.fitted_model().save(args.save_model)
     n = spark.read.parquet(args.output).count()
     sec = time.time() - t0
     print(json.dumps({"rows": n, "seconds": round(sec, 2), "rows_per_sec": round(n / sec, 1)}))

@@ -57,6 +57,23 @@ def test_prune_false_recursion_exchange_free_after_seeds(spark, transcripts):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
 
 
+def test_transform_recursion_single_exchange(spark, transcripts):
+    """Frozen-model transform (the serve path): the whole fitted-depth
+    recursion — including its pruning decisions — must compile to one
+    lazy plan with exactly the seed exchange, exactly like prune=False,
+    even though the fit used data-dependent pruning."""
+    from graphrole_spark.pipeline import fit_transcript_features
+
+    _, model = fit_transcript_features(transcripts, max_generations=3)
+    # drop the fit's persisted frames: cache-manager plan matching would
+    # otherwise substitute InMemoryRelations (whose rendered build plans
+    # include their exchanges) into the transform's tree
+    spark.catalog.clearCache()
+    out = extract_transcript_features(transcripts, model=model)
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+
+
 def test_parquet_scan_prunes_columns(spark):
     """Filter + projection reach the parquet scan (ReadSchema pruned)."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
