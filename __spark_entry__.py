@@ -394,6 +394,39 @@ def q_refex_gen2(spark, sf_dir):
     )
 
 
+def q_refex_transform(spark, sf_dir):
+    """Frozen-model transform path, value-checked: a static FeatureModel
+    prunes `degree(sum)` at generation 1, so generation 2 expands ONLY
+    `degree(mean)` — the replay must drop the right columns AND stop
+    expanding them. The closed forms of the retained features are the
+    corresponding columns of the refex_gen2 oracle."""
+    from graphrole_spark.operators.model import FeatureModel
+    from graphrole_spark.operators.recursion import RecursiveFeatureExtractor
+    from graphrole_spark.pipeline import chain_seed_features
+
+    t = _events_as_transcripts(spark, sf_dir)
+    seeds = chain_seed_features(t, with_attributes=False).select(
+        "node", "conv_id", "turn_idx", "degree"
+    )
+    model = FeatureModel(
+        generations={0: ["degree"], 1: ["degree(mean)"], 2: ["degree(mean)(sum)"]},
+        aggs=["sum", "mean"],
+    )
+    rfe = RecursiveFeatureExtractor(
+        seed_frame=seeds, chain_keys=("conv_id", "turn_idx"), model=model
+    )
+    feats = rfe.extract_features()
+    mapped = t.select("event_id", "conv_id", "turn_idx").join(
+        feats, ["conv_id", "turn_idx"]
+    )
+    return mapped.select(
+        "event_id",
+        F.round("degree", 6).alias("degree"),
+        F.round(F.col("degree(mean)"), 6).alias("degree_mean"),
+        F.round(F.col("degree(mean)(sum)"), 6).alias("degree_mean_sum"),
+    )
+
+
 _MC_CUTOFFS = ["2024-01-10 00:00:00", "2024-01-31 00:00:00"]
 
 
@@ -786,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refex_gen1": q_refex_gen1,
         "log_binning": q_log_binning,
         "refex_gen2": q_refex_gen2,
+        "refex_transform": q_refex_transform,
         "refex_multicutoff": q_refex_multicutoff,
         "egonet": q_egonet,
         "groupby_agg": q_groupby_agg,
@@ -1043,6 +1077,42 @@ def oracle_sql() -> dict[str, str]:
                    round(degree_mean_sum, 6) AS degree_mean_sum,
                    round(CASE WHEN nbr_cnt > 0 THEN degree_mean_sum / nbr_cnt ELSE 0 END, 6)
                      AS degree_mean_mean
+            FROM g2
+        """,
+        "refex_transform": f"""
+            -- frozen-model replay: retained = degree, degree(mean),
+            -- degree(mean)(sum); the dropped degree(sum) must neither
+            -- appear nor be expanded (schema check enforces it)
+            WITH {_ORDERED_CTE},
+            deg AS (
+              SELECT event_id, user_id, turn_idx,
+                     CAST((CASE WHEN turn_idx > 0 THEN 1 ELSE 0 END) +
+                          (CASE WHEN turn_idx < n_turns - 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS degree
+              FROM ordered),
+            g1 AS (
+              SELECT *,
+                     (CASE WHEN lag(degree)  OVER w IS NULL THEN 0 ELSE 1 END +
+                      CASE WHEN lead(degree) OVER w IS NULL THEN 0 ELSE 1 END) AS nbr_cnt,
+                     COALESCE(lag(degree)  OVER w, 0) +
+                     COALESCE(lead(degree) OVER w, 0) AS degree_sum
+              FROM deg
+              WINDOW w AS (PARTITION BY user_id ORDER BY turn_idx)),
+            g1m AS (
+              SELECT *,
+                     CASE WHEN nbr_cnt > 0 THEN degree_sum / nbr_cnt ELSE 0 END
+                       AS degree_mean
+              FROM g1),
+            g2 AS (
+              SELECT *,
+                     COALESCE(lag(degree_mean)  OVER w, 0) +
+                     COALESCE(lead(degree_mean) OVER w, 0) AS degree_mean_sum
+              FROM g1m
+              WINDOW w AS (PARTITION BY user_id ORDER BY turn_idx))
+            SELECT event_id,
+                   round(degree, 6) AS degree,
+                   round(degree_mean, 6) AS degree_mean,
+                   round(degree_mean_sum, 6) AS degree_mean_sum
             FROM g2
         """,
         "refex_multicutoff": f"""

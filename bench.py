@@ -85,6 +85,7 @@ def main() -> None:
         "chain_seeds",
         "refex_gen1",
         "refex_gen2",
+        "refex_transform",
         "refex_multicutoff",
         "log_binning",
         "groupby_agg",

@@ -24,27 +24,44 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, os.environ["REPO"])
 from graphrole_spark.session import get_spark
-from graphrole_spark.pipeline import extract_transcript_features
+from graphrole_spark.pipeline import (
+    extract_transcript_features,
+    fit_transcript_features,
+    transform_transcript_features,
+)
 from graphrole_spark.sources.transcripts import synthesize_transcripts
 
 cores = int(sys.argv[1])
 n_convs = int(sys.argv[2])
+mode = sys.argv[3] if len(sys.argv) > 3 else "fit"
 spark = get_spark(f"scaling_{cores}", cores=cores)
 t = synthesize_transcripts(spark, n_convs, seed=42).persist()
 n_turns = t.count()
-t0 = time.time()
-feats = extract_transcript_features(t, max_generations=4)
-feats.count()
+if mode == "transform":
+    # serve topology: model fitted (untimed) on a small sample, the big
+    # table transformed under the frozen model — zero per-generation
+    # driver actions, so the measured section is pure parallel work
+    sample = synthesize_transcripts(spark, 2000, seed=42)
+    _, model = fit_transcript_features(sample, max_generations=4)
+    spark.catalog.clearCache()
+    t = t.persist()
+    t.count()
+    t0 = time.time()
+    transform_transcript_features(t, model).count()
+else:
+    t0 = time.time()
+    feats = extract_transcript_features(t, max_generations=4)
+    feats.count()
 sec = time.time() - t0
 print(json.dumps({"cores": cores, "turns": n_turns, "sec": round(sec, 3),
-                  "turns_per_sec": round(n_turns / sec, 1)}))
+                  "turns_per_sec": round(n_turns / sec, 1), "mode": mode}))
 """
 
 
-def run(cores: int, n_convs: int) -> dict:
+def run(cores: int, n_convs: int, mode: str = "fit") -> dict:
     env = dict(os.environ, REPO=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cores), str(n_convs)],
+        [sys.executable, "-c", CHILD, str(cores), str(n_convs), mode],
         capture_output=True, text=True, env=env, cwd=REPO, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -52,6 +69,7 @@ def run(cores: int, n_convs: int) -> dict:
 
 def main() -> None:
     n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "25000"))
+    mode = os.environ.get("SPARK_GRAFT_SCALING_MODE", "fit")
     lo_cores, hi_cores = (
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
     )
@@ -61,13 +79,14 @@ def main() -> None:
     # min-of-N interleaved is robust to contention spikes
     lo_runs, hi_runs = [], []
     for _ in range(repeats):
-        lo_runs.append(run(lo_cores, n_convs))
-        hi_runs.append(run(hi_cores, n_convs))
+        lo_runs.append(run(lo_cores, n_convs, mode))
+        hi_runs.append(run(hi_cores, n_convs, mode))
     lo = min(lo_runs, key=lambda r: r["sec"])
     hi = min(hi_runs, key=lambda r: r["sec"])
     speedup = lo["sec"] / hi["sec"]
     eff = speedup / (hi_cores / lo_cores)
     result = {
+        "mode": mode,
         "n_convs": n_convs,
         "turns": hi["turns"],
         "lo": lo,

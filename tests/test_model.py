@@ -96,6 +96,28 @@ def test_incremental_update_equals_full_transform(spark, turns):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_incremental_update_with_new_conversations(spark, turns):
+    """A delta containing entirely NEW conversations (not just appended
+    turns) must also land: the semi join recomputes them, the anti join
+    keeps everything else."""
+    new_convs = synthesize_transcripts(spark, 80, seed=99).where(
+        F.col("conv_id").isin(
+            [r.conv_id for r in
+             synthesize_transcripts(spark, 80, seed=99)
+             .select("conv_id").distinct().limit(10).collect()]
+        )
+    ).withColumn("conv_id", F.concat(F.lit("new_"), "conv_id"))
+    full = turns.unionByName(new_convs)
+
+    feats0, model = fit_transcript_features(turns, max_generations=3)
+    updated = update_transcript_features(full, new_convs, feats0, model)
+    expected = transform_transcript_features(full, model)
+
+    a, b = _sorted_pdf(updated), _sorted_pdf(expected)
+    assert a.conv_id.str.startswith("new_").sum() > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_transform_rejects_drifted_config(spark, turns):
     _, model = fit_transcript_features(turns, max_generations=3)
     with pytest.raises(ValueError, match="drift"):
