@@ -667,6 +667,15 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(docs)
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer segment count (letter runs / digit runs /
+    punctuation glyphs) — the token-budget proxy, JVM regexp_count."""
+    from graphrole_spark.functions.text import bpe_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
 def q_corpus_clean(spark, sf_dir):
     """Composite training-data prep: quality gate + exact dedup in one
     pipeline (the filter runs before the shuffle; only hash+metrics
@@ -838,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
+        "token_count_bpe": q_token_count_bpe,
         "token_count": q_token_count,
         "quality": q_quality,
         "lang_guess": q_lang_guess,
@@ -1283,6 +1293,12 @@ def oracle_sql() -> dict[str, str]:
                    round(min(alpha_ratio), 6) AS alpha_ratio,
                    count(*) AS n_copies
             FROM g GROUP BY h
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                     AS n_bpe_tokens
+            FROM documents
         """,
         "token_count": """
             SELECT doc_id,

@@ -101,6 +101,7 @@ def main() -> None:
         "dedup_exact",
         "corpus_clean",
         "token_count",
+        "token_count_bpe",
         "quality",
         "media_features",
         "minhash_dedup",

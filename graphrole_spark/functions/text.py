@@ -33,6 +33,20 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), " +")
 
 
+# deliberately lookahead-free so Java regex (Spark) and RE2 (DuckDB
+# oracle) agree: letter runs | digit runs | single non-alnum glyphs —
+# the segmentation a byte-level BPE pre-tokenizer starts from
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish pre-tokenizer segment count (the training-cost proxy a
+    data pipeline budgets with, vs the whitespace count of
+    :func:`token_count`): counts letter runs, digit runs and individual
+    punctuation glyphs via one codegen ``regexp_count`` — no Python."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN))
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams as an array column (JVM higher-order fns)."""
     toks = tokens(text)

@@ -47,7 +47,11 @@ if mode == "transform":
     t = t.persist()
     t.count()
     t0 = time.time()
-    transform_transcript_features(t, model).count()
+    # noop write, NOT count(): count() lets column pruning eliminate the
+    # (filter-free) window expressions and measures a bare row count
+    transform_transcript_features(t, model).write.format("noop").mode(
+        "overwrite"
+    ).save()
 else:
     t0 = time.time()
     feats = extract_transcript_features(t, max_generations=4)
