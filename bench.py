@@ -55,6 +55,12 @@ def main() -> None:
     # per-generation driver actions — the configuration for transforming
     # the full-scale table with a model fitted on a sample
     model = rfe.fitted_model()
+    # drop the fit's persisted generation frames — cache-manager plan
+    # matching would otherwise serve them to the transform and time a
+    # cache read instead of the recursion; re-pin the input (untimed)
+    spark.catalog.clearCache()
+    transcripts = transcripts.persist()
+    transcripts.count()
     t0 = time.time()
     extract_transcript_features(transcripts, model=model).write.format(
         "noop"

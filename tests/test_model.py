@@ -118,6 +118,36 @@ def test_incremental_update_with_new_conversations(spark, turns):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_transform_composes_with_multi_cutoff(spark, turns):
+    """Frozen model + entity×timestamp surface: the multi-cutoff shared
+    scan accepts model= and each cutoff slice equals the standalone
+    point-in-time transform (leakage-free serve path)."""
+    from graphrole_spark.pipeline import extract_features_at_cutoffs
+
+    _, model = fit_transcript_features(turns, max_generations=3)
+    qs = turns.selectExpr(
+        "percentile(cast(ts as double), 0.5) p50",
+        "percentile(cast(ts as double), 1.0) p100",
+    ).collect()[0]
+    cutoffs = [pd.Timestamp(qs["p50"], unit="s"), pd.Timestamp(qs["p100"], unit="s")]
+    multi = extract_features_at_cutoffs(turns, cutoffs, model=model).toPandas()
+
+    solo = transform_transcript_features(
+        turns.where(F.col("ts") <= F.lit(cutoffs[0])), model
+    ).toPandas().set_index(["conv_id", "turn_idx"]).sort_index()
+    sliced = (
+        multi[multi.cutoff_ts.apply(pd.Timestamp) == cutoffs[0]]
+        .drop(columns=["cutoff_ts"])
+        .set_index(["conv_id", "turn_idx"]).sort_index()
+    )
+    assert sorted(sliced.columns) == sorted(solo.columns)
+    import numpy as np
+
+    assert np.allclose(
+        sliced[sorted(sliced.columns)].values, solo[sorted(solo.columns)].values
+    )
+
+
 def test_transform_rejects_drifted_config(spark, turns):
     _, model = fit_transcript_features(turns, max_generations=3)
     with pytest.raises(ValueError, match="drift"):
