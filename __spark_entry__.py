@@ -667,6 +667,33 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(docs)
 
 
+def q_pack_greedy(spark, sf_dir):
+    """Sequence packing: shard by portable hash, cut into fixed-token
+    training sequences by window cumsum — one shuffle, no driver state."""
+    from graphrole_spark.functions.corpus import pack_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_documents(docs, max_tokens=256, shards=8)
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic hash train/val/test split (md5-based: stable across
+    runs/partitionings and portable to the oracle)."""
+    from graphrole_spark.functions.corpus import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_assign(docs, val_frac=0.1, test_frac=0.1)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic top-N per stratum (here: per guessed language)."""
+    from graphrole_spark.functions.corpus import stratified_sample
+    from graphrole_spark.functions.text import language_guess
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, language_guess(F.col("text")), 25)
+
+
 def q_token_count_bpe(spark, sf_dir):
     """BPE-ish pre-tokenizer segment count (letter runs / digit runs /
     punctuation glyphs) — the token-budget proxy, JVM regexp_count."""
@@ -848,6 +875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
         "token_count_bpe": q_token_count_bpe,
+        "pack_greedy": q_pack_greedy,
+        "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
         "token_count": q_token_count,
         "quality": q_quality,
         "lang_guess": q_lang_guess,
@@ -1293,6 +1323,48 @@ def oracle_sql() -> dict[str, str]:
                    round(min(alpha_ratio), 6) AS alpha_ratio,
                    count(*) AS n_copies
             FROM g GROUP BY h
+        """,
+        "pack_greedy": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+                       AS shard,
+                     CAST(CASE WHEN length(regexp_replace(trim(text), ' +', ' ', 'g')) = 0 THEN 0
+                          ELSE length(regexp_replace(trim(text), ' +', ' ', 'g'))
+                             - length(replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', ''))
+                             + 1 END AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, shard, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+              FROM tok),
+            s AS (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id
+              FROM c)
+            SELECT doc_id, shard, seq_id, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY shard, seq_id) AS seq_tokens
+            FROM s
+        """,
+        "split_assign": """
+            WITH u AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'v1')), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN u < 0.1 THEN 'test'
+                        WHEN u < 0.2 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM u
+        """,
+        "stratified_sample": f"""
+            WITH lg AS ({_lang_guess_sql()}),
+            r AS (
+              SELECT doc_id, lang_guess AS stratum,
+                     row_number() OVER (PARTITION BY lang_guess ORDER BY doc_id) AS rn
+              FROM lg)
+            SELECT doc_id, stratum FROM r WHERE rn <= 25
         """,
         "token_count_bpe": r"""
             SELECT doc_id,

@@ -109,6 +109,9 @@ def main() -> None:
         "token_count",
         "token_count_bpe",
         "quality",
+        "pack_greedy",
+        "split_assign",
+        "stratified_sample",
         "media_features",
         "minhash_dedup",
         "ngram_jaccard",

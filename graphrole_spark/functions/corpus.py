@@ -1,0 +1,111 @@
+"""Corpus-assembly operators: packing, splitting, stratified sampling.
+
+The last mile of a training-data pipeline after cleaning/dedup: pack
+documents into fixed-token-budget training sequences, carve
+deterministic train/val/test splits, and draw stratified samples — all
+pure DataFrame expressions (windows + hashes, no Python), each with an
+ANSI-SQL-expressible definition so the DuckDB oracle can value-check
+every row at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphrole_spark.functions.text import token_count
+
+
+def pack_documents(
+    documents: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    shards: int = 64,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence.
+
+    Streaming first-fit within a shard: documents are sharded by a
+    deterministic hash of ``doc_id`` (so packing parallelizes — each
+    shard packs independently), ordered by ``doc_id``, and cut into
+    sequences by running token count: a document starts a new sequence
+    when the running total before it has consumed ≥ one more
+    ``max_tokens`` budget. Oversized documents get a sequence of their
+    own (they can be chunked downstream).
+
+    Scale shape: one hash-partition + window cumsum per shard — no
+    driver state, no Python; at 10^12 turns the shard count just rises
+    with the cluster. Returns
+    ``(doc_id, shard, seq_id, n_tokens, seq_tokens)`` where ``seq_id``
+    is the sequence ordinal within the shard and ``seq_tokens`` the
+    packed token total of that sequence.
+    """
+    n_tok = token_count(F.col(text_col)).cast("long")
+    # md5-derived shard (not F.hash): portable, so the DuckDB oracle
+    # reproduces the exact shard assignment
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(shards),
+    )
+    sharded = documents.select(
+        "doc_id", shard.alias("shard"), n_tok.alias("n_tokens")
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    seq = F.floor((cum - F.col("n_tokens")) / F.lit(max_tokens)).alias("seq_id")
+    packed = sharded.select("doc_id", "shard", "n_tokens", seq)
+    wseq = Window.partitionBy("shard", "seq_id")
+    return packed.select(
+        "doc_id", "shard", "seq_id", "n_tokens",
+        F.sum("n_tokens").over(wseq).alias("seq_tokens"),
+    )
+
+
+def split_assign(
+    documents: DataFrame,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic, reshuffle-stable train/val/test assignment.
+
+    Hash-based (md5 of ``doc_id`` + salt), so membership depends only on
+    the id and the salt — stable across runs, partitionings and cluster
+    sizes, and portable (md5 exists in every engine, so the DuckDB
+    oracle checks the exact assignment). The first 8 hex digits give a
+    uniform u ∈ [0, 1); u < test_frac → test, < test+val → val, else
+    train. Returns ``(doc_id, split)``.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8), 16, 10)
+        .cast("double") / F.lit(float(16 ** 8))
+    )
+    return documents.select(
+        "doc_id",
+        F.when(u < test_frac, F.lit("test"))
+        .when(u < test_frac + val_frac, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    strata_col,
+    n_per_stratum: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic top-N per stratum (e.g. N docs per language /
+    quality bucket): one window rank per stratum, no sampling bias from
+    partition order. ``strata_col`` may be a column name or expression.
+    Returns the sampled ``(doc_id, stratum)`` rows.
+    """
+    strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    ranked = documents.select(
+        "doc_id",
+        strata.alias("stratum"),
+        F.row_number()
+        .over(Window.partitionBy(strata).orderBy(order_col))
+        .alias("__rn"),
+    )
+    return ranked.where(F.col("__rn") <= n_per_stratum).drop("__rn")

@@ -1,0 +1,69 @@
+"""Corpus-assembly operators: packing/split/sampling invariants.
+
+(Exact values are DuckDB-checked via the driver contract; these tests
+pin the semantic invariants the SQL comparison can't express.)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrole_spark.functions.corpus import (
+    pack_documents,
+    split_assign,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").persist()
+
+
+def test_pack_budget_invariant(spark, docs):
+    """A sequence exceeds the token budget only when a single document
+    does; every doc lands in exactly one sequence."""
+    packed = pack_documents(docs, max_tokens=128, shards=4).toPandas()
+    assert len(packed) == docs.count()
+    assert packed.doc_id.is_unique
+    for (_, _), grp in packed.groupby(["shard", "seq_id"]):
+        if grp.seq_tokens.iloc[0] > 128 + grp.n_tokens.max():
+            raise AssertionError(
+                f"overfull sequence beyond one oversized doc: {grp}"
+            )
+    # contiguity: within a shard, seq ids are ordered with doc order
+    for _, grp in packed.sort_values("doc_id").groupby("shard"):
+        assert grp.seq_id.is_monotonic_increasing
+
+
+def test_pack_partitioning_invariance(spark, docs):
+    """Packing depends only on (doc_id, text) — reshuffling the input
+    must not change a single assignment."""
+    a = pack_documents(docs, max_tokens=128, shards=4).toPandas()
+    b = pack_documents(docs.repartition(13), max_tokens=128, shards=4).toPandas()
+    key = ["doc_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_split_fractions_and_stability(spark, docs):
+    s1 = split_assign(docs, val_frac=0.2, test_frac=0.1).toPandas()
+    s2 = split_assign(docs.repartition(7), val_frac=0.2, test_frac=0.1).toPandas()
+    merged = s1.merge(s2, on="doc_id")
+    assert (merged.split_x == merged.split_y).all()
+    fr = s1.split.value_counts(normalize=True)
+    assert 0.6 < fr.get("train", 0) < 0.8
+    assert 0.1 < fr.get("val", 0) < 0.3
+    assert 0.03 < fr.get("test", 0) < 0.2
+    # a different salt re-deals the split
+    s3 = split_assign(docs, val_frac=0.2, test_frac=0.1, salt="v2").toPandas()
+    m2 = s1.merge(s3, on="doc_id")
+    assert (m2.split_x != m2.split_y).any()
+
+
+def test_stratified_sample_counts(spark, docs):
+    from graphrole_spark.functions.text import language_guess
+
+    out = stratified_sample(docs, language_guess(F.col("text")), 10).toPandas()
+    assert (out.groupby("stratum").size() <= 10).all()
+    assert out.doc_id.is_unique
