@@ -676,6 +676,15 @@ def q_pack_greedy(spark, sf_dir):
     return pack_documents(docs, max_tokens=256, shards=8)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Oversized-doc chunking into <=64-token windows (JVM split/slice
+    explode; fan-out proportional to output)."""
+    from graphrole_spark.functions.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, max_tokens=64)
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic hash train/val/test split (md5-based: stable across
     runs/partitionings and portable to the oracle)."""
@@ -876,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "token_count_bpe": q_token_count_bpe,
         "pack_greedy": q_pack_greedy,
+        "chunk_documents": q_chunk_documents,
         "split_assign": q_split_assign,
         "stratified_sample": q_stratified_sample,
         "token_count": q_token_count,
@@ -1345,6 +1355,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, seq_id, n_tokens,
                    sum(n_tokens) OVER (PARTITION BY shard, seq_id) AS seq_tokens
             FROM s
+        """,
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     greatest(CAST(ceil(len(toks) / 64.0) AS BIGINT), 1) AS nc
+              FROM t),
+            e AS (
+              SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_idx
+              FROM c)
+            SELECT doc_id, chunk_idx,
+                   len(toks[chunk_idx * 64 + 1 : chunk_idx * 64 + 64]) AS chunk_tokens,
+                   array_to_string(toks[chunk_idx * 64 + 1 : chunk_idx * 64 + 64], ' ')
+                     AS chunk_text
+            FROM e
         """,
         "split_assign": """
             WITH u AS (

@@ -110,6 +110,7 @@ def main() -> None:
         "token_count_bpe",
         "quality",
         "pack_greedy",
+        "chunk_documents",
         "split_assign",
         "stratified_sample",
         "media_features",

@@ -61,6 +61,39 @@ def pack_documents(
     )
 
 
+def chunk_documents(
+    documents: DataFrame,
+    max_tokens: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split oversized documents into ≤ ``max_tokens``-token chunks (the
+    downstream step :func:`pack_documents` assumes): tokenize once,
+    explode a chunk index, re-join each token slice — all JVM-side
+    (split/sequence/slice/array_join), no Python, fan-out proportional
+    to output size only. Returns
+    ``(doc_id, chunk_idx, chunk_tokens, chunk_text)``.
+    """
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(max_tokens)).cast("long"), F.lit(1)
+    )
+    t = documents.select("doc_id", toks.alias("__toks"), n_chunks.alias("__nc"))
+    e = t.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_idx"),
+    )
+    sliced = F.slice(
+        F.col("__toks"), (F.col("chunk_idx") * max_tokens + 1).cast("int"), max_tokens
+    )
+    return e.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(sliced).alias("chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )
+
+
 def split_assign(
     documents: DataFrame,
     val_frac: float = 0.1,

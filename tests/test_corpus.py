@@ -46,6 +46,24 @@ def test_pack_partitioning_invariance(spark, docs):
     assert a.equals(b)
 
 
+def test_chunk_reconstruction(spark, docs):
+    """Chunks concatenate back to the whitespace-normalized document;
+    every chunk respects the token budget."""
+    from graphrole_spark.functions.corpus import chunk_documents
+
+    chunks = chunk_documents(docs, max_tokens=32).toPandas()
+    assert (chunks.chunk_tokens <= 32).all()
+    rebuilt = (
+        chunks.sort_values(["doc_id", "chunk_idx"])
+        .groupby("doc_id").chunk_text.apply(" ".join)
+    )
+    orig = (
+        docs.select("doc_id", F.regexp_replace(F.trim("text"), " +", " ").alias("t"))
+        .toPandas().set_index("doc_id").t
+    )
+    assert (rebuilt.sort_index() == orig.sort_index()).all()
+
+
 def test_split_fractions_and_stability(spark, docs):
     s1 = split_assign(docs, val_frac=0.2, test_frac=0.1).toPandas()
     s2 = split_assign(docs.repartition(7), val_frac=0.2, test_frac=0.1).toPandas()
