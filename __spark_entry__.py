@@ -462,6 +462,49 @@ def q_refex_multicutoff(spark, sf_dir):
     )
 
 
+def q_pit_training_set(spark, sf_dir):
+    """Zero-leakage training-set assembly: purchase labels (observed 14
+    days after the turn) joined to the entity's point-in-time features
+    at the latest cutoff <= label time — backward as-of over the
+    multi-cutoff feature frame (the feature-store serving join)."""
+    from graphrole_spark.pipeline import (
+        assemble_training_set,
+        extract_features_at_cutoffs,
+    )
+
+    t = _events_as_transcripts(spark, sf_dir)
+    feats = extract_features_at_cutoffs(
+        t.drop("event_id"),
+        _MC_CUTOFFS,
+        share_scan=True,
+        max_generations=2,
+        with_attributes=False,
+        prune=False,
+    )
+    f_small = t.select("event_id", "conv_id", "turn_idx").join(
+        feats, ["conv_id", "turn_idx"]
+    ).select(
+        "event_id",
+        "cutoff_ts",
+        F.round("degree", 6).alias("degree_pit"),
+        F.round(F.col("degree(mean)"), 6).alias("degree_mean_pit"),
+    )
+    ev = _events(spark, sf_dir)
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 14 DAYS")).alias("label_ts"),
+        F.round("value", 6).alias("label"),
+    )
+    out = assemble_training_set(labels, f_small, ["event_id"], "label_ts")
+    return out.select(
+        "event_id",
+        "label",
+        F.col("degree_pit_asof").alias("degree_pit"),
+        F.col("degree_mean_pit_asof").alias("degree_mean_pit"),
+        F.col("cutoff_ts_asof").alias("feature_cutoff"),
+    )
+
+
 def q_egonet(spark, sf_dir):
     from graphrole_spark.operators.seeds import egonet_features, node_set
 
@@ -866,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refex_gen2": q_refex_gen2,
         "refex_transform": q_refex_transform,
         "refex_multicutoff": q_refex_multicutoff,
+        "pit_training_set": q_pit_training_set,
         "egonet": q_egonet,
         "groupby_agg": q_groupby_agg,
         "join_agg": q_join_agg,
@@ -1128,6 +1172,44 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN nbr_cnt > 0 THEN degree_mean_sum / nbr_cnt ELSE 0 END, 6)
                      AS degree_mean_mean
             FROM g2
+        """,
+        "pit_training_set": f"""
+            WITH {_ORDERED_CTE},
+            cuts(cutoff_ts) AS (VALUES (TIMESTAMP '{_MC_CUTOFFS[0]}'),
+                                       (TIMESTAMP '{_MC_CUTOFFS[1]}')),
+            pref AS (
+              SELECT c.cutoff_ts, o.event_id, o.user_id, o.turn_idx,
+                     count(*) OVER (PARTITION BY c.cutoff_ts, o.user_id) AS n_turns
+              FROM ordered o JOIN cuts c ON o.ts <= c.cutoff_ts),
+            deg AS (
+              SELECT *,
+                     CAST((CASE WHEN turn_idx > 0 THEN 1 ELSE 0 END) +
+                          (CASE WHEN turn_idx < n_turns - 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS degree
+              FROM pref),
+            g1 AS (
+              SELECT *,
+                     (CASE WHEN lag(degree)  OVER w IS NULL THEN 0 ELSE 1 END +
+                      CASE WHEN lead(degree) OVER w IS NULL THEN 0 ELSE 1 END) AS nbr_cnt,
+                     COALESCE(lag(degree)  OVER w, 0) +
+                     COALESCE(lead(degree) OVER w, 0) AS degree_sum
+              FROM deg
+              WINDOW w AS (PARTITION BY cutoff_ts, user_id ORDER BY turn_idx)),
+            f AS (
+              SELECT event_id, cutoff_ts,
+                     round(degree, 6) AS degree_pit,
+                     round(CASE WHEN nbr_cnt > 0 THEN degree_sum / nbr_cnt ELSE 0 END, 6)
+                       AS degree_mean_pit
+              FROM g1),
+            labels AS (
+              SELECT event_id, ts + INTERVAL 14 DAY AS label_ts,
+                     round(value, 6) AS label
+              FROM events WHERE event_type = 'purchase')
+            SELECT l.event_id, l.label,
+                   f.degree_pit, f.degree_mean_pit,
+                   f.cutoff_ts AS feature_cutoff
+            FROM labels l ASOF LEFT JOIN f
+              ON l.event_id = f.event_id AND f.cutoff_ts <= l.label_ts
         """,
         "refex_transform": f"""
             -- frozen-model replay: retained = degree, degree(mean),

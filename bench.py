@@ -93,6 +93,7 @@ def main() -> None:
         "refex_gen2",
         "refex_transform",
         "refex_multicutoff",
+        "pit_training_set",
         "log_binning",
         "groupby_agg",
         "join_agg",

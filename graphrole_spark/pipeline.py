@@ -254,6 +254,44 @@ def extract_features_at_cutoffs(
     return out
 
 
+def assemble_training_set(
+    labels: DataFrame,
+    features: DataFrame,
+    entity_cols,
+    label_ts_col: str,
+    feature_ts_col: str = "cutoff_ts",
+    feature_cols=None,
+) -> DataFrame:
+    """Zero-leakage training-set assembly — the feature-store serving
+    join: each label row gets the entity's feature vector at the LATEST
+    ``feature_ts <= label_ts`` (never a later one, so a feature computed
+    after the label's observation time can never leak in).
+
+    One backward as-of join per entity (union+window, a single
+    shuffle); at 10^12 turns the label side is tiny relative to the
+    feature store and rides the same conversation-hash partitioning.
+    Returns all label columns plus ``<feature>_asof`` columns and
+    ``<feature_ts_col>_asof`` (which cutoff served the row; null when
+    no cutoff qualifies).
+    """
+    from graphrole_spark.temporal.asof import asof_join
+
+    entity_cols = list(entity_cols)
+    if feature_cols is None:
+        feature_cols = [
+            c for c in features.columns
+            if c not in entity_cols + [feature_ts_col]
+        ]
+    return asof_join(
+        labels,
+        features,
+        entity_cols,
+        label_ts_col,
+        feature_ts_col,
+        list(feature_cols) + [feature_ts_col],
+    )
+
+
 def extract_roles_at_cutoffs(
     transcripts: DataFrame,
     cutoffs,
