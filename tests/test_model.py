@@ -148,6 +148,29 @@ def test_transform_composes_with_multi_cutoff(spark, turns):
     )
 
 
+def test_edges_mode_transform_replays_fit(spark):
+    """Frozen-model replay must also hold on the graph front door
+    (edges mode, the reference's entry point), not just chain mode."""
+    from graphrole_spark.operators.recursion import RecursiveFeatureExtractor
+    from tests.conftest import SEVEN_EDGES, SEVEN_WEIGHTS
+
+    rows = [
+        (str(u), str(v), float(w))
+        for (u, v), w in zip(SEVEN_EDGES, SEVEN_WEIGHTS)
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+    rfe = RecursiveFeatureExtractor(edges, max_generations=3)
+    fitted = rfe.extract_features().toPandas().set_index("node").sort_index()
+    model = rfe.fitted_model()
+
+    replay = (
+        RecursiveFeatureExtractor(edges, model=model)
+        .extract_features().toPandas().set_index("node").sort_index()
+    )
+    assert list(fitted.columns) == list(replay.columns)
+    pd.testing.assert_frame_equal(fitted, replay)
+
+
 def test_transform_rejects_drifted_config(spark, turns):
     _, model = fit_transcript_features(turns, max_generations=3)
     with pytest.raises(ValueError, match="drift"):
