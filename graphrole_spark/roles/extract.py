@@ -21,7 +21,7 @@ percentages — all pure ``select`` expressions, no UDFs.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -79,10 +79,26 @@ class RoleExtractor:
             "node", *[(F.col(c) / total).alias(c) for c in self._role_cols]
         )
 
-    def explain(self):
-        raise NotImplementedError(
-            'Role explanation ("sense making") is not yet implemented.'
-        )
+    def explain(self, top_k: int = 5) -> Dict[str, List[Tuple[str, float]]]:
+        """Role sense-making: per role, the ``top_k`` features by weight
+        in the role→feature factor, normalized per role so weights are
+        comparable across roles.
+
+        (The reference stubs this with NotImplementedError,
+        roles/extract.py:95-96; the G·F factorization already carries
+        the needed signal, so this implements the NMF-factor reading of
+        it. Driver-side: the factor is G×F — tiny by construction.)
+        """
+        if self.role_feature_factor is None:
+            raise ValueError("call extract_role_factors first")
+        out: Dict[str, List[Tuple[str, float]]] = {}
+        fdf = self.role_feature_factor
+        for role in fdf.index:
+            row = fdf.loc[role]
+            total = float(row.sum()) or 1.0
+            top = row.sort_values(ascending=False).head(top_k)
+            out[str(role)] = [(str(f), float(v) / total) for f, v in top.items()]
+        return out
 
     def description_length(self, features: DataFrame) -> Tuple[float, float]:
         """(encoding cost, KL error cost) of the fitted model, computed as

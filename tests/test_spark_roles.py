@@ -29,6 +29,16 @@ def test_driver_path_roles(spark, feature_df):
     pct = ext.role_percentage.toPandas().set_index("node")
     np.testing.assert_allclose(pct.sum(axis=1).values, 1.0)
 
+    expl = ext.explain(top_k=4)
+    assert set(expl) == {"role_0", "role_1", "role_2"}
+    for feats in expl.values():
+        assert 1 <= len(feats) <= 4
+        names = [f for f, _ in feats]
+        assert set(names) <= {f"feature{i+1}" for i in range(30)}
+        weights = [w for _, w in feats]
+        assert weights == sorted(weights, reverse=True)
+        assert all(0 <= w <= 1 for w in weights)
+
 
 def test_mdl_selection_driver(spark, feature_df):
     ext = RoleExtractor(n_role_range=(2, 5), n_bit_range=(2, 5))
@@ -41,7 +51,8 @@ def test_roles_none_before_extraction():
     ext = RoleExtractor()
     assert ext.roles is None
     assert ext.role_percentage is None
-    with pytest.raises(NotImplementedError):
+    # explain is implemented here (the reference stubs it) but needs a fit
+    with pytest.raises(ValueError):
         ext.explain()
 
 
