@@ -5,6 +5,8 @@ pin the semantic invariants the SQL comparison can't express.)
 """
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from graphrole_spark.functions.corpus import (
@@ -77,6 +79,52 @@ def test_split_fractions_and_stability(spark, docs):
     s3 = split_assign(docs, val_frac=0.2, test_frac=0.1, salt="v2").toPandas()
     m2 = s1.merge(s3, on="doc_id")
     assert (m2.split_x != m2.split_y).any()
+
+
+_DOC_TEXT = st.text(alphabet=" abcdefgh.!3", min_size=0, max_size=60)
+
+
+@given(
+    st.lists(_DOC_TEXT, min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=8, deadline=None)
+def test_chunk_pack_properties_random_docs(spark, texts, max_tokens):
+    """Random corpora: chunking reconstructs the normalized text and
+    respects the budget; packing covers every doc exactly once."""
+    from graphrole_spark.functions.corpus import chunk_documents, pack_documents
+    from graphrole_spark.functions.text import token_count
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    chunks = chunk_documents(df, max_tokens=max_tokens).toPandas()
+    assert (chunks.chunk_tokens <= max_tokens).all()
+    rebuilt = (
+        chunks.sort_values(["doc_id", "chunk_idx"])
+        .groupby("doc_id").chunk_text.apply(" ".join)
+    )
+    norm = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", F.regexp_replace(F.trim("text"), " +", " ").alias("t")
+        ).collect()
+    }
+    for d, text in norm.items():
+        assert rebuilt[d] == text
+    # chunk token totals equal the whitespace token count
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    sums = chunks.groupby("doc_id").chunk_tokens.sum()
+    for d, n in counts.items():
+        # empty text still produces one chunk of its single empty token
+        assert sums[d] == max(n, 1)
+
+    packed = pack_documents(df, max_tokens=max_tokens, shards=3).toPandas()
+    assert sorted(packed.doc_id) == list(range(len(texts)))
+    assert packed.doc_id.is_unique
 
 
 def test_stratified_sample_counts(spark, docs):
