@@ -70,6 +70,9 @@ def main() -> None:
     transcripts.unpersist()
 
     # -- operator suite on the shared sf tables ------------------------------
+    # (every queries() entry except the NMF-driven rolx_roles /
+    # rolx_multicutoff, whose iterative factorization would dominate the
+    # suite total; the driver's correctness harness still runs them)
     suite = [
         "sessionize",
         "session_agg",
@@ -84,6 +87,9 @@ def main() -> None:
         "range_window",
         "interval_count",
         "streaming_sessions",
+        "streaming_state",
+        "egonet",
+        "lang_guess",
         "topk_per_user",
         "percentiles",
         "degree_undirected",
