@@ -129,6 +129,21 @@ def q_prefix_agg(spark, sf_dir):
     )
 
 
+def q_decayed_sum(spark, sf_dir):
+    """Recency-weighted engagement: per event, the half-life-decayed sum
+    of the user's prior+current values (1-day half-life) — one window
+    pass via the rebased closed form."""
+    from graphrole_spark.temporal.ops import decayed_sum
+
+    out = decayed_sum(
+        _events(spark, sf_dir), ["user_id"], ["ts", "event_id"],
+        "ts", "value", 86400.0, "decayed_value",
+    )
+    return out.select(
+        "event_id", F.round("decayed_value", 6).alias("decayed_value")
+    )
+
+
 def q_asof_join(spark, sf_dir):
     from graphrole_spark.temporal.asof import asof_join
 
@@ -892,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill": q_backfill,
         "backfill_backward": q_backfill_backward,
         "prefix_agg": q_prefix_agg,
+        "decayed_sum": q_decayed_sum,
         "asof_join": q_asof_join,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
@@ -992,6 +1008,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts,
                          CASE WHEN event_type = 'purchase' THEN value END AS v
                   FROM events)
+        """,
+        "decayed_sum": """
+            -- closed form: 2^(-(t-m)/hl) * cumsum(v * 2^((ti-m)/hl)),
+            -- m = per-user min ts (range re-basing), hl = 86400 s
+            WITH b AS (
+              SELECT event_id, user_id, ts, value,
+                     (epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id)) / 86400.0
+                       AS t
+              FROM events),
+            c AS (
+              SELECT event_id,
+                     sum(value * power(2.0, t)) OVER w AS acc, t
+              FROM b
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT event_id,
+                   round(coalesce(acc, 0) * power(2.0, -t), 6) AS decayed_value
+            FROM c
         """,
         "prefix_agg": """
             SELECT event_id,

@@ -80,6 +80,7 @@ def main() -> None:
         "backfill",
         "backfill_backward",
         "prefix_agg",
+        "decayed_sum",
         "asof_join",
         "asof_forward",
         "asof_nearest",

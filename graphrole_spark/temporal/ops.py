@@ -102,6 +102,46 @@ def backfill(
     return df.withColumn(out_col, expr)
 
 
+def decayed_sum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    half_life_seconds: float,
+    out_col: str,
+    include_current: bool = True,
+) -> DataFrame:
+    """Exponentially time-decayed prefix sum — the classic recency-
+    weighted engagement feature: at each row,
+    ``Σ_{t_i ≤ t} v_i · 2^(−(t−t_i)/half_life)``.
+
+    Closed form as ONE window pass (no recursion, no UDF):
+    ``2^(−(t−m)/hl) · Σ v_i · 2^((t_i−m)/hl)`` where ``m`` is the
+    per-key minimum timestamp — the re-basing keeps the exponent range
+    to span/half_life (guard: spans beyond ~1000 half-lives overflow a
+    double; pick the half-life accordingly or segment first).
+    ``include_current=False`` gives the strict-prefix (zero-leakage)
+    form. Deterministic: the cumulative sum runs in ``order_cols``
+    order on both engines, so the DuckDB oracle matches bit-for-bit
+    modulo 6-dp rounding.
+    """
+    ts_dbl = F.col(ts_col).cast("timestamp").cast("double")
+    wk = Window.partitionBy(*key_cols)
+    upper = 0 if include_current else -1
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    rebased = (ts_dbl - F.min(ts_dbl).over(wk)) / F.lit(half_life_seconds)
+    out = df.withColumn("__t", rebased)
+    acc = F.sum(F.col(value_col) * F.pow(F.lit(2.0), F.col("__t"))).over(w)
+    return out.withColumn(
+        out_col, F.coalesce(acc, F.lit(0.0)) * F.pow(F.lit(2.0), -F.col("__t"))
+    ).drop("__t")
+
+
 def prefix_aggregate(
     df: DataFrame,
     key_cols: Sequence[str],
