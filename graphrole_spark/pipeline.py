@@ -400,8 +400,6 @@ def extract_transcript_features(
         return (out, rfe) if return_extractor else out
 
     edges = derive_edges(t, lag_k=lag_k)
-    from graphrole_spark.operators.seeds import seed_features as generic_seeds
-
     rfe = RecursiveFeatureExtractor(
         edges,
         directed=False,

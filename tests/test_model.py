@@ -12,8 +12,6 @@ The contracts these tests pin:
 4. config drift between fit and transform raises, not corrupts.
 """
 
-import os
-
 import pandas as pd
 import pytest
 from pyspark.sql import Window

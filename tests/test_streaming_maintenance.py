@@ -13,7 +13,6 @@ import os
 import shutil
 
 import pandas as pd
-import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
