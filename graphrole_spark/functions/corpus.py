@@ -39,7 +39,9 @@ def pack_documents(
     is the sequence ordinal within the shard and ``seq_tokens`` the
     packed token total of that sequence.
     """
-    n_tok = token_count(F.col(text_col)).cast("long")
+    # null text packs as an empty document (0-token sequence member),
+    # not a null-keyed sequence
+    n_tok = token_count(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
     # md5-derived shard (not F.hash): portable, so the DuckDB oracle
     # reproduces the exact shard assignment
     shard = F.pmod(
@@ -73,7 +75,8 @@ def chunk_documents(
     to output size only. Returns
     ``(doc_id, chunk_idx, chunk_tokens, chunk_text)``.
     """
-    toks = F.split(F.trim(F.col(text_col)), " +")
+    # null text chunks as one empty chunk (parity with empty string)
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " +")
     n_chunks = F.greatest(
         F.ceil(F.size(toks) / F.lit(max_tokens)).cast("long"), F.lit(1)
     )

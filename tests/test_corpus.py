@@ -127,6 +127,22 @@ def test_chunk_pack_properties_random_docs(spark, texts, max_tokens):
     assert packed.doc_id.is_unique
 
 
+def test_null_text_handled(spark):
+    """NULL text behaves like the empty document in pack/chunk (no
+    null-keyed sequences, no dropped rows)."""
+    from graphrole_spark.functions.corpus import chunk_documents, pack_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    packed = pack_documents(df, max_tokens=2, shards=2).toPandas()
+    assert sorted(packed.doc_id) == [1, 2, 3]
+    assert packed.seq_id.notna().all() and packed.n_tokens.notna().all()
+    chunks = chunk_documents(df, max_tokens=2).toPandas()
+    null_doc = chunks[chunks.doc_id == 2]
+    assert len(null_doc) == 1 and null_doc.chunk_text.iloc[0] == ""
+
+
 def test_stratified_sample_counts(spark, docs):
     from graphrole_spark.functions.text import language_guess
 
