@@ -231,6 +231,26 @@ def q_range_window(spark, sf_dir):
     )
 
 
+def q_hopping_window(spark, sf_dir):
+    """Hopping (sliding) time-window aggregation: 1-hour windows every
+    30 minutes — Spark's F.window (epoch-aligned), per window × type."""
+    ev = _events(spark, sf_dir)
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("win_value"))
+        .select(
+            # epoch seconds, not a timestamp: tz-typed columns don't
+            # hash stably across engines
+            F.col("w.start").cast("timestamp").cast("double").cast("long")
+            .alias("win_start"),
+            "event_type",
+            "n_events",
+            "win_value",
+        )
+    )
+
+
 def q_interval_count(spark, sf_dir):
     """For each purchase, count same-user clicks within the following
     hour — a keyed interval join via the bucketed range-join operator."""
@@ -914,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "range_window": q_range_window,
         "interval_count": q_interval_count,
+        "hopping_window": q_hopping_window,
         "streaming_sessions": q_streaming_sessions,
         "streaming_state": q_streaming_state,
         "topk_per_user": q_topk_per_user,
@@ -1047,6 +1068,24 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
                          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 6) AS value_10min
             FROM events
+        """,
+        "hopping_window": """
+            -- each event lands in the two epoch-aligned 30-min-slide
+            -- 1-hour windows covering it
+            WITH g AS (
+              SELECT event_id, event_type, value, epoch(ts) AS es,
+                     CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS b
+              FROM events),
+            e AS (
+              SELECT event_id, event_type, value, es,
+                     unnest([b, b - 1800]) AS win_start
+              FROM g)
+            SELECT win_start, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS win_value
+            FROM e
+            WHERE es >= win_start AND es < win_start + 3600
+            GROUP BY win_start, event_type
         """,
         "interval_count": """
             WITH p AS (SELECT event_id, user_id, ts FROM events

@@ -87,6 +87,7 @@ def main() -> None:
         "asof_tolerance",
         "range_window",
         "interval_count",
+        "hopping_window",
         "streaming_sessions",
         "streaming_state",
         "egonet",
