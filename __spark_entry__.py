@@ -875,7 +875,10 @@ def q_cosine_topk(spark, sf_dir):
 
 def q_cosine_dedup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (the fifth dedup mode:
-    exact / minhash / simhash / ngram-jaccard / embedding-cosine)."""
+    exact / minhash / simhash / ngram-jaccard / embedding-cosine).
+    Default method = the distributed block-pair plan: exact values (the
+    oracle checks every pair), no corpus matrix on the driver or in a
+    broadcast (r02 VERDICT scale fix)."""
     from graphrole_spark.functions.similarity import embedding_near_duplicates
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1490,7 +1493,12 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY h
         """,
         "pack_greedy": """
-            WITH tok AS (
+            -- coalesce(text,'') mirrors the Spark side's NULL→empty-doc
+            -- rule; the windowed sum is CAST back to BIGINT because DuckDB
+            -- widens SUM(BIGINT) OVER to HUGEINT, which value-hashes
+            -- differently from Spark's bigint
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            tok AS (
               SELECT doc_id,
                      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
                        AS shard,
@@ -1498,7 +1506,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE length(regexp_replace(trim(text), ' +', ' ', 'g'))
                              - length(replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', ''))
                              + 1 END AS BIGINT) AS n_tokens
-              FROM documents),
+              FROM d),
             c AS (
               SELECT doc_id, shard, n_tokens,
                      sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
@@ -1508,12 +1516,13 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id
               FROM c)
             SELECT doc_id, shard, seq_id, n_tokens,
-                   sum(n_tokens) OVER (PARTITION BY shard, seq_id) AS seq_tokens
+                   CAST(sum(n_tokens) OVER (PARTITION BY shard, seq_id) AS BIGINT)
+                     AS seq_tokens
             FROM s
         """,
         "chunk_documents": """
             WITH t AS (
-              SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+              SELECT doc_id, string_split_regex(trim(coalesce(text, '')), ' +') AS toks
               FROM documents),
             c AS (
               SELECT doc_id, toks,

@@ -21,24 +21,37 @@ def pack_documents(
     max_tokens: int,
     text_col: str = "text",
     shards: int = 64,
+    boundary: str = "start",
 ) -> DataFrame:
     """Assign each document to a fixed-token-budget training sequence.
 
-    Streaming first-fit within a shard: documents are sharded by a
-    deterministic hash of ``doc_id`` (so packing parallelizes — each
-    shard packs independently), ordered by ``doc_id``, and cut into
-    sequences by running token count: a document starts a new sequence
-    when the running total before it has consumed ≥ one more
-    ``max_tokens`` budget. Oversized documents get a sequence of their
-    own (they can be chunked downstream).
+    Documents are sharded by a deterministic md5 hash of ``doc_id`` (so
+    packing parallelizes — each shard packs independently) and ordered by
+    ``doc_id``. Two cut policies:
 
-    Scale shape: one hash-partition + window cumsum per shard — no
-    driver state, no Python; at 10^12 turns the shard count just rises
-    with the cluster. Returns
+    * ``boundary="start"`` (default): a document joins the sequence its
+      cumulative-sum *start* falls in — pure window math, zero Python.
+      OVERFLOW BOUND: a document straddling the budget line stays in the
+      sequence it started, so ``seq_tokens < max_tokens + max(single-doc
+      tokens in the shard)``. Callers packing for a hard model-context
+      limit should run :func:`chunk_documents` first (bounding doc size)
+      and size the budget with that slack, or use ``"strict"``.
+    * ``boundary="strict"``: true first-fit cut — a document whose
+      addition would exceed ``max_tokens`` starts a new sequence, so
+      every multi-document sequence holds ≤ ``max_tokens`` (an oversized
+      single document still gets a sequence of its own). The running
+      total resets per cut, which no closed-form window expresses, so
+      each shard is packed by one Arrow ``applyInPandas`` scan — still
+      one shuffle, shard-parallel, O(shard) memory.
+
+    Scale shape: one hash-partition pass per shard — no driver state; at
+    10^12 turns the shard count just rises with the cluster. Returns
     ``(doc_id, shard, seq_id, n_tokens, seq_tokens)`` where ``seq_id``
     is the sequence ordinal within the shard and ``seq_tokens`` the
     packed token total of that sequence.
     """
+    if boundary not in ("start", "strict"):
+        raise ValueError("boundary must be 'start' or 'strict'")
     # null text packs as an empty document (0-token sequence member),
     # not a null-keyed sequence
     n_tok = token_count(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
@@ -52,6 +65,8 @@ def pack_documents(
     sharded = documents.select(
         "doc_id", shard.alias("shard"), n_tok.alias("n_tokens")
     )
+    if boundary == "strict":
+        return _pack_strict(sharded, max_tokens)
     w = Window.partitionBy("shard").orderBy("doc_id")
     cum = F.sum("n_tokens").over(w)
     seq = F.floor((cum - F.col("n_tokens")) / F.lit(max_tokens)).alias("seq_id")
@@ -61,6 +76,35 @@ def pack_documents(
         "doc_id", "shard", "seq_id", "n_tokens",
         F.sum("n_tokens").over(wseq).alias("seq_tokens"),
     )
+
+
+def _pack_strict(sharded: DataFrame, max_tokens: int) -> DataFrame:
+    """First-fit cut per shard: one grouped Arrow scan, budget never
+    exceeded by a multi-document sequence."""
+    import numpy as np
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        toks = pdf["n_tokens"].to_numpy()
+        seq_ids = np.empty(len(toks), dtype=np.int64)
+        seq, running = 0, 0
+        for i, t in enumerate(toks):
+            if running > 0 and running + t > max_tokens:
+                seq += 1
+                running = 0
+            seq_ids[i] = seq
+            running += t
+        pdf["seq_id"] = seq_ids
+        pdf["seq_tokens"] = pdf.groupby("seq_id")["n_tokens"].transform("sum")
+        return pdf[["doc_id", "shard", "seq_id", "n_tokens", "seq_tokens"]]
+
+    out_schema = (
+        "doc_id "
+        + sharded.schema["doc_id"].dataType.simpleString()
+        + ", shard bigint, seq_id bigint, n_tokens bigint, seq_tokens bigint"
+    )
+    return sharded.groupBy("shard").applyInPandas(pack, schema=out_schema)
 
 
 def chunk_documents(

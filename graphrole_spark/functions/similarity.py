@@ -45,6 +45,15 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _empty_topk_frame(spark, qid_type: str, id_type: str) -> DataFrame:
+    """Empty (query_id, neighbor_id, cosine_sim, rank) frame with the
+    right schema — the empty-input result for every top-k entry point."""
+    return spark.createDataFrame(
+        [],
+        f"query_id {qid_type}, neighbor_id {id_type}, cosine_sim double, rank int",
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -62,6 +71,10 @@ def brute_force_topk(
     are rounded to 9 decimals before ranking, matching the SQL oracle).
     """
     qpdf = queries.select(id_col, vec_col).toPandas()
+    id_type_ = corpus.schema[id_col].dataType.simpleString()
+    qid_type_ = queries.schema[id_col].dataType.simpleString()
+    if qpdf.empty:  # np.stack([]) raises; empty in → empty out
+        return _empty_topk_frame(corpus.sparkSession, qid_type_, id_type_)
     Q = np.stack([np.asarray(v, dtype=float) for v in qpdf[vec_col]])
     qn = np.linalg.norm(Q, axis=1)
     Qn = Q / np.where(qn > 0, qn, 1.0)[:, None]
@@ -153,6 +166,12 @@ def ivf_topk(
     tuned by n_probe/n_cells and tested against brute force.
     """
     cpdf = corpus.select(id_col, vec_col).limit(train_sample).toPandas()
+    if cpdf.empty:  # empty corpus: nothing to index or return
+        return _empty_topk_frame(
+            corpus.sparkSession,
+            queries.schema[id_col].dataType.simpleString(),
+            corpus.schema[id_col].dataType.simpleString(),
+        )
     M = np.stack([np.asarray(v, dtype=float) for v in cpdf[vec_col]])
     nrm = np.linalg.norm(M, axis=1)
     centroids = _kmeans_centroids(
@@ -219,29 +238,123 @@ def embedding_near_duplicates(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "block",
+    n_blocks: int = 16,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 11,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim)
     with ``id_a < id_b`` and similarity ≥ threshold.
 
-    Exact baseline with the right distributed shape: the corpus matrix is
-    broadcast once (rows × dim doubles) and each Arrow batch computes one
-    ``batch @ corpus.T`` BLAS call, emitting ONLY the above-threshold
-    pairs — the n×n similarity matrix never materializes as rows. For
-    corpora whose matrix exceeds broadcast budget, bucket first with the
-    hyperplane LSH (:func:`lsh_topk` machinery) and verify inside
-    buckets, exactly like the MinHash banding path for text.
+    Three physical plans, one semantics (parity-tested against each
+    other):
+
+    * ``"block"`` (default) — EXACT, fully distributed: each row is
+      replicated to its ``n_blocks`` block-pair groups and every group
+      computes one BLAS cross-product, so no corpus matrix ever touches
+      the driver or an executor broadcast (r02 VERDICT: the broadcast
+      form capped at ~10⁶ vectors). Shuffle volume = n·B rows; per-task
+      memory = 2·(n/B)·dim doubles + the (n/B)² tile. Size ``n_blocks``
+      so a block fits a task (B ≈ n·dim·8B / 256MB).
+    * ``"broadcast"`` — exact, corpus matrix collected + broadcast, one
+      ``batch @ corpus.T`` per Arrow batch. Fastest for small corpora;
+      ceiling = broadcast budget.
+    * ``"lsh"`` — the 100-TB near-dup path: hyperplane-LSH band join on
+      (table, bucket) carries IDS ONLY (the MinHash banding shape,
+      text.py); candidate pairs re-attach vectors via semi-join and are
+      exact-verified with a vectorized pair-cosine. Approximate: recall
+      = 1 − (1 − p^planes)^tables with p = 1 − θ/π; tune planes/tables
+      to the threshold (defaults suit ≥0.9).
     """
+    if method not in ("block", "broadcast", "lsh"):
+        raise ValueError("method must be 'block', 'broadcast' or 'lsh'")
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+    if method == "block":
+        return _near_dup_block(
+            corpus, threshold, id_col, vec_col, n_blocks, out_schema
+        )
+    if method == "lsh":
+        return _near_dup_lsh(
+            corpus, threshold, id_col, vec_col, n_planes, n_tables, seed
+        )
+    return _near_dup_broadcast(corpus, threshold, id_col, vec_col, out_schema)
+
+
+def _near_dup_block(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int,
+    out_schema: str,
+) -> DataFrame:
+    """Exact all-pairs via block-pair groups: row with block b joins every
+    group (min(b,p), max(b,p)) — each unordered pair of rows lands in
+    exactly one group, each group is one numpy cross-product."""
+    partners = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    blocked = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__b"),
+        F.explode(partners).alias("__p"),
+    ).select(
+        "__id", "__v", "__b",
+        F.least("__b", "__p").alias("__ga"),
+        F.greatest("__b", "__p").alias("__gb"),
+    )
+    # each partner p yields a distinct (ga, gb) per row — no dedup needed,
+    # and the groupBy below is the only shuffle in the plan
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ga, gb = int(pdf["__ga"].iloc[0]), int(pdf["__gb"].iloc[0])
+        left = pdf[pdf["__b"] == ga]
+        right = pdf[pdf["__b"] == gb]
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+
+        def norm_mat(part):
+            M = np.stack([np.asarray(v, dtype=float) for v in part["__v"]])
+            nrm = np.linalg.norm(M, axis=1)
+            return M / np.where(nrm > 0, nrm, 1.0)[:, None]
+
+        A, B = norm_mat(left), norm_mat(right)
+        aids, bids = left["__id"].to_numpy(), right["__id"].to_numpy()
+        S = np.round(A @ B.T, 6)
+        ii, jj = np.nonzero(S >= threshold)
+        ai, bi, sims = aids[ii], bids[jj], S[ii, jj]
+        if ga == gb:
+            # both sides are the same block: keep each pair once, drop self
+            keep = ai < bi
+            ai, bi, sims = ai[keep], bi[keep], sims[keep]
+        else:
+            # cross-block: every pair appears once — normalize id order
+            lo = np.minimum(ai, bi)
+            bi = np.maximum(ai, bi)
+            ai = lo
+        return pd.DataFrame({"id_a": ai, "id_b": bi, "cosine_sim": sims})
+
+    return blocked.groupBy("__ga", "__gb").applyInPandas(score, schema=out_schema)
+
+
+def _near_dup_broadcast(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    out_schema: str,
+) -> DataFrame:
     cpdf = corpus.select(id_col, vec_col).toPandas()
+    spark = corpus.sparkSession
+    if cpdf.empty:
+        return spark.createDataFrame([], out_schema)
     M = np.stack([np.asarray(v, dtype=float) for v in cpdf[vec_col]])
     norms = np.linalg.norm(M, axis=1)
     Mn = M / np.where(norms > 0, norms, 1.0)[:, None]
     ids = cpdf[id_col].to_numpy()
-    spark = corpus.sparkSession
     b_mat = spark.sparkContext.broadcast(Mn)
     b_ids = spark.sparkContext.broadcast(ids)
-
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
 
     def score(batches):
         allM, all_ids = b_mat.value, b_ids.value
@@ -266,6 +379,68 @@ def embedding_near_duplicates(
                 )
 
     return corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
+def _pair_cosine_udf():
+    """Vectorized exact cosine for candidate pairs (two array cols)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if va.empty:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(v, dtype=float) for v in va])
+        B = np.stack([np.asarray(v, dtype=float) for v in vb])
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        dots = np.einsum("ij,ij->i", A, B)
+        return pd.Series(dots / (np.where(na > 0, na, 1.0) * np.where(nb > 0, nb, 1.0)))
+
+    return pair_cosine
+
+
+def _near_dup_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    buckets = _all_table_buckets(n_planes, n_tables, seed)
+    banded = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
+    a = banded.select(F.col("__id").alias("id_a"), "table", "bucket")
+    b = banded.select(F.col("__id").alias("id_b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # vectors only for candidate ids (semi-join prune), then exact verify
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__id"))
+        .unionByName(cand.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).join(cand_ids, "__id", "left_semi")
+    pair_cosine = _pair_cosine_udf()
+    return (
+        cand.join(vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a")
+        .join(vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(pair_cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
 
 
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:

@@ -150,14 +150,92 @@ def alpha_ratio(text: Column) -> Column:
     return F.round(alpha / F.greatest(F.length(text), F.lit(1)), 6)
 
 
+_RK_BASE = 1000003                      # odd → invertible mod 2^64
+_RK_BASE_INV = pow(_RK_BASE, -1, 1 << 64)
+
+
+def _rk_window_hashes(data: "np.ndarray", window: int, pow_inv: "np.ndarray",
+                      pow_fwd: "np.ndarray") -> "np.ndarray":
+    """All Rabin-Karp window hashes of a byte array, fully vectorized.
+
+    The prefix recurrence P[i+1] = P[i]*B + c[i] is a scan, but with B
+    odd it factors as P[i] = (Σ_{j<i} c[j]·B^{-j}) · B^{i-1} mod 2^64 —
+    a cumsum times a power table, so the whole document is three numpy
+    passes (uint64 wraparound IS the mod-2^64 arithmetic)."""
+    import numpy as np
+
+    n = len(data)
+    s = np.cumsum(data * pow_inv[:n], dtype=np.uint64)          # Σ c_j B^-j
+    p = np.empty(n + 1, dtype=np.uint64)
+    p[0] = 0
+    p[1:] = s * pow_fwd[:n]                                     # P[1..n]
+    w = min(window, n)
+    bw = pow_fwd[w] if w < len(pow_fwd) else np.uint64(pow(_RK_BASE, w, 1 << 64))
+    # W[i] = P[i+w] − P[i]·B^w  for i = 0..n−w
+    return p[w:] - p[: n - w + 1] * bw
+
+
+def _rk_fmix(h: "np.ndarray") -> "np.ndarray":
+    """murmur3 fmix64 finalizer: polynomial hashes of overlapping windows
+    are correlated; the mix disperses them before the min."""
+    import numpy as np
+
+    h = h.astype(np.uint64).copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
 def rolling_fingerprint(text: Column, window: int = 8) -> Column:
-    """Deterministic document fingerprint: min hash over all character
-    windows (winnowing-style, collapsed to a single value)."""
-    n = F.greatest(F.length(text) - window + 1, F.lit(1))
-    idx = F.sequence(F.lit(1), n)
-    return F.array_min(
-        F.transform(idx, lambda i: F.xxhash64(text.substr(i, F.lit(window))))
-    )
+    """Deterministic document fingerprint: minimum mixed Rabin-Karp hash
+    over all ``window``-byte UTF-8 windows (winnowing collapsed to one
+    value — equal-content docs collide, shifted near-dups usually share
+    the minimizing window).
+
+    One Arrow ``pandas_udf``: per document the rolling hash is three
+    vectorized numpy passes (see :func:`_rk_window_hashes`) — the r01/r02
+    form evaluated an interpreted higher-order function per character
+    window, O(len·window) inside the expression interpreter; this is
+    O(len) in C. Value parity with the pure-python recurrence is
+    pytest-pinned. Documents shorter than the window hash as one whole-
+    text window; empty/null-safe."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fp(texts: pd.Series) -> pd.Series:
+        if texts.empty:
+            return pd.Series([], dtype="float64")
+        datas = [
+            None if t is None else np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            .astype(np.uint64)
+            for t in texts
+        ]
+        max_n = max((len(d) for d in datas if d is not None), default=0)
+        size = max(max_n + 1, window + 1)
+        pow_inv = np.empty(size, dtype=np.uint64)
+        pow_fwd = np.empty(size, dtype=np.uint64)
+        pow_inv[0] = pow_fwd[0] = 1
+        np.cumprod(np.full(size - 1, _RK_BASE_INV, dtype=np.uint64),
+                   out=pow_inv[1:], dtype=np.uint64)
+        np.cumprod(np.full(size - 1, _RK_BASE, dtype=np.uint64),
+                   out=pow_fwd[1:], dtype=np.uint64)
+        out = []
+        for d in datas:
+            if d is None:
+                out.append(None)
+            elif len(d) == 0:
+                out.append(int(_rk_fmix(np.zeros(1, dtype=np.uint64))[0]
+                               .astype(np.int64)))
+            else:
+                hs = _rk_fmix(_rk_window_hashes(d, window, pow_inv, pow_fwd))
+                out.append(int(hs.min().astype(np.int64)))
+        return pd.Series(out, dtype="object")
+
+    return fp(text)
 
 
 # -- document-level operators -------------------------------------------------

@@ -86,31 +86,100 @@ def ego_membership(edges: DataFrame, directed: bool, nodes: DataFrame) -> DataFr
     return member.unionByName(selfs).distinct()
 
 
-def egonet_features(edges: DataFrame, directed: bool, nodes: DataFrame) -> DataFrame:
+def _member_join(
+    e: DataFrame,
+    m: DataFrame,
+    on_col: str,
+    skew_salt: Optional[int],
+    threshold: int,
+) -> DataFrame:
+    """``edges ⋈ membership`` on one endpoint, with optional hot-key
+    salting.
+
+    A power-law hub h sits in ~deg(h) egonets AND carries ~deg(h)
+    incident edges, so the plain equi-join funnels ~deg(h)² intermediate
+    rows through the single join key h — the straggler task r02's audit
+    flagged. With ``skew_salt=S``: nodes whose membership count exceeds
+    ``threshold`` (a tiny broadcast list) get their membership rows
+    salted by ``hash(center) % S`` and their edge rows replicated S ways,
+    spreading each hot key over S tasks; cold keys pay nothing. Join
+    output is identical (parity-tested on a hub fixture).
+    """
+    m_side = m.select("center", F.col("member").alias(on_col))
+    if not skew_salt or skew_salt <= 1:
+        return e.join(m_side, on_col)
+    hot = (
+        m.groupBy("member")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") > threshold)
+        .select(F.col("member").alias("__hot"))
+    )
+    m_salted = m_side.join(
+        F.broadcast(hot), F.col(on_col) == F.col("__hot"), "left"
+    ).select(
+        "center",
+        on_col,
+        F.when(
+            F.col("__hot").isNotNull(), F.pmod(F.xxhash64("center"), F.lit(skew_salt))
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("__salt"),
+    )
+    e_salted = (
+        e.join(F.broadcast(hot), F.col(on_col) == F.col("__hot"), "left")
+        .select(
+            "src",
+            "dst",
+            "weight",
+            F.explode(
+                F.when(
+                    F.col("__hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(skew_salt - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("__salt"),
+        )
+    )
+    return e_salted.join(m_salted, [on_col, "__salt"]).drop("__salt")
+
+
+def egonet_features(
+    edges: DataFrame,
+    directed: bool,
+    nodes: DataFrame,
+    skew_salt: Optional[int] = None,
+    skew_degree_threshold: int = 10_000,
+) -> DataFrame:
     """internal_edges / external_edges per center node.
 
     internal: join edges into each center's membership on BOTH endpoints;
     external: src in ego, dst not in ego (plus the symmetric direction
     for undirected graphs). Each original edge row is counted once per
     qualifying center, matching the reference's per-edge sums.
+
+    ``skew_salt``: hot-key salting for power-law hubs (see
+    :func:`_member_join`) — at web scale pass e.g. ``skew_salt=32,
+    skew_degree_threshold=100_000`` so no single task owns a hub's
+    quadratic egonet candidate set. The follow-up (center, dst)
+    semi/anti joins key on full (center, member) pairs — cardinality
+    spreads with the ego sizes, no single hot key — and the final
+    groupBy(center) gets map-side partial aggregation from Catalyst.
     """
     m = ego_membership(edges, directed, nodes)
     e = edges.select("src", "dst", "weight")
 
-    m_src = m.select(F.col("center"), F.col("member").alias("src"))
     m_dst = m.select(F.col("center"), F.col("member").alias("dst"))
 
+    joined_src = _member_join(e, m, "src", skew_salt, skew_degree_threshold)
     internal = (
-        e.join(m_src, "src")
-        .join(m_dst, ["center", "dst"], "left_semi")
+        joined_src.join(m_dst, ["center", "dst"], "left_semi")
         .groupBy("center")
         .agg(F.sum("weight").alias("internal_edges"))
     )
 
     # boundary in the src→dst direction: src ∈ ego(center), dst ∉ ego(center)
     ext_fwd = (
-        e.join(m_src, "src")
-        .join(m_dst, ["center", "dst"], "left_anti")
+        joined_src.join(m_dst, ["center", "dst"], "left_anti")
         .groupBy("center")
         .agg(F.sum("weight").alias("external_edges"))
     )
@@ -118,8 +187,9 @@ def egonet_features(edges: DataFrame, directed: bool, nodes: DataFrame) -> DataF
         external = ext_fwd
     else:
         # undirected: also count edges whose *dst* endpoint is the inside one
+        m_src = m.select(F.col("center"), F.col("member").alias("src"))
         ext_bwd = (
-            e.join(m_dst, "dst")
+            _member_join(e, m, "dst", skew_salt, skew_degree_threshold)
             .join(m_src, ["center", "src"], "left_anti")
             .groupBy("center")
             .agg(F.sum("weight").alias("external_edges"))

@@ -90,12 +90,26 @@ def apply_delta(
     if not dirty_buckets:
         delta.unpersist()
         return
-    delta.write.mode("append").partitionBy("__bucket").parquet(
+    # idempotent under foreachBatch's at-least-once replay: a retried
+    # batch whose turns already landed (crash between the append and the
+    # feature overwrite) must not append them again — anti-join the delta
+    # against the stored turn keys of the dirty buckets (partition-pruned
+    # read, O(dirty) bytes)
+    existing_keys = spark.read.parquet(_turns_dir(store_dir)).where(
+        F.col("__bucket").isin(dirty_buckets)
+    ).select("conv_id", "turn_idx")
+    delta_new = delta.join(existing_keys, ["conv_id", "turn_idx"], "left_anti")
+    delta_new.write.mode("append").partitionBy("__bucket").parquet(
         _turns_dir(store_dir)
     )
 
-    turns_dirty = spark.read.parquet(_turns_dir(store_dir)).where(
-        F.col("__bucket").isin(dirty_buckets)
+    # belt-and-braces: dedup on the turn key when reading back, so even a
+    # store corrupted by a pre-fix double-append converges to the correct
+    # feature values on the next touch of its bucket
+    turns_dirty = (
+        spark.read.parquet(_turns_dir(store_dir))
+        .where(F.col("__bucket").isin(dirty_buckets))
+        .dropDuplicates(["conv_id", "turn_idx"])
     )
     feats_prev = spark.read.parquet(_features_dir(store_dir)).where(
         F.col("__bucket").isin(dirty_buckets)

@@ -41,7 +41,10 @@ def asof_join(
     * ``forward``: earliest right row with ``right_ts >= left_ts``;
     * ``nearest``: whichever of the two is closer in time — ties prefer
       the backward row (documented tie policy; matches the union+window
-      construction deterministically).
+      construction deterministically). With ``allow_exact_matches=False``
+      equal-timestamp reference rows are excluded from BOTH candidate
+      sides (pandas ``merge_asof`` parity), via range frames that end/
+      start one microsecond away from the probe.
 
     ``tolerance_seconds`` (pandas ``merge_asof`` parity): a match whose
     time distance exceeds the tolerance yields null instead.
@@ -74,24 +77,38 @@ def asof_join(
     )
 
     unioned = left_packed.unionByName(right_packed)
-    # at equal timestamps: reference rows sort adjacent to probes so the
-    # frame includes them iff exact matches are allowed
-    tie_back = F.col("__is_probe") if allow_exact_matches else (1 - F.col("__is_probe"))
-    # forward is the mirror image: refs AFTER probes when exact allowed
-    tie_fwd = (1 - F.col("__is_probe")) if allow_exact_matches else F.col("__is_probe")
     need_back = direction in ("backward", "nearest")
     need_fwd = direction in ("forward", "nearest")
-    order_tie = tie_back if direction == "backward" else tie_fwd
-    base = Window.partitionBy(*[f"__k_{c}" for c in on]).orderBy(
-        F.col("__ts"), order_tie
-    )
-    # nearest: both fills must come from ONE sorted pass; with exact
-    # matches allowed the probe row sits between equal-ts refs only in
-    # one of the two orders, so nearest uses the forward order and the
-    # backward frame ends one row earlier to exclude the probe itself
-    # (probe rows carry null values, so including them is harmless)
-    w_back = base.rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    if direction == "nearest" and not allow_exact_matches:
+        # Both fills share one sort, so no row-frame tie order can exclude
+        # equal-ts refs from BOTH sides at once (they always land inside
+        # one of the two frames). Range frames over a numeric timestamp
+        # exclude every equal-ts row structurally: the backward frame ends
+        # 1 µs before the probe, the forward frame starts 1 µs after.
+        unioned = unioned.withColumn(
+            "__ts_num", F.unix_micros(F.col("__ts").cast("timestamp"))
+        )
+        base = Window.partitionBy(*[f"__k_{c}" for c in on]).orderBy("__ts_num")
+        w_back = base.rangeBetween(Window.unboundedPreceding, -1)
+        w_fwd = base.rangeBetween(1, Window.unboundedFollowing)
+    else:
+        # at equal timestamps: reference rows sort adjacent to probes so the
+        # frame includes them iff exact matches are allowed
+        tie_back = (
+            F.col("__is_probe") if allow_exact_matches else (1 - F.col("__is_probe"))
+        )
+        # forward is the mirror image: refs AFTER probes when exact allowed
+        tie_fwd = (
+            (1 - F.col("__is_probe")) if allow_exact_matches else F.col("__is_probe")
+        )
+        order_tie = tie_back if direction == "backward" else tie_fwd
+        base = Window.partitionBy(*[f"__k_{c}" for c in on]).orderBy(
+            F.col("__ts"), order_tie
+        )
+        # nearest: both fills come from ONE sorted pass; probe rows carry
+        # null values, so including the probe row itself is harmless
+        w_back = base.rowsBetween(Window.unboundedPreceding, 0)
+        w_fwd = base.rowsBetween(0, Window.unboundedFollowing)
 
     fill_cols = []
     for c in value_cols:

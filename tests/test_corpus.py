@@ -149,3 +149,42 @@ def test_stratified_sample_counts(spark, docs):
     out = stratified_sample(docs, language_guess(F.col("text")), 10).toPandas()
     assert (out.groupby("stratum").size() <= 10).all()
     assert out.doc_id.is_unique
+
+
+def test_pack_strict_never_overflows(spark, docs):
+    """boundary='strict' (ADVICE r02): a multi-document sequence never
+    exceeds the budget; only oversized single docs may. Assignments match
+    a pure-python first-fit reference per shard."""
+    packed = pack_documents(docs, max_tokens=128, shards=4, boundary="strict").toPandas()
+    assert len(packed) == docs.count()
+    assert packed.doc_id.is_unique
+    for (_, _), grp in packed.groupby(["shard", "seq_id"]):
+        if len(grp) > 1:
+            assert grp.seq_tokens.iloc[0] <= 128, grp
+        assert (grp.seq_tokens == grp.n_tokens.sum()).all()
+
+    # reference first-fit per shard
+    for shard, grp in packed.sort_values("doc_id").groupby("shard"):
+        seq, running, expected = 0, 0, []
+        for t in grp.n_tokens:
+            if running > 0 and running + t > 128:
+                seq, running = seq + 1, 0
+            expected.append(seq)
+            running += t
+        assert list(grp.seq_id) == expected, f"shard {shard}"
+
+
+def test_pack_strict_matches_start_when_no_straddle(spark):
+    """When every doc's tokens divide the budget evenly, start and strict
+    policies agree exactly."""
+    rows = [(i, "tok " * 63 + "tok") for i in range(40)]  # 64 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = (
+        pack_documents(docs, max_tokens=128, shards=2, boundary="start")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        pack_documents(docs, max_tokens=128, shards=2, boundary="strict")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.astype("int64").equals(b.astype("int64"))

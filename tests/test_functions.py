@@ -157,3 +157,134 @@ def test_media_features_and_frames(spark):
 
     with pytest.raises(Exception):  # strict mode surfaces NotImplementedError
         extract_media_features(media, decode_mode="strict").collect()
+
+
+def test_rolling_fingerprint_parity_and_props(spark):
+    """The vectorized Rabin-Karp fingerprint equals a pure-python
+    implementation of the same recurrence (r02 ADVICE: the HOF form was
+    O(len*window) interpreted)."""
+    from graphrole_spark.functions.text import _RK_BASE
+
+    def reference_fp(text, window=8):
+        if text is None:
+            return None
+        data = text.encode("utf-8")
+        n = len(data)
+        M = 1 << 64
+
+        def fmix(h):
+            h ^= h >> 33
+            h = (h * 0xFF51AFD7ED558CCD) % M
+            h ^= h >> 33
+            h = (h * 0xC4CEB9FE1A85EC53) % M
+            h ^= h >> 33
+            return h
+
+        def to_i64(u):
+            return u - M if u >= M // 2 else u
+
+        if n == 0:
+            return to_i64(fmix(0))
+        w = min(window, n)
+        h = 0
+        for c in data[:w]:
+            h = (h * _RK_BASE + c) % M
+        best = fmix(h)
+        bw = pow(_RK_BASE, w - 1, M)
+        for i in range(n - w):
+            h = ((h - data[i] * bw) * _RK_BASE + data[i + w]) % M
+            best = min(best, fmix(h))
+        return to_i64(best)
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog!",   # suffix appended
+        "short",
+        "",
+        "exactly8!",  # 9 bytes → 2 windows
+        "únïcödé tèxt with mûltibyte chars",
+        None,
+        "a" * 500,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from graphrole_spark.functions.text import rolling_fingerprint as rf
+
+    # collect() keeps exact python ints (toPandas coerces nullable long
+    # to float64 and loses low bits)
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", rf(F.col("text")).alias("fp")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == reference_fp(t), (i, t, got[i], reference_fp(t))
+
+    # min-over-windows: appending text never raises the fingerprint
+    assert got[1] <= got[0]
+    # determinism across repartitionings
+    got2 = {
+        r["doc_id"]: r["fp"]
+        for r in df.repartition(7)
+        .select("doc_id", rf(F.col("text")).alias("fp")).collect()
+    }
+    assert got == got2
+
+
+def test_near_dup_methods_parity(spark):
+    """block (default, no driver collect) == broadcast == all-pairs
+    reference; lsh finds the same pairs on a clustered fixture (seeded,
+    miss probability ~1e-9 at these plane/table counts)."""
+    from graphrole_spark.functions.similarity import embedding_near_duplicates
+
+    rng = np.random.RandomState(17)
+    base = rng.randn(60, 16)
+    base[1:15] = base[0] + 0.01 * rng.randn(14, 16)   # tight near-dup cluster
+    base[30:35] = base[29] + 0.01 * rng.randn(5, 16)  # second cluster
+    pdf = pd.DataFrame(
+        {"vec_id": range(60), "embedding": [list(map(float, v)) for v in base]}
+    )
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+    def pairs(df):
+        out = df.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return out
+
+    block = pairs(embedding_near_duplicates(emb, 0.95, method="block", n_blocks=4))
+    bcast = pairs(embedding_near_duplicates(emb, 0.95, method="broadcast"))
+    lsh = pairs(
+        embedding_near_duplicates(
+            emb, 0.95, method="lsh", n_planes=6, n_tables=8
+        )
+    )
+    assert len(block) > 10
+    pd.testing.assert_frame_equal(block, bcast, check_dtype=False)
+    pd.testing.assert_frame_equal(block, lsh, check_dtype=False, atol=1e-6)
+
+    # numpy all-pairs reference
+    arr = np.stack(pdf.embedding.map(np.asarray))
+    arr = arr / np.linalg.norm(arr, axis=1)[:, None]
+    S = np.round(arr @ arr.T, 6)
+    expect = {
+        (i, j)
+        for i in range(60) for j in range(i + 1, 60)
+        if S[i, j] >= 0.95
+    }
+    assert set(map(tuple, block[["id_a", "id_b"]].values)) == expect
+
+
+def test_similarity_empty_inputs(spark):
+    """ADVICE r02: empty query/corpus sides must return empty frames,
+    not raise from np.stack([])."""
+    from graphrole_spark.functions.similarity import (
+        brute_force_topk,
+        embedding_near_duplicates,
+        ivf_topk,
+    )
+
+    emb = _clustered_embeddings(spark)
+    empty = emb.where(F.col("vec_id") < 0)
+    assert brute_force_topk(emb, empty, k=3).count() == 0
+    assert ivf_topk(empty, emb.limit(2), k=3).count() == 0
+    for method in ("block", "broadcast", "lsh"):
+        assert embedding_near_duplicates(empty, 0.5, method=method).count() == 0

@@ -114,3 +114,36 @@ def test_apply_delta_noop_on_empty(spark, tmp_path):
     apply_delta(spark, base.limit(0), model, store, n_buckets=4)
     after = _sorted(read_features(spark, store))
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_apply_delta_idempotent_under_replay(spark, tmp_path):
+    """ADVICE r02: foreachBatch is at-least-once — re-applying the same
+    delta (crash-retry) must not duplicate turns or corrupt features."""
+    full = synthesize_transcripts(spark, 20, seed=9).persist()
+    w = Window.partitionBy("conv_id")
+    t = full.withColumn("__n", F.count("*").over(w))
+    is_delta = (F.pmod(F.xxhash64("conv_id", F.lit(5)), F.lit(4)) == 0) & (
+        F.col("turn_idx") >= F.col("__n") - 2
+    )
+    delta = t.where(is_delta).drop("__n").persist()
+    base = t.where(~is_delta).drop("__n").persist()
+    assert delta.count() > 0
+
+    _, model = fit_transcript_features(base, max_generations=2)
+    store = str(tmp_path / "store")
+    bootstrap_feature_store(spark, base, model, store, n_buckets=4)
+
+    apply_delta(spark, delta, model, store, n_buckets=4)
+    once = _sorted(read_features(spark, store))
+    turns_once = spark.read.parquet(os.path.join(store, "turns")).count()
+
+    # replay the identical batch (simulated retry after a crash between
+    # the turns append and the feature overwrite)
+    apply_delta(spark, delta, model, store, n_buckets=4)
+    twice = _sorted(read_features(spark, store))
+    turns_twice = spark.read.parquet(os.path.join(store, "turns")).count()
+
+    assert turns_once == turns_twice, "replayed delta duplicated turns"
+    pd.testing.assert_frame_equal(once, twice)
+    expected = _sorted(transform_transcript_features(full, model))
+    pd.testing.assert_frame_equal(twice, expected)

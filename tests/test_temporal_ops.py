@@ -187,3 +187,86 @@ def test_sessionize_synthetic_transcripts(spark):
     assert g.apply(lambda s: s.is_monotonic_increasing).all()
     sess = sessionize(t, ["conv_id"], "ts", 1800).toPandas()
     assert (sess.groupby("conv_id")["session_seq"].max() >= 1).any()
+
+
+def test_asof_nearest_excludes_exact_matches(spark):
+    """ADVICE r02: nearest + allow_exact_matches=False must NOT match the
+    equal-timestamp reference row — the strictly-nearest ref wins (here
+    the one 9s before beats exact-ts and +15s). pandas merge_asof parity
+    is asserted directly."""
+    from datetime import datetime
+
+    probes = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1, 0, 1, 0), 1)],
+        "user_id string, ts timestamp, probe_id int",
+    )
+    refs = spark.createDataFrame(
+        [
+            ("u", datetime(2024, 1, 1, 0, 0, 51), 10.0),  # t-9s
+            ("u", datetime(2024, 1, 1, 0, 1, 0), 20.0),   # exact
+            ("u", datetime(2024, 1, 1, 0, 1, 15), 30.0),  # t+15s
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    strict = asof_join(
+        probes, refs, ["user_id"], "ts", "ts", ["value"],
+        direction="nearest", allow_exact_matches=False,
+    ).toPandas()
+    assert strict.loc[0, "value_asof"] == 10.0
+
+    lenient = asof_join(
+        probes, refs, ["user_id"], "ts", "ts", ["value"], direction="nearest"
+    ).toPandas()
+    assert lenient.loc[0, "value_asof"] == 20.0
+
+    # full merge_asof parity on a bigger deterministic frame
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    p_pdf = pd.DataFrame(
+        {
+            "user_id": rng.choice(["a", "b"], 40),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 600, 40), unit="s"),
+            "probe_id": np.arange(40),
+        }
+    )
+    r_pdf = pd.DataFrame(
+        {
+            "user_id": rng.choice(["a", "b"], 30),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 600, 30) , unit="s"),
+            "value": rng.rand(30).round(3),
+        }
+    ).drop_duplicates(["user_id", "ts"])  # unique ref ts per key: determinism
+    for allow_exact in (True, False):
+        got = (
+            asof_join(
+                spark.createDataFrame(p_pdf),
+                spark.createDataFrame(r_pdf),
+                ["user_id"], "ts", "ts", ["value"],
+                direction="nearest", allow_exact_matches=allow_exact,
+            )
+            .toPandas()
+            .sort_values("probe_id")
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            p_pdf.sort_values("ts"),
+            r_pdf.sort_values("ts").rename(columns={"value": "value_asof"}),
+            on="ts", by="user_id",
+            direction="nearest", allow_exact_matches=allow_exact,
+        ).sort_values("probe_id").reset_index(drop=True)
+        # tie policy: engine prefers backward, pandas nearest prefers the
+        # later ref at equal distance — compare only where unambiguous
+        amb = []
+        for _, row in exp.iterrows():
+            d = (r_pdf[r_pdf.user_id == row.user_id].ts - row.ts).dt.total_seconds()
+            if not allow_exact:
+                d = d[d != 0]
+            amb.append((d.abs() == d.abs().min()).sum() > 1 if len(d) else False)
+        mask = ~pd.Series(amb)
+        assert (
+            got.loc[mask, "value_asof"].fillna(-1).to_numpy()
+            == exp.loc[mask, "value_asof"].fillna(-1).to_numpy()
+        ).all(), f"allow_exact={allow_exact}"
