@@ -78,13 +78,10 @@ def main() -> None:
         "session_agg",
         "lag_lead",
         "backfill",
-        "backfill_backward",
         "prefix_agg",
         "decayed_sum",
         "asof_join",
-        "asof_forward",
-        "asof_nearest",
-        "asof_tolerance",
+        "asof_directions",
         "range_window",
         "interval_count",
         "hopping_window",
@@ -116,7 +113,6 @@ def main() -> None:
         "dedup_exact",
         "corpus_clean",
         "token_count",
-        "token_count_bpe",
         "quality",
         "pack_greedy",
         "chunk_documents",

@@ -253,32 +253,37 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_near_duplicates(
+def minhash_shingle_hashes(
     documents: DataFrame,
     text_col: str = "text",
     shingle_n: int = 3,
-    n_hashes: int = 32,
-    bands: int = 8,
-    jaccard_threshold: float = 0.7,
     seed: int = 7,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash-LSH.
-
-    signature → ``bands`` band hashes → self-join on (band, hash) →
-    exact Jaccard verification on distinct shingle sets. The candidate
-    join is an equi-join on the band bucket (hash-partitioned, no
-    quadratic blowup); verification cost is bounded by bucket sizes.
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
-    """
-    rows = n_hashes // bands
-    # hash shingle strings once, derive the n_hashes family from the
-    # longs (xxhash64 on a long is ~10x cheaper than on a string)
-    hashed = documents.select(
+    """(doc_id, shh: array<long>) — each shingle string hashed exactly
+    once; the n-hash family is derived by re-hashing the longs (xxhash64
+    on a long is ~10x cheaper than on a string)."""
+    return documents.select(
         "doc_id",
         F.transform(
             shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s, F.lit(seed))
         ).alias("shh"),
     ).where(F.size("shh") > 0)
+
+
+def minhash_bands(
+    documents: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """(doc_id, band, bhash) — the LSH band-bucket relation the
+    candidate join runs on. Exposed separately so scale runs can audit
+    bucket-size distributions (the quantity that bounds verification
+    cost) with the exact production hashing."""
+    rows = n_hashes // bands
+    hashed = minhash_shingle_hashes(documents, text_col, shingle_n, seed)
     # signature via explode + n_hashes fused min-aggregates: same values
     # as the array-fold form, but whole-stage codegen instead of an
     # interpreted higher-order function, and map-side partial aggregation
@@ -293,7 +298,7 @@ def minhash_near_duplicates(
     # band join carries ONLY (doc_id, band, bhash) — the shingle sets
     # never cross the candidate shuffle; they are re-attached to the far
     # smaller candidate-pair set for exact Jaccard verification
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -315,6 +320,27 @@ def minhash_near_duplicates(
             )
         ).alias("bh"),
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.bhash").alias("bhash"))
+
+
+def minhash_near_duplicates(
+    documents: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH.
+
+    signature → ``bands`` band hashes → self-join on (band, hash) →
+    exact Jaccard verification on distinct shingle sets. The candidate
+    join is an equi-join on the band bucket (hash-partitioned, no
+    quadratic blowup); verification cost is bounded by bucket sizes.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    hashed = minhash_shingle_hashes(documents, text_col, shingle_n, seed)
+    banded = minhash_bands(documents, text_col, shingle_n, n_hashes, bands, seed)
 
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bhash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bhash")

@@ -249,11 +249,15 @@ def seed_features(
     node_attributes: Optional[DataFrame] = None,
     attributes_include: Optional[Sequence[str]] = None,
     attributes_exclude: Optional[Sequence[str]] = None,
+    skew_salt: Optional[int] = None,
+    skew_degree_threshold: int = 10_000,
 ) -> DataFrame:
     """Full generation-0 frame: local ⊕ attributes ⊕ egonet, NaN→0.
 
     Column order matches the reference concat order
     (reference: base.py:18-26): degree cols, attribute cols, egonet cols.
+    ``skew_salt`` passes through to :func:`egonet_features` (power-law
+    hub guard).
     """
     all_nodes = node_set(edges, nodes)
     parts = [degree_features(edges, directed, all_nodes)]
@@ -261,7 +265,12 @@ def seed_features(
         parts.append(
             attribute_features(node_attributes, attributes_include, attributes_exclude)
         )
-    parts.append(egonet_features(edges, directed, all_nodes))
+    parts.append(
+        egonet_features(
+            edges, directed, all_nodes,
+            skew_salt=skew_salt, skew_degree_threshold=skew_degree_threshold,
+        )
+    )
 
     out = parts[0]
     for p in parts[1:]:

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Scale evidence for the dedup layer (r02 VERDICT item 3).
+
+Runs minhash_near_duplicates and simhash_near_duplicates at 5k / 50k /
+500k synthetic documents (10x / 100x the sf0.1 corpus) and reports wall
+time, emitted pairs, and band/chunk bucket-size stats — the quantity
+that bounds candidate-verification cost. Near-linear growth + bounded
+max bucket = the banded joins hold at scale.
+
+The corpus is synthesized fully JVM-side (deterministic xxhash64 token
+streams, ~145 tokens/doc, ~6% seeded near-duplicate pairs), written to
+parquet once per size, so the measured pipeline reads parquet exactly
+like production.
+
+Usage: python scripts/dedup_scale.py [--sizes 5000,50000,500000]
+Appends one JSON line per size to BENCH_DEDUP_SCALE.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = 30_000
+
+
+def synth_docs(spark, n: int, out_dir: str):
+    """Deterministic synthetic corpus: doc i with id%17==1 is a near-dup
+    of doc i-1 (every 23rd token replaced), all token choices are pure
+    functions of (seed_id, position)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    seed_id = F.when(
+        F.col("doc_id") % 17 == 1, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    n_toks = (F.pmod(F.xxhash64(seed_id, F.lit(99)), F.lit(80)) + 80).cast("int")
+    tok = lambda j: F.concat(
+        F.lit("w"), F.pmod(F.xxhash64(seed_id, j), F.lit(VOCAB)).cast("string")
+    )
+    perturbed = lambda j: F.when(
+        (F.col("doc_id") % 17 == 1) & (j % 23 == 0),
+        F.concat(F.lit("x"), j.cast("string")),
+    ).otherwise(tok(j))
+    text = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(0), n_toks - 1), perturbed)
+    )
+    docs = ids.select("doc_id", text.alias("text"))
+    docs.write.mode("overwrite").parquet(out_dir)
+
+
+def bucket_stats(df, keys):
+    from pyspark.sql import functions as F
+
+    row = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.max("c").alias("max"),
+            F.expr("percentile(c, 0.999)").alias("p999"),
+            F.count("*").alias("n_buckets"),
+        )
+        .collect()[0]
+    )
+    return {"max": int(row["max"]), "p999": float(row["p999"]),
+            "n_buckets": int(row["n_buckets"])}
+
+
+def run(spark, n: int, work_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from graphrole_spark.functions.text import (
+        minhash_bands,
+        minhash_near_duplicates,
+        simhash_frame,
+        simhash_near_duplicates,
+    )
+
+    pq = os.path.join(work_dir, f"docs_{n}")
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        synth_docs(spark, n, pq)
+    docs = spark.read.parquet(pq)
+
+    out: dict = {"n_docs": n}
+
+    t0 = time.time()
+    mh = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    out["minhash_pairs"] = mh.count()
+    out["minhash_sec"] = round(time.time() - t0, 2)
+    out["minhash_buckets"] = bucket_stats(
+        minhash_bands(docs), ["band", "bhash"]
+    )
+
+    t0 = time.time()
+    sh = simhash_near_duplicates(docs, max_hamming=3)
+    out["simhash_pairs"] = sh.count()
+    out["simhash_sec"] = round(time.time() - t0, 2)
+    chunks = simhash_frame(docs).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sim", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chash"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch")
+    ).select("ch.chunk", "ch.chash")
+    out["simhash_buckets"] = bucket_stats(chunks, ["chunk", "chash"])
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="5000,50000,500000")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--work-dir", default="/tmp/dedup_scale")
+    args = ap.parse_args()
+
+    from graphrole_spark.session import get_spark
+
+    spark = get_spark("dedup_scale", cores=args.cpus)
+    os.makedirs(args.work_dir, exist_ok=True)
+    results = []
+    for n in [int(s) for s in args.sizes.split(",")]:
+        r = run(spark, n, args.work_dir)
+        r["cpus"] = args.cpus
+        results.append(r)
+        print(json.dumps(r), flush=True)
+        with open("BENCH_DEDUP_SCALE.jsonl", "a") as f:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

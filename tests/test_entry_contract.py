@@ -70,3 +70,17 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_oracle_backed_queries_lead():
+    """Registry-order contract: the driver adjudicates only the first 50
+    queries() entries, so every oracle-backed query must sit inside that
+    window and the rows-only queries at the tail."""
+    names = list(QUERIES)
+    oracle_names = set(ORACLES)
+    assert len(oracle_names) <= 50, "oracle-backed entries exceed the check window"
+    head = names[: len(oracle_names)]
+    assert set(head) == oracle_names, (
+        "oracle-backed queries must occupy the leading registry positions: "
+        f"missing={oracle_names - set(head)} extra={set(head) - oracle_names}"
+    )
