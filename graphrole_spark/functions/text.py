@@ -259,15 +259,66 @@ def minhash_shingle_hashes(
     shingle_n: int = 3,
     seed: int = 7,
 ) -> DataFrame:
-    """(doc_id, shh: array<long>) — each shingle string hashed exactly
-    once; the n-hash family is derived by re-hashing the longs (xxhash64
-    on a long is ~10x cheaper than on a string)."""
-    return documents.select(
+    """(doc_id, shh: array<long>) — one 64-bit hash per distinct word
+    n-gram.
+
+    Each token string is hashed ONCE; a shingle's hash is then
+    ``xxhash64`` of its n token hashes (three O(1) array reads + one
+    hash over longs) — no shingle string is ever built, which removed
+    the dominant constant in the minhash plan (slice+concat+string-hash
+    per shingle, r02 PERF note). Downstream semantics are unchanged:
+    signatures, banding, and Jaccard verification all operate on the
+    hash SET, whose cardinalities equal the string-shingle set's
+    (64-bit collisions aside), so the emitted pairs and Jaccard values
+    still match the string-based DuckDB oracle. ``F.get`` (not
+    element_at) keeps short documents ANSI-safe: out-of-range reads are
+    null, and xxhash64 skips null args, so a doc with < n tokens yields
+    one whole-doc shingle exactly like the string form."""
+    # token-hash array materialized in its own projection: inlining it
+    # into the shingle lambda would re-run the whole token transform per
+    # shingle index (O(len²) per doc); referenced 4x below, Catalyst's
+    # CollapseProject leaves the expensive transform un-inlined
+    # null text is the only zero-shingle case (split of any non-null
+    # text yields >= 1 token); filtering on it BEFORE the transforms
+    # keeps the pushed-down predicate trivial — a size(shh) filter would
+    # be pushed below the projections and re-inline the whole nested
+    # expression into the scan
+    th_frame = documents.where(F.col(text_col).isNotNull()).select(
         "doc_id",
         F.transform(
-            shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s, F.lit(seed))
-        ).alias("shh"),
-    ).where(F.size("shh") > 0)
+            tokens(F.col(text_col)), lambda t: F.xxhash64(t, F.lit(seed))
+        ).alias("__th"),
+    )
+    th = F.col("__th")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(th) - shingle_n, F.lit(0)))
+
+    def sh_hash(i):
+        return F.xxhash64(
+            *[F.get(th, i + j) for j in range(shingle_n)], F.lit(seed)
+        )
+
+    return th_frame.select(
+        "doc_id",
+        F.array_distinct(F.transform(idx, sh_hash)).alias("shh"),
+    )
+
+
+def bands_for_threshold(
+    jaccard_threshold: float, n_hashes: int = 32, safety: float = 0.9
+) -> int:
+    """Band count whose LSH S-curve midpoint (1/b)^(1/r) sits safely
+    below the requested Jaccard threshold, so recall at the threshold is
+    high by construction instead of by hash-family luck: pick the
+    largest rows-per-band r (fewest bands → cheapest join) with
+    (r/n)^(1/r) ≤ safety·threshold."""
+    best_r = 1
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        midpoint = (r / n_hashes) ** (1.0 / r)
+        if midpoint <= safety * jaccard_threshold:
+            best_r = r
+    return n_hashes // best_r
 
 
 def minhash_bands(
@@ -287,8 +338,14 @@ def minhash_bands(
     # signature via explode + n_hashes fused min-aggregates: same values
     # as the array-fold form, but whole-stage codegen instead of an
     # interpreted higher-order function, and map-side partial aggregation
-    # collapses each doc to one row before the shuffle
-    exploded = hashed.select("doc_id", F.explode("shh").alias("__h"))
+    # collapses each doc to one row before the shuffle.
+    # explode_OUTER, deliberately: plain explode makes Spark's
+    # InferFiltersFromGenerate rule add a size(shh) > 0 predicate that
+    # re-inlines the whole shingle expression into the scan and
+    # re-evaluates it per row (measured 10 s vs 0.4 s at sf0.1); shh is
+    # never empty here (null text is filtered before the transform), so
+    # outer semantics are identical
+    exploded = hashed.select("doc_id", F.explode_outer("shh").alias("__h"))
     sig = exploded.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("__h"), F.lit(seed + 1 + i))).alias(f"__m{i}")
@@ -327,7 +384,7 @@ def minhash_near_duplicates(
     text_col: str = "text",
     shingle_n: int = 3,
     n_hashes: int = 32,
-    bands: int = 8,
+    bands: int = None,
     jaccard_threshold: float = 0.7,
     seed: int = 7,
 ) -> DataFrame:
@@ -337,8 +394,12 @@ def minhash_near_duplicates(
     exact Jaccard verification on distinct shingle sets. The candidate
     join is an equi-join on the band bucket (hash-partitioned, no
     quadratic blowup); verification cost is bounded by bucket sizes.
+    ``bands=None`` derives the banding from the threshold
+    (:func:`bands_for_threshold`) so the S-curve midpoint sits below it.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    if bands is None:
+        bands = bands_for_threshold(jaccard_threshold, n_hashes)
     hashed = minhash_shingle_hashes(documents, text_col, shingle_n, seed)
     banded = minhash_bands(documents, text_col, shingle_n, n_hashes, bands, seed)
 

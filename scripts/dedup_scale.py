@@ -75,6 +75,7 @@ def run(spark, n: int, work_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from graphrole_spark.functions.text import (
+        bands_for_threshold,
         minhash_bands,
         minhash_near_duplicates,
         simhash_frame,
@@ -93,7 +94,7 @@ def run(spark, n: int, work_dir: str) -> dict:
     out["minhash_pairs"] = mh.count()
     out["minhash_sec"] = round(time.time() - t0, 2)
     out["minhash_buckets"] = bucket_stats(
-        minhash_bands(docs), ["band", "bhash"]
+        minhash_bands(docs, bands=bands_for_threshold(0.5)), ["band", "bhash"]
     )
 
     t0 = time.time()
