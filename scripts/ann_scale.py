@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Scale evidence for the embedding near-duplicate layer (r02 VERDICT
+item 2 follow-through).
+
+Synthesizes clustered embedding corpora fully JVM-side (deterministic
+xxhash64 coordinates; groups of 4 ids share a base vector with small
+per-id jitter → high intra-group cosine) and measures:
+
+* 5k / 50k vectors: the exact block-pair plan AND the LSH-banded plan —
+  wall time, pair counts, and LSH recall vs exact;
+* 500k vectors: LSH only (exact all-pairs is O(n²) by definition — the
+  point of the banded path), with band-bucket stats.
+
+Appends one JSON line per size to BENCH_ANN_SCALE.jsonl.
+Usage: python scripts/ann_scale.py [--sizes 5000,50000,500000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIM = 64
+THRESHOLD = 0.9
+EXACT_LIMIT = 60_000
+
+
+def synth_embeddings(spark, n: int, out_dir: str):
+    from pyspark.sql import functions as F
+
+    ids = spark.range(n).select(F.col("id").alias("vec_id"))
+    base_id = (F.col("vec_id") / 4).cast("long")  # groups of 4 near-dups
+    j = None
+    coord = lambda k: (
+        (F.pmod(F.xxhash64(base_id, k), F.lit(2001)) - 1000) / 1000.0
+        + (F.pmod(F.xxhash64(F.col("vec_id"), k, F.lit(7)), F.lit(201)) - 100) / 2500.0
+    ).cast("float")
+    vec = F.array(*[coord(F.lit(k)) for k in range(DIM)])
+    ids.select("vec_id", vec.alias("embedding")).write.mode("overwrite").parquet(out_dir)
+
+
+def run(spark, n: int, work_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from graphrole_spark.functions.similarity import embedding_near_duplicates
+
+    pq = os.path.join(work_dir, f"emb_{n}")
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        synth_embeddings(spark, n, pq)
+    emb = spark.read.parquet(pq)
+    out: dict = {"n_vectors": n, "dim": DIM, "threshold": THRESHOLD}
+
+    lsh_kwargs = dict(method="lsh", n_planes=16, n_tables=8)
+    t0 = time.time()
+    lsh_pairs = embedding_near_duplicates(emb, THRESHOLD, **lsh_kwargs)
+    out["lsh_pairs"] = lsh_pairs.count()
+    out["lsh_sec"] = round(time.time() - t0, 2)
+
+    if n <= EXACT_LIMIT:
+        n_blocks = max(4, n // 4000)
+        t0 = time.time()
+        exact_pairs = embedding_near_duplicates(
+            emb, THRESHOLD, method="block", n_blocks=n_blocks
+        )
+        out["block_pairs"] = exact_pairs.count()
+        out["block_sec"] = round(time.time() - t0, 2)
+        out["block_n_blocks"] = n_blocks
+        out["lsh_recall"] = round(out["lsh_pairs"] / max(out["block_pairs"], 1), 4)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="5000,50000,500000")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--work-dir", default="/tmp/ann_scale")
+    args = ap.parse_args()
+
+    from graphrole_spark.session import get_spark
+
+    spark = get_spark("ann_scale", cores=args.cpus)
+    os.makedirs(args.work_dir, exist_ok=True)
+    for n in [int(s) for s in args.sizes.split(",")]:
+        r = run(spark, n, args.work_dir)
+        r["cpus"] = args.cpus
+        print(json.dumps(r), flush=True)
+        with open("BENCH_ANN_SCALE.jsonl", "a") as f:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()
