@@ -431,40 +431,71 @@ def minhash_near_duplicates(
     )
 
 
+def simhash_chunk_pairs(
+    sh: DataFrame, max_hamming: int = 3, sim_col: str = "sim"
+) -> DataFrame:
+    """(doc_id, sim, table, h1, h2) — the generalized Hamming-LSH bucket
+    relation: the 64-bit SimHash split into ``max_hamming + 2`` chunks,
+    bucketed on every PAIR of chunks (C(c,2) tables).
+
+    ≤ ``max_hamming`` bit errors corrupt at most that many chunks, so
+    ≥ 2 chunks stay intact and some intact pair collides — recall 1 by
+    pigeonhole, the same guarantee as single-chunk banding but with
+    ~2×-wide (≈26-bit) buckets: random-pair collision volume drops by
+    ~2^13, which keeps the candidate join sub-quadratic past ~10⁶ docs
+    (single 16-bit chunks saturate: 5M docs measured 337 s with a
+    210-doc max bucket; see BENCH.md)."""
+    import itertools as it
+
+    c = max_hamming + 2
+    widths = [64 // c + (1 if i < 64 % c else 0) for i in range(c)]
+    offsets = [sum(widths[:i]) for i in range(c)]
+
+    def chunk(i):
+        # mask AFTER the shift: shiftright sign-extends the top chunk
+        return F.shiftright(sim_col, offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1).cast("long")
+        )
+
+    pair_structs = [
+        F.struct(
+            F.lit(t).alias("table"), chunk(i).alias("h1"), chunk(j).alias("h2")
+        )
+        for t, (i, j) in enumerate(it.combinations(range(c), 2))
+    ]
+    return sh.select(
+        "doc_id", sim_col, F.explode(F.array(*pair_structs)).alias("tb")
+    ).select(
+        "doc_id", sim_col,
+        F.col("tb.table").alias("table"),
+        F.col("tb.h1").alias("h1"),
+        F.col("tb.h2").alias("h2"),
+    )
+
+
 def simhash_near_duplicates(
     documents: DataFrame,
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs via SimHash: band the 64-bit hash into 4×16-bit
-    chunks (any pair within Hamming distance 3 shares ≥ 1 exact chunk),
-    bucket-join, verify with bit_count(xor)."""
+    """Near-dup pairs via SimHash: generalized Hamming banding
+    (:func:`simhash_chunk_pairs` — chunk-pair buckets, recall 1 for
+    pairs within ``max_hamming`` by pigeonhole), bucket-join, exact
+    verification with ``bit_count(xor)``. Emits exactly the pairs with
+    Hamming distance ≤ ``max_hamming`` — banding affects only the
+    candidate volume, never the result set."""
     sh = simhash_frame(documents, text_col=text_col, out_col="sim")
-    chunks = sh.select(
-        "doc_id",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("sim", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chash"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ch"),
-    ).select("doc_id", "sim", F.col("ch.chunk").alias("chunk"), F.col("ch.chash").alias("chash"))
+    chunks = simhash_chunk_pairs(sh, max_hamming=max_hamming)
     a = chunks.select(
-        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "chunk", "chash"
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"),
+        "table", "h1", "h2",
     )
     b = chunks.select(
-        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "chunk", "chash"
+        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"),
+        "table", "h1", "h2",
     )
     return (
-        a.join(b, ["chunk", "chash"])
+        a.join(b, ["table", "h1", "h2"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
         .dropDuplicates(["doc_a", "doc_b"])

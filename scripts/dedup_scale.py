@@ -78,6 +78,7 @@ def run(spark, n: int, work_dir: str) -> dict:
         bands_for_threshold,
         minhash_bands,
         minhash_near_duplicates,
+        simhash_chunk_pairs,
         simhash_frame,
         simhash_near_duplicates,
     )
@@ -101,22 +102,8 @@ def run(spark, n: int, work_dir: str) -> dict:
     sh = simhash_near_duplicates(docs, max_hamming=3)
     out["simhash_pairs"] = sh.count()
     out["simhash_sec"] = round(time.time() - t0, 2)
-    chunks = simhash_frame(docs).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("sim", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chash"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ch")
-    ).select("ch.chunk", "ch.chash")
-    out["simhash_buckets"] = bucket_stats(chunks, ["chunk", "chash"])
+    chunks = simhash_chunk_pairs(simhash_frame(docs), max_hamming=3)
+    out["simhash_buckets"] = bucket_stats(chunks, ["table", "h1", "h2"])
     return out
 
 

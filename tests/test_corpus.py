@@ -188,3 +188,21 @@ def test_pack_strict_matches_start_when_no_straddle(spark):
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert a.astype("int64").equals(b.astype("int64"))
+
+
+def test_chunk_then_strict_pack_never_overflows(spark, docs):
+    """The documented pipeline contract: chunk_documents bounds every
+    doc at <= chunk budget, so strict packing into a larger sequence
+    budget can never overflow — not even via oversized single docs."""
+    from graphrole_spark.functions.corpus import chunk_documents
+
+    chunks = chunk_documents(docs, max_tokens=64).select(
+        F.concat_ws("#", "doc_id", "chunk_idx").alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    packed = pack_documents(
+        chunks, max_tokens=256, shards=4, boundary="strict"
+    ).toPandas()
+    assert (packed.n_tokens <= 64).all()
+    assert (packed.groupby(["shard", "seq_id"]).seq_tokens.first() <= 256).all()
+    assert len(packed) == chunks.count()

@@ -288,3 +288,26 @@ def test_similarity_empty_inputs(spark):
     assert ivf_topk(empty, emb.limit(2), k=3).count() == 0
     for method in ("block", "broadcast", "lsh"):
         assert embedding_near_duplicates(empty, 0.5, method=method).count() == 0
+
+
+def test_simhash_banding_matches_brute_force(spark):
+    """Generalized Hamming banding (chunk-pair buckets) must emit
+    EXACTLY the pairs with bit_count(xor) <= max_hamming — recall 1 by
+    pigeonhole, verified against all-pairs brute force."""
+    from graphrole_spark.functions.text import simhash_frame, simhash_near_duplicates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = simhash_frame(docs).toPandas()
+    vals = sh["sim"].to_numpy(np.int64)
+    ids = sh["doc_id"].to_numpy()
+    x = (vals[:, None] ^ vals[None, :]).astype(np.uint64)
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and bin(int(x[i, j])).count("1") <= 3:
+                expected.add((ids[i], ids[j]))
+    got = set(
+        map(tuple, simhash_near_duplicates(docs, max_hamming=3)
+            .toPandas()[["doc_a", "doc_b"]].values)
+    )
+    assert got == expected
