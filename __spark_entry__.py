@@ -568,13 +568,26 @@ def q_join_agg(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_set_ops(spark, sf_dir):
+    """set_ops + anti_join merged into one registry slot (window cap):
+    exceptAll/intersect/distinct AND a left_anti join over the same
+    orders×customer membership universe, one tagged row set."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("custkey")
     )
     with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
-    return with_orders.exceptAll(building.intersect(with_orders)).distinct()
+    nonbuilding = (
+        with_orders.exceptAll(building.intersect(with_orders))
+        .distinct()
+        .withColumn("tag", F.lit("nonbuilding_orderer"))
+    )
+    no_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"))
+        .withColumn("tag", F.lit("no_orders"))
+    )
+    return nonbuilding.unionByName(no_orders)
 
 
 def q_rollup(spark, sf_dir):
@@ -603,12 +616,18 @@ def q_pivot(spark, sf_dir):
     )
 
 
-def q_anti_join(spark, sf_dir):
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey")
+def q_dedup_clusters(spark, sf_dir):
+    """Pairs → clusters → keep decision: the last stage of a dedup
+    pipeline.  MinHash-LSH near-dup pairs are resolved to connected
+    components with the distributed alternating-star algorithm
+    (functions/dedup_graph.py) and one canonical doc per cluster
+    survives (longest text, ties → smallest id)."""
+    from graphrole_spark.functions.dedup_graph import dedup_keep
+    from graphrole_spark.functions.text import minhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    return dedup_keep(docs, pairs, quality_col="n_chars")
 
 
 def q_distinct_agg(spark, sf_dir):
@@ -1007,7 +1026,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "cube": q_cube,
         "pivot": q_pivot,
-        "anti_join": q_anti_join,
         "distinct_agg": q_distinct_agg,
         "daily_counts": q_daily_counts,
         "dense_rank": q_dense_rank,
@@ -1024,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "stratified_sample": q_stratified_sample,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "cosine_dedup": q_cosine_dedup,
@@ -1491,10 +1510,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "set_ops": """
-            SELECT DISTINCT o_custkey AS custkey FROM orders
-            EXCEPT
-            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-              AND c_custkey IN (SELECT o_custkey FROM orders)
+            SELECT custkey, 'nonbuilding_orderer' AS tag FROM (
+              SELECT DISTINCT o_custkey AS custkey FROM orders
+              EXCEPT
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                AND c_custkey IN (SELECT o_custkey FROM orders))
+            UNION ALL
+            SELECT c_custkey AS custkey, 'no_orders' AS tag FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         "rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
@@ -1512,9 +1535,44 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 6) AS qty_f
             FROM lineitem GROUP BY l_returnflag
         """,
-        "anti_join": """
-            SELECT c_custkey FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        # dedup_clusters: same exact all-pairs Jaccard oracle as
+        # minhash_dedup, then transitive closure via a recursive CTE
+        # (feasible at driver scale: clusters are tiny) and the
+        # keep-longest-text rule as a window.
+        "dedup_clusters": """
+            WITH RECURSIVE t AS (SELECT doc_id,
+                              string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ')
+                                AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 3, 0) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+                  FROM t WHERE len(toks) > 0),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                    len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach(a, b) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+            comp AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+                     FROM reach GROUP BY a),
+            assigned AS (
+              SELECT d.doc_id, d.n_chars,
+                     coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   CAST(CASE WHEN row_number() OVER (
+                          PARTITION BY cluster_id
+                          ORDER BY n_chars DESC NULLS LAST, doc_id) = 1
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM assigned
         """,
         "distinct_agg": """
             SELECT l_returnflag,

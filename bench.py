@@ -106,7 +106,6 @@ def main() -> None:
         "rollup",
         "cube",
         "pivot",
-        "anti_join",
         "distinct_agg",
         "daily_counts",
         "dense_rank",
@@ -120,6 +119,7 @@ def main() -> None:
         "stratified_sample",
         "media_features",
         "minhash_dedup",
+        "dedup_clusters",
         "ngram_jaccard",
         "rolling_fingerprint",
         "simhash_dedup",

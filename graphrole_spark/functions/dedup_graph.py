@@ -1,0 +1,183 @@
+"""Duplicate-cluster resolution: connected components over near-dup
+pairs and canonical-document selection.
+
+The dedup operators in :mod:`graphrole_spark.functions.text` and
+:mod:`graphrole_spark.functions.similarity` emit *pairs* — but a
+training-data pipeline needs per-document decisions: which cluster does
+each doc belong to, and which single doc per cluster survives.  Pair →
+cluster is a connected-components problem (near-dup similarity is not
+transitive, so clusters chain), and at 100 TB the dup graph does not fit
+on the driver, so we use the alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14): O(log^2 n) rounds of groupBy+join, each a plain shuffle on the
+node key, no driver-side graph.  Each round's edge set is
+``localCheckpoint``-ed to cut lineage (same discipline as the ReFeX
+recursion driver, operators/recursion.py).
+
+No reference counterpart: GraphRole has no dedup layer; this extends the
+brief's training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical_edge_stats(edges: DataFrame) -> tuple[int, int]:
+    """(count, xor-ish hash) of the canonical undirected edge set —
+    cheap convergence fingerprint, one aggregate job."""
+    row = (
+        edges.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-independent and overflow-free under ANSI mode
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        )
+        .first()
+    )
+    return int(row["n"]), int(row["h"])
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (or small-star) round over a symmetric edge list.
+
+    large-star: for every node u, connect its *greater* neighbors to
+    m = min(N(u) ∪ {u}).  small-star: connect its ≤ neighbors (and u
+    itself) to m.  Both are one groupBy(u) + one re-join, shuffling on
+    the node key only.
+    """
+    nbr_min = edges.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    joined = edges.join(nbr_min, "u")
+    if large:
+        out = joined.where(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        low = joined.where(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edge = nbr_min.select(F.col("u"), F.col("m").alias("v"))
+        out = low.unionByName(self_edge)
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Resolve an undirected pair list to components.
+
+    Returns ``(node, component)`` for every node appearing in ``pairs``,
+    where ``component`` is the minimum node id in that node's component
+    (under the id column's natural ordering — works for longs and
+    strings alike).  Alternates large-star/small-star until the
+    canonical edge set is stable; each round is two shuffles on the node
+    key and the intermediate edge list is checkpointed so the physical
+    plan stays flat regardless of round count.
+
+    Raises ``RuntimeError`` if ``max_iterations`` rounds do not
+    converge (never observed below ~10 rounds on real dup graphs; the
+    bound is a runaway guard, not a tuning knob).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+    )
+    # one checkpoint of the (possibly expensive) upstream pair plan —
+    # nodes and the iteration both read the materialized copy
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint()
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+
+    cur = sym
+    prev_stats = _canonical_edge_stats(cur)
+    for _ in range(max_iterations):
+        # star rounds expect both directions present; re-symmetrize
+        s = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        after_large = _star_round(s, large=True)
+        al_sym = after_large.unionByName(
+            after_large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        cur = _star_round(al_sym, large=False).localCheckpoint()
+        stats = _canonical_edge_stats(cur)
+        if stats == prev_stats:
+            break
+        prev_stats = stats
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+
+    # converged: `cur` is a forest of stars v -> min; a node's component
+    # is the min over its star edges (or itself for singleton stars).
+    comp = cur.groupBy("u").agg(F.min("v").alias("_m"))
+    return (
+        nodes.join(comp, nodes["node"] == comp["u"], "left")
+        .select(
+            "node",
+            F.least(F.coalesce("_m", "node"), "node").alias("component"),
+        )
+    )
+
+
+def dedup_keep(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    quality_col: Optional[str] = None,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Per-document dedup decision from a near-dup pair list.
+
+    Joins every document to its duplicate cluster (docs in no pair form
+    their own singleton cluster) and selects one canonical survivor per
+    cluster: the highest ``quality_col`` (ties → smallest id), or the
+    smallest id when no quality column is given.
+
+    Returns ``documents``' id column plus ``(cluster_id, cluster_size,
+    keep)``.  One CC pass + one broadcast-friendly join + one window —
+    the window partitions by cluster, whose size is bounded by the dup
+    cluster size, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(
+        pairs, src=src, dst=dst, max_iterations=max_iterations
+    )
+    docs = documents.select(
+        F.col(id_col),
+        *( [F.col(quality_col)] if quality_col else [] ),
+    )
+    with_comp = docs.join(
+        comp, docs[id_col] == comp["node"], "left"
+    ).select(
+        id_col,
+        *( [quality_col] if quality_col else [] ),
+        F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+    )
+    order = (
+        [F.desc(quality_col), F.asc(id_col)] if quality_col else [F.asc(id_col)]
+    )
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    wsz = Window.partitionBy("cluster_id")
+    return with_comp.select(
+        id_col,
+        "cluster_id",
+        F.count("*").over(wsz).alias("cluster_size"),
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )

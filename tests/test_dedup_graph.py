@@ -1,0 +1,140 @@
+"""Connected components + canonical-doc selection (functions/dedup_graph).
+
+Parity oracle: a pure-python union-find over the same pair list — the
+distributed large-star/small-star result must match it exactly,
+including on adversarial shapes (long chains = worst-case diameter,
+hubs = worst-case skew).
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrole_spark.functions.dedup_graph import (
+    connected_components,
+    dedup_keep,
+)
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min id per component
+    comp = {}
+    for x in list(parent):
+        root = find(x)
+        comp.setdefault(root, []).append(x)
+    out = {}
+    for root, members in comp.items():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def _assert_matches(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    want = _uf_components([(a, b) for a, b in pairs if a != b])
+    assert got == want
+
+
+def test_cc_basic_shapes(spark):
+    _assert_matches(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)])
+
+
+def test_cc_long_chain(spark):
+    # 120-node path: worst-case diameter for label propagation; the
+    # alternating-star algorithm must still converge well under the
+    # iteration guard
+    _assert_matches(spark, [(i, i + 1) for i in range(120)])
+
+
+def test_cc_hub_and_cliques(spark):
+    pairs = [(0, i) for i in range(1, 60)]              # hub
+    pairs += [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]
+    _assert_matches(spark, pairs)
+
+
+def test_cc_random_graphs(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 80
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(60 + 40 * trial)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        _assert_matches(spark, pairs)
+
+
+def test_cc_string_ids(spark):
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cc_empty_and_self_pairs(spark):
+    df = spark.createDataFrame([(1, 1), (None, 2)], "doc_a bigint, doc_b bigint")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_keep_invariants(spark):
+    rng = random.Random(7)
+    n = 60
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    docs = spark.createDataFrame(
+        [(i, float(rng.randrange(10))) for i in range(n)],
+        "doc_id bigint, q double",
+    )
+    pdf = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    out = dedup_keep(docs, pdf, quality_col="q").toPandas()
+
+    assert len(out) == n                                  # every doc decided
+    grp = out.groupby("cluster_id")
+    assert (grp["keep"].sum() == 1).all()                 # one survivor each
+    assert (grp.size().values == grp["cluster_size"].first().values).all()
+
+    # survivor is argmax quality (ties -> min doc_id)
+    docs_pd = docs.toPandas().set_index("doc_id")["q"]
+    for cid, g in grp:
+        best = g.sort_values(["doc_id"]).assign(q=lambda d: d["doc_id"].map(docs_pd))
+        best = best.sort_values(["q", "doc_id"], ascending=[False, True])
+        assert g.loc[g["keep"] == 1, "doc_id"].iloc[0] == best["doc_id"].iloc[0]
+
+    # cluster assignment matches union-find
+    want = _uf_components(pairs)
+    for _, row in out.iterrows():
+        assert row["cluster_id"] == want.get(row["doc_id"], row["doc_id"])
+
+
+def test_dedup_keep_no_quality_keeps_min_id(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    pdf = spark.createDataFrame([(3, 5), (5, 4)], "doc_a bigint, doc_b bigint")
+    out = dedup_keep(docs, pdf).toPandas().set_index("doc_id")
+    assert out.loc[3, "keep"] == 1 and out.loc[4, "keep"] == 0
+    assert out.loc[5, "cluster_id"] == 3
+
+
+def test_cc_runaway_guard(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                               "doc_a bigint, doc_b bigint")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iterations=0)
