@@ -1712,18 +1712,34 @@ def oracle_sql() -> dict[str, str]:
         "quality": """
             WITH t AS (
               SELECT doc_id, text,
+                     string_split(trim(text), ' ') AS rawtoks,
                      CASE WHEN length(regexp_replace(trim(text), ' +', ' ', 'g')) = 0 THEN 0
                           ELSE length(regexp_replace(trim(text), ' +', ' ', 'g'))
                              - length(replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', ''))
                              + 1 END AS n_tokens
-              FROM documents)
+              FROM documents),
+            t2 AS (SELECT doc_id, text, n_tokens,
+                          list_filter(rawtoks, x -> x <> '') AS toks
+                   FROM t),
+            tc AS (
+              SELECT doc_id, max(c) AS top FROM (
+                SELECT doc_id, tok, count(*) AS c
+                FROM t2, unnest(toks) AS u(tok) GROUP BY doc_id, tok)
+              GROUP BY doc_id)
             SELECT doc_id,
                    length(text) AS n_chars,
                    n_tokens,
                    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
                          greatest(length(text), 1), 6) AS alpha_ratio,
-                   round(length(text) * 1.0 / greatest(n_tokens, 1), 6) AS chars_per_token
-            FROM t
+                   round(length(text) * 1.0 / greatest(n_tokens, 1), 6) AS chars_per_token,
+                   CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE round(top * 1.0 / greatest(n_tokens, 1), 6)
+                   END AS top_token_frac,
+                   CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE round(1 - len(list_distinct(toks)) * 1.0 /
+                                   greatest(n_tokens, 1), 6)
+                   END AS dup_token_frac
+            FROM t2 LEFT JOIN tc USING (doc_id)
         """,
         "asof_directions": """
             WITH p AS (SELECT event_id, user_id, ts FROM events

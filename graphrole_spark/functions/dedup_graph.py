@@ -43,6 +43,30 @@ def _canonical_edge_stats(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _symmetrize(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Both directions of an edge list in ONE pass: explode a 2-element
+    struct array instead of a self-union.  Besides reading the input
+    once, this dodges a Catalyst constraint-propagation bug
+    (UnionBase.rewriteConstraints "key not found") that a self-union
+    sharing expression ids can trigger on Spark 4.1.
+
+    ``dedup=False`` skips the distinct shuffle — correct whenever the
+    input is already distinct AND uniformly directed (star-round output
+    is always high→low, so reversing cannot collide), making the
+    symmetrization a pure map."""
+    pair = F.explode(
+        F.array(
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+        )
+    )
+    out = (
+        edges.select(pair.alias("e"))
+        .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+    )
+    return out.distinct() if dedup else out
+
+
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     """One large-star (or small-star) round over a symmetric edge list.
 
@@ -73,6 +97,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 30,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Resolve an undirected pair list to components.
 
@@ -95,31 +120,45 @@ def connected_components(
     )
     # one checkpoint of the (possibly expensive) upstream pair plan —
     # nodes and the iteration both read the materialized copy
-    sym = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint()
+    sym = _symmetrize(edges).localCheckpoint()
     nodes = sym.select(F.col("u").alias("node")).distinct()
 
-    cur = sym
-    prev_stats = _canonical_edge_stats(cur)
-    for _ in range(max_iterations):
-        # star rounds expect both directions present; re-symmetrize
-        s = cur.unionByName(
-            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
-        after_large = _star_round(s, large=True)
-        al_sym = after_large.unionByName(
-            after_large.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
-        cur = _star_round(al_sym, large=False).localCheckpoint()
-        stats = _canonical_edge_stats(cur)
-        if stats == prev_stats:
-            break
-        prev_stats = stats
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
-        )
+    spark = pairs.sparkSession
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    # the small-star union below can still hit the same Catalyst
+    # constraint-rewrite bug; constraints buy nothing in this loop
+    spark.conf.set(cp_key, "false")
+    try:
+        cur = sym
+        prev_stats = _canonical_edge_stats(cur)
+        if stats is not None:
+            stats["initial_edges"] = prev_stats[0]
+            stats["rounds"] = 0
+        for _round in range(max_iterations):
+            # Each star's output is checkpointed before the next step
+            # reads it twice (groupBy side + join probe side) — without
+            # the materialization the recompute fan-out compounds per
+            # round and the sweep goes super-linear.  Star output is
+            # distinct and high→low directed, so the re-symmetrizations
+            # are pure maps (dedup=False, no shuffle).
+            after_large = _star_round(cur, large=True).localCheckpoint()
+            cur_half = _star_round(
+                _symmetrize(after_large, dedup=False), large=False
+            ).localCheckpoint()
+            cur = _symmetrize(cur_half, dedup=False)
+            cur_stats = _canonical_edge_stats(cur_half)
+            if stats is not None:
+                stats["rounds"] = _round + 1
+            if cur_stats == prev_stats:
+                break
+            prev_stats = cur_stats
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} rounds"
+            )
+    finally:
+        spark.conf.set(cp_key, cp_prev)
 
     # converged: `cur` is a forest of stars v -> min; a node's component
     # is the min over its star edges (or itself for singleton stars).

@@ -620,14 +620,44 @@ def clean_corpus(
 
 
 def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality metrics: length, tokens, alpha ratio,
-    mean token length — the standard pre-training quality filters."""
+    """Per-document quality metrics: length, tokens, alpha ratio, mean
+    token length, plus Gopher-style repetition signals —
+    ``top_token_frac`` (share of the most frequent token) and
+    ``dup_token_frac`` (1 − distinct/total) flag the boilerplate and
+    keyword-stuffed documents length filters miss.
+
+    Length/ratio columns are pure codegen expressions; the top-token
+    mode is explode → two-level groupBy keyed on doc_id — one shuffle,
+    partial-aggregated map-side, no Python."""
     t = F.col(text_col)
     n_tok = token_count(t)
-    return documents.select(
+    base = documents.select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
         alpha_ratio(t).alias("alpha_ratio"),
         F.round(F.length(t) / F.greatest(n_tok, F.lit(1)), 6).alias("chars_per_token"),
+        F.size(F.array_distinct(tokens(t))).alias("__n_distinct"),
+    )
+    top = (
+        documents.select("doc_id", F.explode(tokens(t)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("__top"))
+    )
+    zero_tok = F.col("n_tokens") == 0
+    denom = F.greatest(F.col("n_tokens"), F.lit(1))
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "alpha_ratio",
+        "chars_per_token",
+        F.when(zero_tok, F.lit(0.0))
+        .otherwise(F.round(F.col("__top") / denom, 6))
+        .alias("top_token_frac"),
+        F.when(zero_tok, F.lit(0.0))
+        .otherwise(F.round(1 - F.col("__n_distinct") / denom, 6))
+        .alias("dup_token_frac"),
     )

@@ -104,12 +104,69 @@ def run(spark, n: int, work_dir: str) -> dict:
     out["simhash_sec"] = round(time.time() - t0, 2)
     chunks = simhash_chunk_pairs(simhash_frame(docs), max_hamming=3)
     out["simhash_buckets"] = bucket_stats(chunks, ["table", "h1", "h2"])
+
+    # pairs -> clusters -> keep decision (the dedup_clusters tail stage)
+    from graphrole_spark.functions.dedup_graph import dedup_keep
+
+    t0 = time.time()
+    kept = dedup_keep(
+        docs.withColumn("n_chars", F.length("text")),
+        mh, quality_col="n_chars",
+    )
+    agg = kept.agg(
+        F.count("*").alias("n"),
+        F.sum("keep").alias("n_keep"),
+        F.max("cluster_size").alias("max_cluster"),
+    ).collect()[0]
+    out["cluster_sec"] = round(time.time() - t0, 2)
+    out["n_dropped"] = int(agg["n"] - agg["n_keep"])
+    out["max_cluster"] = int(agg["max_cluster"])
     return out
+
+
+def cc_stress(spark, n_nodes: int) -> dict:
+    """Connected components alone on an adversarial edge list:
+    diameter-100 chains (worst case for label propagation — the
+    alternating-star algorithm must collapse them in O(log^2) rounds)
+    plus intra-block random shortcuts, n_nodes edges total."""
+    from pyspark.sql import functions as F
+
+    from graphrole_spark.functions.dedup_graph import connected_components
+
+    ids = spark.range(n_nodes)
+    chain = ids.where(F.col("id") % 100 != 99).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    # deterministic shortcut edges inside each 100-block (~1% of nodes)
+    shortcut = (
+        ids.where(F.pmod(F.xxhash64("id"), F.lit(100)) == 0)
+        .select(
+            F.col("id").alias("doc_a"),
+            (F.col("id") - F.col("id") % 100
+             + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100))).alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    pairs = chain.unionByName(shortcut).localCheckpoint()
+
+    stats: dict = {}
+    t0 = time.time()
+    comp = connected_components(pairs, stats=stats)
+    n_comp = comp.select("component").distinct().count()
+    return {
+        "cc_nodes": n_nodes,
+        "cc_edges": stats.get("initial_edges"),
+        "cc_rounds": stats.get("rounds"),
+        "cc_components": n_comp,
+        "cc_sec": round(time.time() - t0, 2),
+    }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,50000,500000")
+    ap.add_argument("--cc-sizes", default="",
+                    help="node counts for the CC-only stress (chains+shortcuts)")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--work-dir", default="/tmp/dedup_scale")
     args = ap.parse_args()
@@ -118,14 +175,16 @@ def main() -> None:
 
     spark = get_spark("dedup_scale", cores=args.cpus)
     os.makedirs(args.work_dir, exist_ok=True)
-    results = []
-    for n in [int(s) for s in args.sizes.split(",")]:
-        r = run(spark, n, args.work_dir)
+    def record(r: dict) -> None:
         r["cpus"] = args.cpus
-        results.append(r)
         print(json.dumps(r), flush=True)
         with open("BENCH_DEDUP_SCALE.jsonl", "a") as f:
             f.write(json.dumps(r) + "\n")
+
+    for n in [int(s) for s in args.sizes.split(",") if s]:
+        record(run(spark, n, args.work_dir))
+    for n in [int(s) for s in args.cc_sizes.split(",") if s]:
+        record(cc_stress(spark, n))
 
 
 if __name__ == "__main__":

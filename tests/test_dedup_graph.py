@@ -138,3 +138,44 @@ def test_cc_runaway_guard(spark):
                                "doc_a bigint, doc_b bigint")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(df, max_iterations=0)
+
+
+def test_semantic_dedup_composition(spark):
+    """Embedding near-dup pairs resolve to keep decisions through the
+    same cluster machinery as the text dedup path."""
+    import numpy as np
+
+    from graphrole_spark.functions.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(4, 16))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):                       # 3 near-copies per seed
+            v = b + rng.normal(scale=0.01, size=16)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_duplicates(corpus, threshold=0.95)
+    out = dedup_keep(corpus, pairs, id_col="vec_id", src="id_a", dst="id_b").toPandas()
+    assert len(out) == 12
+    assert out["keep"].sum() == 4                 # one survivor per seed
+    assert (out.groupby("cluster_id").size() == 3).all()
+
+
+def test_cc_plan_has_no_nested_loop_join(spark):
+    """The star rounds must stay equi-join shaped: no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in a round's physical plan."""
+    from graphrole_spark.functions.dedup_graph import _star_round, _symmetrize
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "doc_a bigint, doc_b bigint"
+    )
+    edges = _symmetrize(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    for large in (True, False):
+        plan = _star_round(edges, large=large)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -311,3 +311,27 @@ def test_simhash_banding_matches_brute_force(spark):
             .toPandas()[["doc_a", "doc_b"]].values)
     )
     assert got == expected
+
+
+def test_quality_repetition_signals(spark):
+    from graphrole_spark.functions.text import quality_features
+
+    rows = [
+        (1, "spam spam spam spam"),          # top=4/4, distinct 1/4
+        (2, "a b c d"),                      # no repetition
+        (3, "x x y"),                        # top=2/3, distinct 2/3
+        (4, ""),                             # empty -> 0.0 by definition
+        (5, None),                           # null text -> nulls
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_features(docs).toPandas().set_index("doc_id")
+
+    assert out.loc[1, "top_token_frac"] == 1.0
+    assert out.loc[1, "dup_token_frac"] == 0.75
+    assert out.loc[2, "top_token_frac"] == 0.25
+    assert out.loc[2, "dup_token_frac"] == 0.0
+    assert out.loc[3, "top_token_frac"] == pytest.approx(0.666667)
+    assert out.loc[3, "dup_token_frac"] == pytest.approx(0.333333)
+    assert out.loc[4, "top_token_frac"] == 0.0
+    assert out.loc[4, "dup_token_frac"] == 0.0
+    assert pd.isna(out.loc[5, "top_token_frac"])
