@@ -268,14 +268,15 @@ def q_streaming_state(spark, sf_dir):
     return conversation_state_available_now(spark, f"{sf_dir}/events.parquet")
 
 
-def q_topk_per_user(spark, sf_dir):
-    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
-    return (
-        _events(spark, sf_dir)
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
-        .select("event_id", "rk")
-    )
+def q_vocab_coverage(spark, sf_dir):
+    """Corpus vocabulary induction + per-doc OOV rate: top-K tokens by
+    frequency (distributed TakeOrderedAndProject, no global sort) and
+    each document's out-of-vocabulary token fraction via a broadcast
+    membership join."""
+    from graphrole_spark.functions.text import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_coverage(docs, vocab_size=500)
 
 
 # --------------------------------------------------------------------------
@@ -654,10 +655,18 @@ def q_percentiles(spark, sf_dir):
 
 
 def q_dense_rank(spark, sf_dir):
+    """dense_rank + topk_per_user merged into one registry slot (window
+    cap): dense_rank/ntile/row_number over the same per-user window,
+    with the top-k-per-key selection carried as a flag column."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    rk = F.row_number().over(w)
     return ev.select(
-        "event_id", F.dense_rank().over(w).alias("drk"), F.ntile(4).over(w).alias("quartile")
+        "event_id",
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        rk.alias("rk"),
+        (rk <= 3).cast("int").alias("in_top3"),
     )
 
 
@@ -883,6 +892,18 @@ def q_lang_guess(spark, sf_dir):
     return docs.select("doc_id", language_guess(F.col("text")).alias("lang_guess"))
 
 
+def q_mix_corpus(spark, sf_dir):
+    """Source-weighted token-budget corpus mixing (data-mixture step);
+    deterministic via the portable md5 ranking shared with
+    split_assign."""
+    from graphrole_spark.functions.corpus import mix_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    # budget chosen to BIND at every sf (sf0.01 has ~1.5k tokens/source)
+    return mix_corpus(docs, weights, total_tokens=2_000)
+
+
 def q_minhash_dedup(spark, sf_dir):
     from graphrole_spark.functions.text import minhash_near_duplicates
 
@@ -1005,7 +1026,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_count": q_interval_count,
         "hopping_window": q_hopping_window,
         "streaming_sessions": q_streaming_sessions,
-        "topk_per_user": q_topk_per_user,
         # -- graph seeds + ReFeX recursion + RolX ----------------------
         "degree_undirected": q_degree_undirected,
         "degree_directed": q_degree_directed,
@@ -1036,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "token_count": q_token_count,
         "quality": q_quality,
+        "vocab_coverage": q_vocab_coverage,
         "lang_guess": q_lang_guess,
         "pack_greedy": q_pack_greedy,
         "chunk_documents": q_chunk_documents,
@@ -1054,6 +1075,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "refex_pipeline": q_refex_pipeline,
+        # mix_corpus IS SQL-expressible (portable md5 + windows) but sits
+        # past the driver's 50-entry adjudication window; exact keep-set
+        # parity is pytest-pinned instead (test_corpus.py::test_mix_*)
+        "mix_corpus": q_mix_corpus,
     }
 
 
@@ -1192,13 +1217,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS total_value
             FROM g GROUP BY user_id, sess
-        """,
-        "topk_per_user": """
-            SELECT event_id, rk FROM (
-              SELECT event_id,
-                     row_number() OVER (PARTITION BY user_id
-                                        ORDER BY value DESC, event_id) AS rk
-              FROM events) WHERE rk <= 3
         """,
         "degree_undirected": """
             SELECT node, round(sum(w), 6) AS degree FROM (
@@ -1588,9 +1606,37 @@ def oracle_sql() -> dict[str, str]:
         "dense_rank": """
             SELECT event_id,
                    dense_rank() OVER w AS drk,
-                   ntile(4) OVER w AS quartile
+                   ntile(4) OVER w AS quartile,
+                   row_number() OVER w AS rk,
+                   CAST(CASE WHEN row_number() OVER w <= 3 THEN 1 ELSE 0 END
+                        AS INT) AS in_top3
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        """,
+        # vocab_coverage: top-500 corpus tokens by frequency (ties on the
+        # token string), then each doc's OOV occurrence fraction
+        "vocab_coverage": """
+            WITH tk AS (
+              SELECT doc_id, tok
+              FROM (SELECT doc_id,
+                           list_filter(string_split(trim(text), ' '),
+                                       x -> x <> '') AS toks
+                    FROM documents), unnest(toks) AS u(tok)),
+            vocab AS (
+              SELECT tok FROM (
+                SELECT tok, count(*) AS c FROM tk GROUP BY tok)
+              ORDER BY c DESC, tok LIMIT 500),
+            cov AS (
+              SELECT tk.doc_id,
+                     count(*) AS n_tokens,
+                     round(avg(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END),
+                           6) AS oov_frac
+              FROM tk LEFT JOIN vocab v ON tk.tok = v.tok
+              GROUP BY tk.doc_id)
+            SELECT d.doc_id,
+                   coalesce(cov.n_tokens, 0) AS n_tokens,
+                   coalesce(cov.oov_frac, 0.0) AS oov_frac
+            FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
         """,
         "percentiles": """
             SELECT event_type,

@@ -89,7 +89,7 @@ def main() -> None:
         "streaming_state",
         "egonet",
         "lang_guess",
-        "topk_per_user",
+        "vocab_coverage",
         "percentiles",
         "degree_undirected",
         "degree_directed",
@@ -127,6 +127,7 @@ def main() -> None:
         "cosine_dedup",
         "lsh_topk",
         "ivf_topk",
+        "mix_corpus",
     ]
     queries = entrymod.queries()
     for name in suite:

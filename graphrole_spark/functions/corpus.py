@@ -189,3 +189,75 @@ def stratified_sample(
         .alias("__rn"),
     )
     return ranked.where(F.col("__rn") <= n_per_stratum).drop("__rn")
+
+
+def mix_corpus(
+    documents: DataFrame,
+    weights: dict,
+    total_tokens: int,
+    text_col: str = "text",
+    source_col: str = "source",
+    salt: str = "mix1",
+) -> DataFrame:
+    """Source-weighted corpus mixing under a token budget — the "data
+    mixture" step that turns per-source corpora into one training set
+    (e.g. web 0.6 / code 0.3 / papers 0.1 of a 10B-token budget).
+
+    Each source gets ``total_tokens * weight/sum(weights)`` tokens.
+    Within a source, documents are ranked by the same portable md5 hash
+    as :func:`split_assign` (deterministic across runs, partitionings
+    and cluster sizes — an unseeded shuffle would make the mixture
+    irreproducible) and kept while the running token sum stays within
+    the source budget; the first document that crosses the boundary is
+    kept too, so every source with a positive budget contributes
+    (budget overshoot is bounded by one document, mirroring
+    ``pack_documents``' documented ``start`` boundary rule). Sources
+    absent from ``weights`` get budget 0 and are dropped entirely.
+
+    One window per source partition (token cumsum), no shuffle beyond
+    it — source skew is bounded by the largest single source, the same
+    partitioning a per-source bucketed layout would use at scale.
+
+    Returns ``(doc_id, source, n_tokens, keep)``.
+    """
+    from .text import token_count
+
+    wsum = float(sum(weights.values())) or 1.0
+    budget = F.lit(0.0)
+    for src, wt in weights.items():
+        budget = F.when(
+            F.col(source_col) == src, F.lit(total_tokens * float(wt) / wsum)
+        ).otherwise(budget)
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16 ** 8))
+    )
+    w = Window.partitionBy(source_col).orderBy(F.asc("__u"), F.asc("doc_id"))
+    scored = documents.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        # NULL text → the empty document (0 tokens), same rule as
+        # pack/chunk — a NULL would poison the running sum
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("long").alias("n_tokens"),
+        u.alias("__u"),
+        budget.alias("__budget"),
+    )
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    prev = cum - F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        # keep while the PREVIOUS cumsum is inside the budget: the
+        # boundary-crossing doc is kept, everything after it dropped
+        ((prev < F.col("__budget")) & (F.col("__budget") > 0))
+        .cast("int")
+        .alias("keep"),
+    )

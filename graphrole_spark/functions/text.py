@@ -13,6 +13,8 @@ scale to billions of documents:
   rolling-hash fingerprinting.
 """
 
+from typing import Optional
+
 import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -616,6 +618,81 @@ def clean_corpus(
             F.count("*").alias("n_copies"),
         )
         .drop("__h")
+    )
+
+
+def build_vocabulary(
+    documents: DataFrame, text_col: str = "text", vocab_size: int = 1000
+) -> DataFrame:
+    """Top-``vocab_size`` whitespace tokens by corpus frequency —
+    the word-level vocabulary a tokenizer fit starts from.
+
+    Scale shape: explode → one token-key shuffle with map-side partial
+    counts (Zipf head tokens pre-aggregate per task, so the hot keys do
+    NOT skew the shuffle), then ``orderBy().limit(K)`` which Spark
+    executes as a distributed TakeOrderedAndProject — per-partition
+    top-K heaps merged on the driver, never a single-partition global
+    sort. Ties break on the token string so the vocabulary is
+    deterministic.
+
+    Returns ``(token, n_occurrences, rank)``.
+    """
+    counts = (
+        documents.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(vocab_size)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return counts.select(
+        "token", "n_occurrences", F.row_number().over(w).alias("rank")
+    )
+
+
+def vocab_coverage(
+    documents: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    vocabulary: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a corpus vocabulary
+    (built by :func:`build_vocabulary` unless one is passed in) — the
+    coverage statistic that decides whether a tokenizer/vocab fits a
+    new data source.
+
+    The vocabulary is at most ``vocab_size`` rows, so the membership
+    join broadcasts; the only shuffle is the per-document aggregation.
+    Documents with no tokens (empty or NULL text) report ``oov_frac``
+    0.0 and ``n_tokens`` 0.
+
+    Returns ``(doc_id, n_tokens, oov_frac)``.
+    """
+    if vocabulary is None:
+        vocabulary = build_vocabulary(documents, text_col, vocab_size)
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    vocab = F.broadcast(vocabulary.select("token", F.lit(1).alias("__in_vocab")))
+    cov = (
+        toks.join(vocab, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.when(F.col("__in_vocab").isNull(), 1.0).otherwise(0.0)), 6
+            ).alias("oov_frac"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("oov_frac", F.lit(0.0)).alias("oov_frac"),
+        )
     )
 
 

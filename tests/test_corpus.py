@@ -4,6 +4,7 @@
 pin the semantic invariants the SQL comparison can't express.)
 """
 
+import pandas as pd
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -206,3 +207,58 @@ def test_chunk_then_strict_pack_never_overflows(spark, docs):
     assert (packed.n_tokens <= 64).all()
     assert (packed.groupby(["shard", "seq_id"]).seq_tokens.first() <= 256).all()
     assert len(packed) == chunks.count()
+
+
+def test_mix_corpus_budgets_and_determinism(spark):
+    from graphrole_spark.functions.corpus import mix_corpus
+
+    rows = []
+    for i in range(200):
+        src = ["web", "code", "papers"][i % 3]
+        rows.append((i, src, "tok " * (5 + i % 7)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    weights = {"web": 0.6, "code": 0.4}          # papers absent -> dropped
+    out = mix_corpus(docs, weights, total_tokens=400).toPandas()
+    assert len(out) == 200                        # every doc decided
+
+    kept = out[out["keep"] == 1]
+    by_src = kept.groupby("source")["n_tokens"].sum()
+    assert "papers" not in by_src.index           # zero budget
+    # budget respected up to one boundary doc per source
+    max_doc = out["n_tokens"].max()
+    assert by_src.get("web", 0) <= 400 * 0.6 + max_doc
+    assert by_src.get("code", 0) <= 400 * 0.4 + max_doc
+    # budgets are actually used (maximal prefix, not trivially empty)
+    assert by_src.get("web", 0) >= 400 * 0.6 - max_doc
+    assert by_src.get("code", 0) >= 400 * 0.4 - max_doc
+
+    # deterministic: identical keep set on a re-run with shuffled input
+    out2 = (
+        mix_corpus(docs.repartition(7), weights, total_tokens=400)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True), out2
+    )
+
+
+def test_mix_corpus_prefix_property(spark):
+    """Kept docs per source are exactly the hash-order prefix whose
+    PREVIOUS cumsum is under budget (boundary doc kept)."""
+    import hashlib
+
+    from graphrole_spark.functions.corpus import mix_corpus
+
+    rows = [(i, "s", "w " * 10) for i in range(50)]   # 10 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mix_corpus(docs, {"s": 1.0}, total_tokens=95).toPandas()
+
+    def u(doc_id):
+        return int(hashlib.md5(f"{doc_id}mix1".encode()).hexdigest()[:8], 16)
+
+    order = sorted(out["doc_id"], key=lambda d: (u(d), d))
+    expect_keep = set(order[:10])                  # prev cumsum 90 < 95
+    assert set(out.loc[out["keep"] == 1, "doc_id"]) == expect_keep

@@ -335,3 +335,26 @@ def test_quality_repetition_signals(spark):
     assert out.loc[4, "top_token_frac"] == 0.0
     assert out.loc[4, "dup_token_frac"] == 0.0
     assert pd.isna(out.loc[5, "top_token_frac"])
+
+
+def test_vocab_coverage(spark):
+    from graphrole_spark.functions.text import build_vocabulary, vocab_coverage
+
+    rows = [
+        (1, "a a a b"),       # a:3 b:1
+        (2, "a b c"),         # c enters corpus once
+        (3, "c d e"),         # d/e once each
+        (4, ""),              # no tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    vocab = build_vocabulary(docs, vocab_size=2).toPandas()
+    # a (4 occurrences) then b/c tie at 2 -> 'b' wins on the string tie
+    assert list(vocab["token"]) == ["a", "b"]
+    assert list(vocab["rank"]) == [1, 2]
+
+    out = vocab_coverage(docs, vocab_size=2).toPandas().set_index("doc_id")
+    assert out.loc[1, "oov_frac"] == 0.0          # all in {a,b}
+    assert out.loc[2, "oov_frac"] == pytest.approx(1 / 3)   # c OOV
+    assert out.loc[3, "oov_frac"] == 1.0          # c, d, e all OOV
+    assert out.loc[4, "oov_frac"] == 0.0 and out.loc[4, "n_tokens"] == 0
