@@ -904,6 +904,19 @@ def q_mix_corpus(spark, sf_dir):
     return mix_corpus(docs, weights, total_tokens=2_000)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any 13-token
+    shingle with a held-out 'evaluation set' (the 25 docs with the
+    largest ids — deterministic, disjoint from nothing by construction
+    so self-hits are expected for those ids)."""
+    from graphrole_spark.functions.text import contamination_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mx = docs.agg(F.max("doc_id")).first()[0] or 0
+    bench = docs.where(F.col("doc_id") > mx - 25)
+    return contamination_flags(docs, bench, shingle_n=13)
+
+
 def q_minhash_dedup(spark, sf_dir):
     from graphrole_spark.functions.text import minhash_near_duplicates
 
@@ -1079,6 +1092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the driver's 50-entry adjudication window; exact keep-set
         # parity is pytest-pinned instead (test_corpus.py::test_mix_*)
         "mix_corpus": q_mix_corpus,
+        # decontaminate shares mix_corpus's rationale (xxhash64 shingle
+        # membership; pytest parity in test_contamination_flags)
+        "decontaminate": q_decontaminate,
     }
 
 

@@ -37,17 +37,33 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # Protocol: min-of-2 per timed section. Co-tenant load on this VM
+    # swings identical runs 3-5x (BENCH.md); a single draw makes the
+    # round-over-round comparison noise, min-of-2 recovers the
+    # comparable statistic at 2x bench wall time.
+    REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+
     # -- flagship: ReFeX over synthetic transcripts (turns/sec) ------------
     transcripts = synthesize_transcripts(spark, N_CONVS, seed=42).persist()
     n_turns = transcripts.count()
 
-    t0 = time.time()
-    feats, rfe = extract_transcript_features(
-        transcripts, max_generations=4, return_extractor=True
-    )
-    n_rows = feats.count()
-    refex_sec = time.time() - t0
-    timings["refex_pipeline_synth"] = round(refex_sec, 3)
+    refex_runs = []
+    for rep in range(REPEATS):
+        if rep:
+            # drop the previous fit's persisted generation frames —
+            # cache-manager plan matching would otherwise serve them to
+            # the re-run and time a cache read; re-pin input (untimed)
+            spark.catalog.clearCache()
+            transcripts = transcripts.persist()
+            transcripts.count()
+        t0 = time.time()
+        feats, rfe = extract_transcript_features(
+            transcripts, max_generations=4, return_extractor=True
+        )
+        n_rows = feats.count()
+        refex_runs.append(round(time.time() - t0, 3))
+    refex_sec = min(refex_runs)
+    timings["refex_pipeline_synth"] = refex_sec
     turns_per_sec = n_turns / refex_sec
 
     # -- serve path: replay the frozen model (fit/transform split) ---------
@@ -61,12 +77,15 @@ def main() -> None:
     spark.catalog.clearCache()
     transcripts = transcripts.persist()
     transcripts.count()
-    t0 = time.time()
-    extract_transcript_features(transcripts, model=model).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    transform_sec = time.time() - t0
-    timings["refex_transform_synth"] = round(transform_sec, 3)
+    transform_runs = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        extract_transcript_features(transcripts, model=model).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        transform_runs.append(round(time.time() - t0, 3))
+    transform_sec = min(transform_runs)
+    timings["refex_transform_synth"] = transform_sec
     transcripts.unpersist()
 
     # -- operator suite on the shared sf tables ------------------------------
@@ -128,12 +147,17 @@ def main() -> None:
         "lsh_topk",
         "ivf_topk",
         "mix_corpus",
+        "decontaminate",
     ]
     queries = entrymod.queries()
     for name in suite:
-        t0 = time.time()
-        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(REPEATS):
+            t0 = time.time()
+            queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            sec = round(time.time() - t0, 3)
+            best = sec if best is None else min(best, sec)
+        timings[name] = best
 
     total = round(sum(timings.values()), 3)
     print(
@@ -149,6 +173,9 @@ def main() -> None:
                 "turns_per_sec": round(turns_per_sec, 1),
                 "transform_turns_per_sec": round(n_turns / transform_sec, 1),
                 "cpus": CPUS,
+                "protocol": f"min_of_{REPEATS}",
+                "refex_runs": refex_runs,
+                "transform_runs": transform_runs,
             }
         )
     )

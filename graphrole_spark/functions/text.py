@@ -738,3 +738,51 @@ def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.round(1 - F.col("__n_distinct") / denom, 6))
         .alias("dup_token_frac"),
     )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 13,
+    seed: int = 7,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    ``shingle_n``-token shingle with an evaluation set (the standard
+    13-gram overlap rule used to scrub eval leakage from pre-training
+    corpora).
+
+    Both sides reuse the string-free shingle hashing of
+    :func:`minhash_shingle_hashes`. The benchmark's distinct shingle
+    set is tiny relative to the corpus (eval suites are fixed-size), so
+    the membership probe is a broadcast semi-join against the exploded
+    corpus shingles — the corpus is scanned once, nothing shuffles on
+    the full shingle stream, and the only shuffle is the per-doc hit
+    aggregation. Documents shorter than ``shingle_n`` tokens hash as a
+    single whole-doc shingle (only an exact short-text match flags).
+
+    Returns ``(doc_id, n_hits, contaminated)`` — ``n_hits`` counts the
+    distinct overlapping shingles per document.
+    """
+    bench_sh = (
+        minhash_shingle_hashes(benchmark, text_col, shingle_n, seed)
+        .select(F.explode("shh").alias("sh"))
+        .distinct()
+    )
+    corp_sh = minhash_shingle_hashes(corpus, text_col, shingle_n, seed).select(
+        "doc_id", F.explode("shh").alias("sh")
+    )
+    hits = (
+        corp_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )

@@ -358,3 +358,25 @@ def test_vocab_coverage(spark):
     assert out.loc[2, "oov_frac"] == pytest.approx(1 / 3)   # c OOV
     assert out.loc[3, "oov_frac"] == 1.0          # c, d, e all OOV
     assert out.loc[4, "oov_frac"] == 0.0 and out.loc[4, "n_tokens"] == 0
+
+
+def test_contamination_flags(spark):
+    from graphrole_spark.functions.text import contamination_flags
+
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    rows = [
+        (1, "prefix " + bench_text + " suffix"),          # contains the benchmark
+        (2, " ".join(f"c{i}" for i in range(30))),        # disjoint
+        (3, bench_text),                                  # the benchmark itself
+        (4, "tiny doc"),                                  # < n tokens, no match
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    out = contamination_flags(corpus, bench, shingle_n=13).toPandas().set_index("doc_id")
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_hits"] >= 1
+    assert out.loc[2, "contaminated"] == 0 and out.loc[2, "n_hits"] == 0
+    assert out.loc[3, "contaminated"] == 1
+    # doc 3 IS the benchmark: every one of its 20-13+1=8 shingles hits
+    assert out.loc[3, "n_hits"] == 8
+    assert out.loc[4, "contaminated"] == 0

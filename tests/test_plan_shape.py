@@ -96,3 +96,23 @@ def test_asof_join_single_exchange(spark):
 
     plan = _plan(e.queries()["asof_join"](spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+
+
+def test_vocab_coverage_plan_shape(spark):
+    """Vocabulary top-K must compile to the distributed
+    TakeOrderedAndProject (per-partition heaps), never a global sort,
+    and the membership join must broadcast the vocabulary."""
+    from graphrole_spark.functions.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} common") for i in range(100)], "doc_id long, text string"
+    )
+    plan = (
+        vocab_coverage(docs, vocab_size=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan      # no global sort exchange
