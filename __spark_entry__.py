@@ -848,10 +848,10 @@ def q_split_assign(spark, sf_dir):
 def q_stratified_sample(spark, sf_dir):
     """Deterministic top-N per stratum (here: per guessed language)."""
     from graphrole_spark.functions.corpus import stratified_sample
-    from graphrole_spark.functions.text import language_guess
+    from graphrole_spark.functions.text import language_guess_frame
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return stratified_sample(docs, language_guess(F.col("text")), 25)
+    return stratified_sample(language_guess_frame(docs), "lang_guess", 25)
 
 
 def q_token_count(spark, sf_dir):
@@ -886,10 +886,10 @@ def q_quality(spark, sf_dir):
 
 
 def q_lang_guess(spark, sf_dir):
-    from graphrole_spark.functions.text import language_guess
+    from graphrole_spark.functions.text import language_guess_frame
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", language_guess(F.col("text")).alias("lang_guess"))
+    return language_guess_frame(docs).select("doc_id", "lang_guess")
 
 
 def q_mix_corpus(spark, sf_dir):

@@ -577,6 +577,47 @@ def language_guess(text: Column) -> Column:
     return out
 
 
+def language_guess_frame(
+    documents: DataFrame, text_col: str = "text", out_col: str = "lang_guess"
+) -> DataFrame:
+    """``language_guess`` with the per-language scores materialized in
+    their own projection before the argmax CASE.
+
+    Same value, different codegen: the single-Column form inlines the
+    padded ``replace`` chain into every score reference (the argmax
+    re-embeds each score ~6×), which blows the generated method past
+    janino's comfort — a ~25 s one-time compile observed at sf0.01.
+    Splitting score computation (12 string scans/row total) from the
+    comparison keeps both stages small. Same trap class as PERF.md
+    log 14(a): factor expensive expressions into their own projection
+    when downstream re-references them."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+
+    def score(markers):
+        s = F.lit(0)
+        for mk in markers:
+            s = s + (
+                F.length(padded) - F.length(F.replace(padded, F.lit(mk), F.lit("")))
+            ) / len(mk)
+        return s
+
+    scored = documents.select(
+        "*",
+        *[
+            score(mks).alias(f"__s_{lang}")
+            for lang, mks in _LANG_MARKERS.items()
+        ],
+    )
+    cols = {lang: F.col(f"__s_{lang}") for lang in _LANG_MARKERS}
+    best = F.greatest(*cols.values())
+    out = F.lit("und")
+    for lang in reversed(list(_LANG_MARKERS)):
+        out = F.when((cols[lang] > 0) & (cols[lang] == best), F.lit(lang)).otherwise(out)
+    return scored.withColumn(out_col, out).drop(
+        *[f"__s_{lang}" for lang in _LANG_MARKERS]
+    )
+
+
 def clean_corpus(
     documents: DataFrame,
     text_col: str = "text",

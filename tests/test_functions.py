@@ -380,3 +380,32 @@ def test_contamination_flags(spark):
     # doc 3 IS the benchmark: every one of its 20-13+1=8 shingles hits
     assert out.loc[3, "n_hits"] == 8
     assert out.loc[4, "contaminated"] == 0
+
+
+def test_language_guess_frame_parity(spark):
+    """The two-stage frame form must produce exactly the single-Column
+    form's values (the Column form inlines the score chain ~6x per
+    language into one generated method — measured 25-118 s compile+run
+    at sf0.01 vs 0.5 s for the frame form)."""
+    from graphrole_spark.functions.text import language_guess, language_guess_frame
+
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "el gato y la casa de madrid"),
+        (3, "der hund und die katze"),
+        (4, "le chat et les maisons"),
+        (5, "zzz qqq xxx"),                       # no markers -> und
+        (6, ""),
+        (7, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = (
+        docs.select("doc_id", language_guess(F.col("text")).alias("lang_guess"))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        language_guess_frame(docs).select("doc_id", "lang_guess")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a["lang_guess"][:5]) == ["en", "es", "de", "fr", "und"]
