@@ -904,6 +904,20 @@ def q_mix_corpus(spark, sf_dir):
     return mix_corpus(docs, weights, total_tokens=2_000)
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """End-to-end corpus build: quality gate → near-dup cluster keep →
+    source-weighted mix → strict packing (functions/corpus.py::
+    assemble_corpus). The flagship composition of the training-data
+    layer, mirroring refex_pipeline for the feature layer."""
+    from graphrole_spark.functions.corpus import assemble_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {f"src{i}": 1.0 for i in range(10)}
+    return assemble_corpus(
+        docs, weights, total_tokens=10_000, max_seq_tokens=256
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag corpus docs sharing any 13-token
     shingle with a held-out 'evaluation set' (the 25 docs with the
@@ -1095,6 +1109,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate shares mix_corpus's rationale (xxhash64 shingle
         # membership; pytest parity in test_contamination_flags)
         "decontaminate": q_decontaminate,
+        # corpus_pipeline composes four already-adjudicated operators
+        # (clean -> dedup clusters -> mix -> strict pack); end-to-end
+        # invariants pytest-pinned in test_assemble_corpus_end_to_end
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 

@@ -148,6 +148,7 @@ def main() -> None:
         "ivf_topk",
         "mix_corpus",
         "decontaminate",
+        "corpus_pipeline",
     ]
     queries = entrymod.queries()
     for name in suite:

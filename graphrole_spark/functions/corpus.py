@@ -261,3 +261,67 @@ def mix_corpus(
         .cast("int")
         .alias("keep"),
     )
+
+
+def assemble_corpus(
+    documents: DataFrame,
+    weights: dict,
+    total_tokens: int,
+    max_seq_tokens: int = 1024,
+    text_col: str = "text",
+    source_col: str = "source",
+    min_tokens: int = 5,
+    min_alpha: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    shards: int = 64,
+) -> DataFrame:
+    """The full corpus-assembly pipeline as one composition — the
+    production path from a raw document table to packed training
+    sequences:
+
+    1. quality gate + exact dedup (:func:`~graphrole_spark.functions.
+       text.clean_corpus` — the gate runs before any shuffle);
+    2. near-duplicate CLUSTER removal: MinHash-LSH pairs →
+       alternating-star connected components → keep the longest doc per
+       cluster (:func:`~graphrole_spark.functions.dedup_graph.dedup_keep`);
+    3. source-weighted token-budget mixing (:func:`mix_corpus`);
+    4. strict first-fit sequence packing (:func:`pack_documents`).
+
+    Every stage is the already-tested operator — this function only
+    wires survivorship joins between them (left_semi on the surviving
+    ids, so document text crosses each boundary exactly once).
+
+    Returns the packed-sequence assignment ``(doc_id, shard, seq_id,
+    n_tokens, seq_tokens)`` for the surviving documents.
+    """
+    from .dedup_graph import dedup_keep
+    from .text import clean_corpus, minhash_near_duplicates
+
+    survivors = clean_corpus(
+        documents, text_col, min_tokens=min_tokens, min_alpha=min_alpha
+    ).select("doc_id")
+    cleaned = documents.join(survivors, "doc_id", "left_semi")
+
+    pairs = minhash_near_duplicates(
+        cleaned, text_col, jaccard_threshold=jaccard_threshold
+    )
+    kept = dedup_keep(
+        cleaned.withColumn("__len", F.length(text_col)),
+        pairs,
+        quality_col="__len",
+    )
+    deduped = cleaned.join(
+        kept.where(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    mixed = mix_corpus(
+        deduped, weights, total_tokens, text_col=text_col, source_col=source_col
+    )
+    selected = deduped.join(
+        mixed.where(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    return pack_documents(
+        selected, max_seq_tokens, text_col=text_col, shards=shards,
+        boundary="strict",
+    )

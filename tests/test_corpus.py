@@ -262,3 +262,43 @@ def test_mix_corpus_prefix_property(spark):
     order = sorted(out["doc_id"], key=lambda d: (u(d), d))
     expect_keep = set(order[:10])                  # prev cumsum 90 < 95
     assert set(out.loc[out["keep"] == 1, "doc_id"]) == expect_keep
+
+
+def test_assemble_corpus_end_to_end(spark):
+    """The composed pipeline honors every stage's invariant on a corpus
+    with planted junk, exact dups, near-dups, and oversized sources."""
+    from graphrole_spark.functions.corpus import assemble_corpus
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = []
+    for i in range(40):
+        rows.append((i, "web", base + f" tail{i} " + base))
+    rows.append((100, "web", rows[0][2]))                   # exact dup of 0
+    rows.append((101, "web", base + " tail0x " + base))     # near dup of 0
+    rows.append((102, "web", "x"))                          # fails min_tokens
+    rows.append((103, "web", "1 2 3 4 5 6 7 8 9"))          # fails alpha ratio
+    for i in range(200, 220):
+        rows.append((i, "code", base + f" code{i} " + base))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out = assemble_corpus(
+        docs, {"web": 0.5, "code": 0.5}, total_tokens=400, max_seq_tokens=64,
+    ).toPandas()
+
+    ids = set(out["doc_id"])
+    assert 102 not in ids and 103 not in ids          # quality gate
+    assert 100 not in ids                             # exact dup dropped
+    # near-dup cluster {0, 101}: exactly one survivor
+    assert len(ids & {0, 101}) <= 1
+    # packing invariant: multi-doc sequences within budget
+    multi = out.groupby(["shard", "seq_id"]).filter(lambda g: len(g) > 1)
+    if len(multi):
+        assert (multi.groupby(["shard", "seq_id"])["seq_tokens"].first() <= 64).all()
+    # mixing budget: kept tokens per source bounded (one-doc overshoot)
+    by_src = (
+        out.merge(docs.toPandas()[["doc_id", "source"]], on="doc_id")
+        .groupby("source")["n_tokens"].sum()
+    )
+    max_doc = out["n_tokens"].max()
+    for src in by_src.index:
+        assert by_src[src] <= 400 * 0.5 + max_doc
