@@ -673,7 +673,9 @@ def build_vocabulary(
     NOT skew the shuffle), then ``orderBy().limit(K)`` which Spark
     executes as a distributed TakeOrderedAndProject — per-partition
     top-K heaps merged on the driver, never a single-partition global
-    sort. Ties break on the token string so the vocabulary is
+    sort over the full vocabulary (the ``rank`` window below IS
+    single-partition, but over the ≤ ``vocab_size`` surviving rows
+    only). Ties break on the token string so the vocabulary is
     deterministic.
 
     Returns ``(token, n_occurrences, rank)``.
