@@ -16,6 +16,21 @@ from pyspark.sql import functions as F
 from graphrole_spark.functions.text import token_count
 
 
+def _md5_uniform(id_col, salt: str):
+    """Portable uniform u ∈ [0,1) from md5(id || salt) — the ONE
+    definition of the engine's deterministic ranking hash, shared by
+    :func:`split_assign` and :func:`mix_corpus` (md5 exists in every
+    engine, so DuckDB oracles reproduce exact assignments)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16 ** 8))
+    )
+
+
 def pack_documents(
     documents: DataFrame,
     max_tokens: int,
@@ -156,10 +171,7 @@ def split_assign(
     uniform u ∈ [0, 1); u < test_frac → test, < test+val → val, else
     train. Returns ``(doc_id, split)``.
     """
-    u = (
-        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8), 16, 10)
-        .cast("double") / F.lit(float(16 ** 8))
-    )
+    u = _md5_uniform(F.col("doc_id"), salt)
     return documents.select(
         "doc_id",
         F.when(u < test_frac, F.lit("test"))
@@ -229,17 +241,11 @@ def mix_corpus(
             F.col(source_col) == src, F.lit(total_tokens * float(wt) / wsum)
         ).otherwise(budget)
 
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(16 ** 8))
-    )
-    w = Window.partitionBy(source_col).orderBy(F.asc("__u"), F.asc("doc_id"))
+    u = _md5_uniform(F.col("doc_id"), salt)
+    # NOTE: partition by the POST-rename name — source_col no longer
+    # exists after the select below (caught by review: any non-default
+    # source_col crashed here)
+    w = Window.partitionBy("source").orderBy(F.asc("__u"), F.asc("doc_id"))
     scored = documents.select(
         "doc_id",
         F.col(source_col).alias("source"),
@@ -297,9 +303,18 @@ def assemble_corpus(
     from .dedup_graph import dedup_keep
     from .text import clean_corpus, minhash_near_duplicates
 
-    survivors = clean_corpus(
-        documents, text_col, min_tokens=min_tokens, min_alpha=min_alpha
-    ).select("doc_id")
+    # Each stage's surviving-ID set is localCheckpoint-ed (ids ONLY —
+    # never the text, so the materialized footprint is one long column)
+    # because downstream stages fan the frame out to several consumers:
+    # left lazy, the quality gate's groupBy and the dedup machinery
+    # would re-execute per consumer — the recompute-at-fan-out trap
+    # PERF.md log 20 documents. Text always flows from the original
+    # pruned scan via a semi-join on the checkpointed ids.
+    survivors = (
+        clean_corpus(documents, text_col, min_tokens=min_tokens, min_alpha=min_alpha)
+        .select("doc_id")
+        .localCheckpoint()
+    )
     cleaned = documents.join(survivors, "doc_id", "left_semi")
 
     pairs = minhash_near_duplicates(
@@ -310,16 +325,18 @@ def assemble_corpus(
         pairs,
         quality_col="__len",
     )
-    deduped = cleaned.join(
-        kept.where(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
+    kept_ids = (
+        kept.where(F.col("keep") == 1).select("doc_id").localCheckpoint()
     )
+    deduped = cleaned.join(kept_ids, "doc_id", "left_semi")
 
     mixed = mix_corpus(
         deduped, weights, total_tokens, text_col=text_col, source_col=source_col
     )
-    selected = deduped.join(
-        mixed.where(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
+    selected_ids = (
+        mixed.where(F.col("keep") == 1).select("doc_id").localCheckpoint()
     )
+    selected = deduped.join(selected_ids, "doc_id", "left_semi")
 
     return pack_documents(
         selected, max_seq_tokens, text_col=text_col, shards=shards,

@@ -25,14 +25,22 @@ from typing import Optional
 from pyspark.sql import DataFrame, functions as F
 
 
-def _canonical_edge_stats(edges: DataFrame) -> tuple[int, int]:
+def _canonical_edge_stats(edges: DataFrame, pre_deduped: bool = False) -> tuple[int, int]:
     """(count, xor-ish hash) of the canonical undirected edge set —
-    cheap convergence fingerprint, one aggregate job."""
+    cheap convergence fingerprint, one aggregate job.
+
+    ``pre_deduped=True`` skips the distinct shuffle: star-round output
+    is already distinct AND uniformly high→low directed, so the
+    least/greatest canonicalization is a bijection on its rows — the
+    dedup would re-shuffle the whole edge list per round for nothing
+    (review finding; the initial symmetric call still needs it)."""
+    canon = edges.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    )
+    if not pre_deduped:
+        canon = canon.distinct()
     row = (
-        edges.select(
-            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
-        )
-        .distinct()
+        canon
         .agg(
             F.count("*").alias("n"),
             # bit_xor: order-independent and overflow-free under ANSI mode
@@ -147,7 +155,7 @@ def connected_components(
                 _symmetrize(after_large, dedup=False), large=False
             ).localCheckpoint()
             cur = _symmetrize(cur_half, dedup=False)
-            cur_stats = _canonical_edge_stats(cur_half)
+            cur_stats = _canonical_edge_stats(cur_half, pre_deduped=True)
             if stats is not None:
                 stats["rounds"] = _round + 1
             if cur_stats == prev_stats:

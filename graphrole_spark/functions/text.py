@@ -789,6 +789,7 @@ def contamination_flags(
     text_col: str = "text",
     shingle_n: int = 13,
     seed: int = 7,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any
     ``shingle_n``-token shingle with an evaluation set (the standard
@@ -796,13 +797,17 @@ def contamination_flags(
     corpora).
 
     Both sides reuse the string-free shingle hashing of
-    :func:`minhash_shingle_hashes`. The benchmark's distinct shingle
-    set is tiny relative to the corpus (eval suites are fixed-size), so
-    the membership probe is a broadcast semi-join against the exploded
-    corpus shingles — the corpus is scanned once, nothing shuffles on
-    the full shingle stream, and the only shuffle is the per-doc hit
-    aggregation. Documents shorter than ``shingle_n`` tokens hash as a
-    single whole-doc shingle (only an exact short-text match flags).
+    :func:`minhash_shingle_hashes`. With ``broadcast_benchmark=True``
+    (default — right for fixed-size eval suites) the membership probe
+    is a broadcast semi-join against the exploded corpus shingles: the
+    corpus is scanned once, nothing shuffles on the full shingle
+    stream, and the only shuffle is the per-doc hit aggregation. The
+    broadcast is FORCED, so for a benchmark side too big for executor
+    memory (say, checking one huge corpus against another) pass
+    ``False`` to fall back to a hash-partitioned semi-join on the
+    shingle key — one extra shuffle, no size ceiling. Documents shorter
+    than ``shingle_n`` tokens hash as a single whole-doc shingle (only
+    an exact short-text match flags).
 
     Returns ``(doc_id, n_hits, contaminated)`` — ``n_hits`` counts the
     distinct overlapping shingles per document.
@@ -812,11 +817,13 @@ def contamination_flags(
         .select(F.explode("shh").alias("sh"))
         .distinct()
     )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
     corp_sh = minhash_shingle_hashes(corpus, text_col, shingle_n, seed).select(
         "doc_id", F.explode("shh").alias("sh")
     )
     hits = (
-        corp_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        corp_sh.join(bench_sh, "sh", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )

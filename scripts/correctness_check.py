@@ -94,7 +94,7 @@ def main() -> None:
         if only and name not in only:
             continue
         if name not in oracles:
-            if not args.skip_tail and not only:
+            if not args.skip_tail:
                 t0 = time.time()
                 try:
                     rows = fn(spark, args.sf_dir).count()
@@ -139,6 +139,11 @@ def main() -> None:
             n_fail += 1
             results[name] = {"err": traceback.format_exc(limit=3)}
             print(f"{name:24s} ERROR {e!r}")
+
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: --only names not in queries(): {sorted(unknown)}")
+        n_fail += 1
 
     out = "/tmp/correctness_local.json"
     with open(out, "w") as fh:

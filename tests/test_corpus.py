@@ -302,3 +302,18 @@ def test_assemble_corpus_end_to_end(spark):
     max_doc = out["n_tokens"].max()
     for src in by_src.index:
         assert by_src[src] <= 400 * 0.5 + max_doc
+
+
+def test_mix_corpus_custom_source_col(spark):
+    """Regression: a non-default source_col crashed the window
+    partitioning (it referenced the pre-rename name)."""
+    from graphrole_spark.functions.corpus import mix_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a", "w " * 10), (2, "b", "w " * 10)],
+        "doc_id long, origin string, text string",
+    )
+    out = mix_corpus(
+        docs, {"a": 1.0}, total_tokens=100, source_col="origin"
+    ).toPandas().set_index("doc_id")
+    assert out.loc[1, "keep"] == 1 and out.loc[2, "keep"] == 0
