@@ -812,15 +812,23 @@ def contamination_flags(
     Returns ``(doc_id, n_hits, contaminated)`` — ``n_hits`` counts the
     distinct overlapping shingles per document.
     """
+    # explode_outer, NOT explode: InferFiltersFromGenerate would bolt a
+    # size(shh) > 0 predicate onto a plain explode and re-evaluate the
+    # whole shingle expression per row — the exact trap PERF.md log
+    # 14(b) documents for the minhash signature (measured here too:
+    # 32 s → 1.3 s at sf0.1)
     bench_sh = (
         minhash_shingle_hashes(benchmark, text_col, shingle_n, seed)
-        .select(F.explode("shh").alias("sh"))
+        .select(F.explode_outer("shh").alias("sh"))
+        .where(F.col("sh").isNotNull())
         .distinct()
     )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
-    corp_sh = minhash_shingle_hashes(corpus, text_col, shingle_n, seed).select(
-        "doc_id", F.explode("shh").alias("sh")
+    corp_sh = (
+        minhash_shingle_hashes(corpus, text_col, shingle_n, seed)
+        .select("doc_id", F.explode_outer("shh").alias("sh"))
+        .where(F.col("sh").isNotNull())
     )
     hits = (
         corp_sh.join(bench_sh, "sh", "left_semi")
