@@ -918,6 +918,34 @@ def q_corpus_pipeline(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming ingestion dedup: the corpus arrives in two micro-
+    batches (even then odd doc ids); each batch is deduplicated against
+    the accumulated store (streaming/corpus_dedup.py) with
+    first-arrival-wins semantics. Returns the per-doc decision table."""
+    import shutil
+    import tempfile
+
+    from graphrole_spark.streaming.corpus_dedup import apply_dedup_delta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = tempfile.mkdtemp(prefix="graphrole_dedup_store_")
+    try:
+        d1 = apply_dedup_delta(
+            spark, docs.where(F.col("doc_id") % 2 == 0), store,
+            jaccard_threshold=0.5,
+        )
+        d1 = d1.withColumn("batch", F.lit(0)).localCheckpoint()
+        d2 = apply_dedup_delta(
+            spark, docs.where(F.col("doc_id") % 2 == 1), store,
+            jaccard_threshold=0.5,
+        )
+        d2 = d2.withColumn("batch", F.lit(1)).localCheckpoint()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return d1.unionByName(d2)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag corpus docs sharing any 13-token
     shingle with a held-out 'evaluation set' (the 25 docs with the
@@ -1113,6 +1141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (clean -> dedup clusters -> mix -> strict pack); end-to-end
         # invariants pytest-pinned in test_assemble_corpus_end_to_end
         "corpus_pipeline": q_corpus_pipeline,
+        # streaming_dedup: stateful ingestion (store reads/writes per
+        # micro-batch) - inherently non-SQL like streaming_state;
+        # first-arrival semantics pytest-pinned incl. replay idempotency
+        "streaming_dedup": q_streaming_dedup,
     }
 
 

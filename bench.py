@@ -91,7 +91,9 @@ def main() -> None:
     # -- operator suite on the shared sf tables ------------------------------
     # (every queries() entry except the NMF-driven rolx_roles /
     # rolx_multicutoff, whose iterative factorization would dominate the
-    # suite total; the driver's correctness harness still runs them)
+    # suite total, and streaming_dedup, which re-runs the whole minhash +
+    # CC stack twice against a disk store per invocation; pytest covers
+    # both, and the driver's correctness harness still runs rolx)
     suite = [
         "sessionize",
         "session_agg",
