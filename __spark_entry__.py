@@ -933,14 +933,12 @@ def q_streaming_dedup(spark, sf_dir):
     try:
         d1 = apply_dedup_delta(
             spark, docs.where(F.col("doc_id") % 2 == 0), store,
-            jaccard_threshold=0.5,
-        )
-        d1 = d1.withColumn("batch", F.lit(0)).localCheckpoint()
+            jaccard_threshold=0.5, batch_id=0,
+        ).withColumn("batch", F.lit(0))
         d2 = apply_dedup_delta(
             spark, docs.where(F.col("doc_id") % 2 == 1), store,
-            jaccard_threshold=0.5,
-        )
-        d2 = d2.withColumn("batch", F.lit(1)).localCheckpoint()
+            jaccard_threshold=0.5, batch_id=1,
+        ).withColumn("batch", F.lit(1))
     finally:
         shutil.rmtree(store, ignore_errors=True)
     return d1.unionByName(d2)

@@ -330,13 +330,22 @@ def minhash_bands(
     n_hashes: int = 32,
     bands: int = 8,
     seed: int = 7,
+    hashed: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(doc_id, band, bhash) — the LSH band-bucket relation the
     candidate join runs on. Exposed separately so scale runs can audit
     bucket-size distributions (the quantity that bounds verification
-    cost) with the exact production hashing."""
+    cost) with the exact production hashing.
+
+    ``hashed`` optionally supplies a precomputed
+    :func:`minhash_shingle_hashes` frame (doc_id, shh) — shingle
+    hashing is the plan's dominant constant, so callers that need both
+    the bands and the shingle sets (streaming ingestion dedup) compute
+    it once and pass it in; it MUST cover exactly the documents being
+    banded."""
     rows = n_hashes // bands
-    hashed = minhash_shingle_hashes(documents, text_col, shingle_n, seed)
+    if hashed is None:
+        hashed = minhash_shingle_hashes(documents, text_col, shingle_n, seed)
     # signature via explode + n_hashes fused min-aggregates: same values
     # as the array-fold form, but whole-stage codegen instead of an
     # interpreted higher-order function, and map-side partial aggregation
@@ -389,6 +398,7 @@ def minhash_near_duplicates(
     bands: int = None,
     jaccard_threshold: float = 0.7,
     seed: int = 7,
+    hashed: "Optional[DataFrame]" = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH.
 
@@ -398,12 +408,17 @@ def minhash_near_duplicates(
     quadratic blowup); verification cost is bounded by bucket sizes.
     ``bands=None`` derives the banding from the threshold
     (:func:`bands_for_threshold`) so the S-curve midpoint sits below it.
+    ``hashed`` optionally supplies a precomputed (doc_id, shh) frame
+    covering exactly these documents (see :func:`minhash_bands`).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     if bands is None:
         bands = bands_for_threshold(jaccard_threshold, n_hashes)
-    hashed = minhash_shingle_hashes(documents, text_col, shingle_n, seed)
-    banded = minhash_bands(documents, text_col, shingle_n, n_hashes, bands, seed)
+    if hashed is None:
+        hashed = minhash_shingle_hashes(documents, text_col, shingle_n, seed)
+    banded = minhash_bands(
+        documents, text_col, shingle_n, n_hashes, bands, seed, hashed=hashed
+    )
 
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bhash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bhash")

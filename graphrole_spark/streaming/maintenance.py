@@ -36,8 +36,14 @@ from pyspark.sql import functions as F
 N_BUCKETS = 64
 
 
-def _bucket(col: str = "conv_id", n_buckets: int = N_BUCKETS):
-    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+def _bucket(col="conv_id", n_buckets: int = N_BUCKETS):
+    """Store-bucketing convention shared by the streaming stores
+    (feature maintenance here, ingestion dedup in corpus_dedup.py).
+    Accepts a column name or a Column expression."""
+    from pyspark.sql import Column
+
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
 
 
 def _turns_dir(store_dir: str) -> str:

@@ -23,7 +23,7 @@ def _docs(spark, rows):
 def test_apply_dedup_delta_decisions(spark, tmp_path):
     store = str(tmp_path / "store")
     b1 = _docs(spark, [(0, BASE), (3, "completely different text about spark engines here")])
-    d1 = {r["doc_id"]: r["status"] for r in apply_dedup_delta(spark, b1, store).collect()}
+    d1 = {r["doc_id"]: r["status"] for r in apply_dedup_delta(spark, b1, store, batch_id=0).collect()}
     assert d1 == {0: "new", 3: "new"}
 
     b2 = _docs(
@@ -34,7 +34,7 @@ def test_apply_dedup_delta_decisions(spark, tmp_path):
             (4, "unique fourth document with its own fresh content words"),
         ],
     )
-    d2 = {r["doc_id"]: r["status"] for r in apply_dedup_delta(spark, b2, store).collect()}
+    d2 = {r["doc_id"]: r["status"] for r in apply_dedup_delta(spark, b2, store, batch_id=1).collect()}
     assert d2 == {1: "near_dup", 2: "exact_dup", 4: "new"}
 
     # only admitted docs entered the store
@@ -53,14 +53,14 @@ def test_apply_dedup_delta_intra_batch_and_replay(spark, tmp_path):
             (13, "some other standalone document body entirely different"),
         ],
     )
-    d = {r["doc_id"]: r["status"] for r in apply_dedup_delta(spark, batch, store).collect()}
+    d = {r["doc_id"]: r["status"] for r in apply_dedup_delta(spark, batch, store, batch_id=0).collect()}
     assert d == {10: "new", 11: "exact_dup", 12: "near_dup", 13: "new"}
 
     # at-least-once replay of the SAME batch: decisions identical (the
     # store's own partial rows are excluded from probes) and the store
     # does not grow
     before = spark.read.parquet(os.path.join(store, "content")).count()
-    d2 = {r["doc_id"]: r["status"] for r in apply_dedup_delta(spark, batch, store).collect()}
+    d2 = {r["doc_id"]: r["status"] for r in apply_dedup_delta(spark, batch, store, batch_id=0).collect()}
     assert d2 == d
     after = spark.read.parquet(os.path.join(store, "content")).count()
     assert after == before
@@ -87,3 +87,29 @@ def test_ingest_available_now_stream(spark, tmp_path):
     assert by_doc[1] == "exact_dup"              # arrived in the later batch
     admitted = spark.read.parquet(os.path.join(store, "content"))
     assert admitted.count() == 3
+
+
+def test_store_param_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    store = str(tmp_path / "store")
+    apply_dedup_delta(spark, _docs(spark, [(0, BASE)]), store, batch_id=0)
+    with pytest.raises(ValueError, match="incomparable"):
+        apply_dedup_delta(
+            spark, _docs(spark, [(1, BASE)]), store,
+            jaccard_threshold=0.5, batch_id=1,
+        )
+
+
+def test_cross_batch_redelivery_is_exact_dup(spark, tmp_path):
+    """A doc re-delivered in a LATER batch (same id, same content) is an
+    exact_dup — batch-keyed replay exclusion must not hide it."""
+    store = str(tmp_path / "store")
+    apply_dedup_delta(spark, _docs(spark, [(0, BASE)]), store, batch_id=0)
+    d = {
+        r["doc_id"]: r["status"]
+        for r in apply_dedup_delta(
+            spark, _docs(spark, [(0, BASE)]), store, batch_id=5
+        ).collect()
+    }
+    assert d == {0: "exact_dup"}
