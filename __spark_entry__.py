@@ -944,6 +944,32 @@ def q_streaming_dedup(spark, sf_dir):
     return d1.unionByName(d2)
 
 
+def q_streaming_vector_ingest(spark, sf_dir):
+    """Streaming embedding ingestion dedup: the embeddings table
+    arrives in two micro-batches; each is cosine-near-dup checked
+    against the accumulated LSH bucket + vector stores
+    (streaming/vector_ingest.py), first-arrival-wins."""
+    import shutil
+    import tempfile
+
+    from graphrole_spark.streaming.vector_ingest import apply_vector_delta
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    store = tempfile.mkdtemp(prefix="graphrole_vec_store_")
+    try:
+        d1 = apply_vector_delta(
+            spark, emb.where(F.col("vec_id") % 2 == 0), store,
+            threshold=0.9, batch_id=0,
+        ).withColumn("batch", F.lit(0))
+        d2 = apply_vector_delta(
+            spark, emb.where(F.col("vec_id") % 2 == 1), store,
+            threshold=0.9, batch_id=1,
+        ).withColumn("batch", F.lit(1))
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return d1.unionByName(d2)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag corpus docs sharing any 13-token
     shingle with a held-out 'evaluation set' (the 25 docs with the
@@ -1143,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # micro-batch) - inherently non-SQL like streaming_state;
         # first-arrival semantics pytest-pinned incl. replay idempotency
         "streaming_dedup": q_streaming_dedup,
+        # streaming_vector_ingest: same rationale, embedding side
+        "streaming_vector_ingest": q_streaming_vector_ingest,
     }
 
 
