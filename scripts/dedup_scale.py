@@ -162,11 +162,60 @@ def cc_stress(spark, n_nodes: int) -> dict:
     }
 
 
+def ingest_stress(spark, store_docs: int, batch_docs: int, work_dir: str) -> dict:
+    """Streaming-ingest probe-cost evidence: bootstrap a dedup store
+    with ``store_docs`` documents, then time ONE ``apply_dedup_delta``
+    of a fresh ``batch_docs``-doc batch. Run at several store sizes with
+    the same batch: near-constant batch time = the probe reads O(batch)
+    bytes (bucket-pruned), not O(store)."""
+    import shutil
+
+    from graphrole_spark.streaming.corpus_dedup import apply_dedup_delta
+
+    pq = os.path.join(work_dir, f"docs_{store_docs + batch_docs}")
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        synth_docs(spark, store_docs + batch_docs, pq)
+    docs = spark.read.parquet(pq)
+    from pyspark.sql import functions as F
+
+    store_dir = os.path.join(work_dir, f"ingest_store_{store_docs}")
+    shutil.rmtree(store_dir, ignore_errors=True)
+
+    t0 = time.time()
+    apply_dedup_delta(
+        spark, docs.where(F.col("doc_id") < store_docs), store_dir,
+        jaccard_threshold=0.5, batch_id=0,
+    )
+    bootstrap_sec = round(time.time() - t0, 2)
+
+    batch = docs.where(F.col("doc_id") >= store_docs).localCheckpoint()
+    t0 = time.time()
+    decisions = apply_dedup_delta(
+        spark, batch, store_dir, jaccard_threshold=0.5, batch_id=1
+    )
+    # apply_dedup_delta returns a localCheckpoint-ed frame: the whole
+    # step (probes + appends) has executed by the time it returns
+    batch_sec = round(time.time() - t0, 2)
+    counts = {r["status"]: r["n"] for r in
+              decisions.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    shutil.rmtree(store_dir, ignore_errors=True)
+    return {
+        "ingest_store_docs": store_docs,
+        "ingest_batch_docs": batch_docs,
+        "bootstrap_sec": bootstrap_sec,
+        "batch_sec": batch_sec,
+        "batch_decisions": counts,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,50000,500000")
     ap.add_argument("--cc-sizes", default="",
                     help="node counts for the CC-only stress (chains+shortcuts)")
+    ap.add_argument("--ingest-stores", default="",
+                    help="store sizes for the streaming-ingest probe-cost stress")
+    ap.add_argument("--ingest-batch", type=int, default=5000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--work-dir", default="/tmp/dedup_scale")
     args = ap.parse_args()
@@ -185,6 +234,8 @@ def main() -> None:
         record(run(spark, n, args.work_dir))
     for n in [int(s) for s in args.cc_sizes.split(",") if s]:
         record(cc_stress(spark, n))
+    for n in [int(s) for s in args.ingest_stores.split(",") if s]:
+        record(ingest_stress(spark, n, args.ingest_batch, args.work_dir))
 
 
 if __name__ == "__main__":
