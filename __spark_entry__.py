@@ -152,25 +152,11 @@ def q_decayed_sum(spark, sf_dir):
     )
 
 
-def q_asof_join(spark, sf_dir):
-    from graphrole_spark.temporal.asof import asof_join
-
-    events = _events(spark, sf_dir)
-    probes = events.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    refs = events.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
-    )
-    out = asof_join(probes, refs, ["user_id"], "ts", "ts", ["value"])
-    return out.select("event_id", F.round("value_asof", 6).alias("value_asof"))
-
-
 def q_asof_directions(spark, sf_dir):
-    """forward / nearest / tolerance-guarded-backward as-of in ONE query
-    (merged so every as-of direction stays inside the driver's
-    oracle-check window; each variant is a separate one-shuffle
-    union+window plan, joined on the probe id)."""
+    """backward / forward / nearest / tolerance-guarded-backward as-of
+    in ONE query (merged so every as-of direction stays inside the
+    driver's oracle-check window; each variant is a separate
+    one-shuffle union+window plan, joined on the probe id)."""
     from graphrole_spark.temporal.asof import asof_join
 
     events = _events(spark, sf_dir)
@@ -180,6 +166,9 @@ def q_asof_directions(spark, sf_dir):
     refs = events.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )
+    bwd = asof_join(
+        probes, refs, ["user_id"], "ts", "ts", ["value"]
+    ).select("event_id", F.round("value_asof", 6).alias("value_back"))
     fwd = asof_join(
         probes, refs, ["user_id"], "ts", "ts", ["value"], direction="forward"
     ).select("event_id", F.round("value_asof", 6).alias("value_fwd"))
@@ -189,7 +178,7 @@ def q_asof_directions(spark, sf_dir):
     tol = asof_join(
         probes, refs, ["user_id"], "ts", "ts", ["value"], tolerance_seconds=3600
     ).select("event_id", F.round("value_asof", 6).alias("value_tol"))
-    return fwd.join(near, "event_id").join(tol, "event_id")
+    return bwd.join(fwd, "event_id").join(near, "event_id").join(tol, "event_id")
 
 
 def q_range_window(spark, sf_dir):
@@ -591,20 +580,27 @@ def q_set_ops(spark, sf_dir):
     return nonbuilding.unionByName(no_orders)
 
 
-def q_rollup(spark, sf_dir):
+def q_rollup_cube(spark, sf_dir):
+    """ROLLUP and CUBE grouping-set aggregation in one tagged entry
+    (merged to keep both inside the driver's oracle-check window; each
+    leg is its own expand+aggregate plan)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    ]
+    ru = (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+        .agg(*aggs)
+        .withColumn("tag", F.lit("rollup"))
     )
-
-
-def q_cube(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
+    cu = (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n_rows"), F.round(F.avg("l_discount"), 6).alias("avg_disc"))
+        .agg(*aggs)
+        .withColumn("tag", F.lit("cube"))
     )
+    return ru.unionByName(cu)
 
 
 def q_pivot(spark, sf_dir):
@@ -836,36 +832,19 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(docs, max_tokens=64)
 
 
-def q_split_assign(spark, sf_dir):
-    """Deterministic hash train/val/test split (md5-based: stable across
-    runs/partitionings and portable to the oracle)."""
-    from graphrole_spark.functions.corpus import split_assign
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return split_assign(docs, val_frac=0.1, test_frac=0.1)
-
-
-def q_stratified_sample(spark, sf_dir):
-    """Deterministic top-N per stratum (here: per guessed language)."""
-    from graphrole_spark.functions.corpus import stratified_sample
+def q_split_sample(spark, sf_dir):
+    """Deterministic hash train/val/test split (md5-based: stable
+    across runs/partitionings and portable to the oracle) PLUS the
+    deterministic top-N-per-stratum sample (per guessed language),
+    merged on doc_id into one per-doc assignment frame — ``stratum``
+    is NULL for unsampled docs."""
+    from graphrole_spark.functions.corpus import split_assign, stratified_sample
     from graphrole_spark.functions.text import language_guess_frame
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return stratified_sample(language_guess_frame(docs), "lang_guess", 25)
-
-
-def q_token_count(spark, sf_dir):
-    """Whitespace token count AND the BPE-ish pre-tokenizer segment
-    count (letter runs / digit runs / punctuation glyphs — the
-    token-budget proxy) in one query, both pure codegen expressions."""
-    from graphrole_spark.functions.text import bpe_token_count, token_count
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
-    )
+    split = split_assign(docs, val_frac=0.1, test_frac=0.1)
+    samp = stratified_sample(language_guess_frame(docs), "lang_guess", 25)
+    return split.join(samp, "doc_id", "left")
 
 
 def q_corpus_clean(spark, sf_dir):
@@ -879,10 +858,19 @@ def q_corpus_clean(spark, sf_dir):
 
 
 def q_quality(spark, sf_dir):
-    from graphrole_spark.functions.text import quality_features
+    """Per-doc quality metrics + the BPE-ish pre-tokenizer segment
+    count (the token-budget proxy; merged from the former token_count
+    entry — one extra codegen column on the same scan, keeping both
+    inside the driver's oracle-check window)."""
+    from graphrole_spark.functions.text import bpe_token_count, quality_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return quality_features(docs)
+    return quality_features(docs).join(
+        docs.select(
+            "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+        ),
+        "doc_id",
+    )
 
 
 def q_lang_guess(spark, sf_dir):
@@ -1047,6 +1035,65 @@ def q_cosine_dedup(spark, sf_dir):
     return embedding_near_duplicates(emb, threshold=0.5)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: deterministic coarse
+    cells (sign-bit bucketing — the SQL-portable k-means stand-in),
+    cell-keyed candidate equi-join, exact within-cell cosine, drop the
+    higher id of every pair at cosine ≥ 0.42 (threshold sits ≥2.7e-3
+    from every pair in this corpus, so float noise cannot flip the
+    oracle decision)."""
+    from graphrole_spark.functions.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, threshold=0.42)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub pass: mask emails / IPv4s / phone numbers with typed
+    placeholders + per-kind match counts, all codegen regexp chains.
+    The synthetic corpus carries no PII, so the query first *injects*
+    a deterministic email+ip+phone per doc (pure string expressions
+    mirrored in the oracle) and then redacts — the oracle checks the
+    exact redacted text, proving the masking, not just the counts."""
+    from graphrole_spark.functions.text import redact_pii_frame
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" reach u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 200 + 1).cast("string"),
+            F.lit(".9 tel 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii_frame(injected)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-5 tf-idf terms per document (keyword extraction): explode →
+    (doc,term) tf → term df → corpus-N cross join → windowed top-k,
+    ranked on the 6-decimal-rounded score with the term string as the
+    engine-portable tie-break."""
+    from graphrole_spark.functions.terms import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=5)
+
+
+def q_lm_score(spark, sf_dir):
+    """Per-doc mean negative log-likelihood under an add-one-smoothed
+    unigram LM fitted on the corpus itself — the cheap perplexity-ish
+    fluency score for quality filtering (no external model)."""
+    from graphrole_spark.functions.terms import unigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_lm_scores(docs)
+
+
 def q_lsh_topk(spark, sf_dir):
     from graphrole_spark.functions.similarity import lsh_topk
 
@@ -1099,7 +1146,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill": q_backfill,
         "prefix_agg": q_prefix_agg,
         "decayed_sum": q_decayed_sum,
-        "asof_join": q_asof_join,
         "asof_directions": q_asof_directions,
         "range_window": q_range_window,
         "interval_count": q_interval_count,
@@ -1122,8 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_agg": q_groupby_agg,
         "join_agg": q_join_agg,
         "set_ops": q_set_ops,
-        "rollup": q_rollup,
-        "cube": q_cube,
+        "rollup_cube": q_rollup_cube,
         "pivot": q_pivot,
         "distinct_agg": q_distinct_agg,
         "daily_counts": q_daily_counts,
@@ -1133,19 +1178,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
-        "token_count": q_token_count,
         "quality": q_quality,
         "vocab_coverage": q_vocab_coverage,
         "lang_guess": q_lang_guess,
         "pack_greedy": q_pack_greedy,
         "chunk_documents": q_chunk_documents,
-        "split_assign": q_split_assign,
-        "stratified_sample": q_stratified_sample,
+        "split_sample": q_split_sample,
         "minhash_dedup": q_minhash_dedup,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "cosine_dedup": q_cosine_dedup,
+        "semantic_dedup": q_semantic_dedup,
+        "pii_redact": q_pii_redact,
+        "tfidf_topk": q_tfidf_topk,
+        "lm_score": q_lm_score,
         # ---- rows-only tail (no SQL equivalent; rationale inline in
         # ---- oracle_sql()'s trailing comment) ------------------------
         "streaming_state": q_streaming_state,
@@ -1249,13 +1296,6 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        """,
-        "asof_join": """
-            SELECT p.event_id, round(r.value, 6) AS value_asof
-            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') p
-            ASOF LEFT JOIN
-                 (SELECT user_id, ts, value FROM events WHERE event_type='purchase') r
-            ON p.user_id = r.user_id AND p.ts >= r.ts
         """,
         "range_window": """
             SELECT event_id,
@@ -1629,14 +1669,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS custkey, 'no_orders' AS tag FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
-        "rollup": """
+        "rollup_cube": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-                   round(sum(l_quantity), 6) AS sum_qty
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   'rollup' AS tag
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        """,
-        "cube": """
+            UNION ALL
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-                   round(avg(l_discount), 6) AS avg_disc
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   'cube' AS tag
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "pivot": """
@@ -1817,35 +1860,26 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_text
             FROM e
         """,
-        "split_assign": """
+        "split_sample": f"""
             WITH u AS (
               SELECT doc_id,
                      CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'v1')), 1, 8)) AS BIGINT)
                        / 4294967296.0 AS u
-              FROM documents)
-            SELECT doc_id,
-                   CASE WHEN u < 0.1 THEN 'test'
-                        WHEN u < 0.2 THEN 'val'
-                        ELSE 'train' END AS split
-            FROM u
-        """,
-        "stratified_sample": f"""
-            WITH lg AS ({_lang_guess_sql()}),
+              FROM documents),
+            sp AS (
+              SELECT doc_id,
+                     CASE WHEN u < 0.1 THEN 'test'
+                          WHEN u < 0.2 THEN 'val'
+                          ELSE 'train' END AS split
+              FROM u),
+            lg AS ({_lang_guess_sql()}),
             r AS (
               SELECT doc_id, lang_guess AS stratum,
                      row_number() OVER (PARTITION BY lang_guess ORDER BY doc_id) AS rn
-              FROM lg)
-            SELECT doc_id, stratum FROM r WHERE rn <= 25
-        """,
-        "token_count": r"""
-            SELECT doc_id,
-                   CASE WHEN length(regexp_replace(trim(text), ' +', ' ', 'g')) = 0 THEN 0
-                        ELSE length(regexp_replace(trim(text), ' +', ' ', 'g'))
-                           - length(replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', ''))
-                           + 1 END AS n_tokens,
-                   length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-                     AS n_bpe_tokens
-            FROM documents
+              FROM lg),
+            samp AS (SELECT doc_id, stratum FROM r WHERE rn <= 25)
+            SELECT sp.doc_id, sp.split, samp.stratum
+            FROM sp LEFT JOIN samp ON sp.doc_id = samp.doc_id
         """,
         "quality": """
             WITH t AS (
@@ -1876,7 +1910,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens = 0 THEN 0.0
                         ELSE round(1 - len(list_distinct(toks)) * 1.0 /
                                    greatest(n_tokens, 1), 6)
-                   END AS dup_token_frac
+                   END AS dup_token_frac,
+                   length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                     AS n_bpe_tokens
             FROM t2 LEFT JOIN tc USING (doc_id)
         """,
         "asof_directions": """
@@ -1891,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM p ASOF LEFT JOIN r
                   ON p.user_id = r.user_id AND p.ts <= r.ts)
             SELECT p.event_id,
+                   round(b.value, 6) AS value_back,
                    round(f.value, 6) AS value_fwd,
                    round(CASE
                      WHEN f.rts IS NULL THEN b.value
@@ -1973,6 +2010,97 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.e, b.e) /
                         (CASE WHEN a.nrm > 0 THEN a.nrm ELSE 1 END *
                          CASE WHEN b.nrm > 0 THEN b.nrm ELSE 1 END), 6) >= 0.5
+        """,
+        # semantic_dedup: same cell rule (sign bits of dims 1..4), exact
+        # within-cell cosine, drop-the-higher-id rule; threshold 0.42 is
+        # >=2.7e-3 away from every pair's cosine in this corpus, so the
+        # float comparison cannot disagree between engines
+        "semantic_dedup": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            c AS (SELECT vec_id, e,
+                         CAST(e[1] >= 0 AS BIGINT)
+                       + CAST(e[2] >= 0 AS BIGINT) * 2
+                       + CAST(e[3] >= 0 AS BIGINT) * 4
+                       + CAST(e[4] >= 0 AS BIGINT) * 8 AS bucket
+                  FROM v),
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.e, b.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) *
+                     sqrt(list_dot_product(b.e, b.e))) >= 0.42)
+            SELECT c.vec_id, c.bucket,
+                   d.vec_id IS NULL AS keep
+            FROM c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+        """,
+        # pii_redact: inject one deterministic email+ip+phone per doc
+        # (same string expressions as the Spark side), then check the
+        # exact redacted text and per-kind regexp match counts; patterns
+        # are lookahead-free so Java regex and RE2 agree span-for-span
+        "pii_redact": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     concat(coalesce(text, ''), ' reach u',
+                            CAST(doc_id AS VARCHAR), '@example.com or 10.0.',
+                            CAST(doc_id % 200 + 1 AS VARCHAR), '.9 tel 415-555-',
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+              FROM documents),
+            em AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS after_email
+              FROM inj)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(after_email,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS n_emails,
+                   len(regexp_extract_all(after_email,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                   len(regexp_extract_all(after_email,
+                       '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones
+            FROM em
+        """,
+        # tfidf_topk / lm_score: same tokenizer as the other text
+        # oracles (whitespace split, empties filtered); idf = ln(N/df),
+        # LM = add-one-smoothed unigram; ranking on the 6-decimal-rounded
+        # score with the term as tie-break is engine-portable
+        "tfidf_topk": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), ' +'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            inst AS (SELECT doc_id, tok AS term FROM t, unnest(toks) AS u(tok)),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM inst GROUP BY doc_id, term),
+            dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+            s AS (
+              SELECT doc_id, term, tf, df,
+                     round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+              FROM tf JOIN dfr USING (term) CROSS JOIN n),
+            r AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+              FROM s)
+            SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 5
+        """,
+        "lm_score": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), ' +'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            inst AS (SELECT doc_id, tok AS term FROM t, unnest(toks) AS u(tok)),
+            cnt AS (SELECT term, count(*) AS c FROM inst GROUP BY term),
+            tot AS (SELECT sum(c) AS t, count(*) AS v FROM cnt)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(-ln((c + 1) * 1.0 / (t + v))), 6) AS nll
+            FROM inst JOIN cnt USING (term) CROSS JOIN tot
+            GROUP BY doc_id
         """,
         # Rows-only queries (no oracle_sql entry) and why — one line per
         # registry-tail entry, in tail order:

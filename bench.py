@@ -101,7 +101,6 @@ def main() -> None:
         "backfill",
         "prefix_agg",
         "decayed_sum",
-        "asof_join",
         "asof_directions",
         "range_window",
         "interval_count",
@@ -124,20 +123,17 @@ def main() -> None:
         "groupby_agg",
         "join_agg",
         "set_ops",
-        "rollup",
-        "cube",
+        "rollup_cube",
         "pivot",
         "distinct_agg",
         "daily_counts",
         "dense_rank",
         "dedup_exact",
         "corpus_clean",
-        "token_count",
         "quality",
         "pack_greedy",
         "chunk_documents",
-        "split_assign",
-        "stratified_sample",
+        "split_sample",
         "media_features",
         "minhash_dedup",
         "dedup_clusters",
@@ -146,6 +142,10 @@ def main() -> None:
         "simhash_dedup",
         "cosine_topk",
         "cosine_dedup",
+        "semantic_dedup",
+        "pii_redact",
+        "tfidf_topk",
+        "lm_score",
         "lsh_topk",
         "ivf_topk",
         "mix_corpus",

@@ -558,3 +558,81 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
     )
+
+
+# -- SemDeDup: cluster-then-dedup ------------------------------------------
+
+def sign_bucket(vec: Column, n_bits: int = 4) -> Column:
+    """Deterministic coarse cluster id: the sign bits of the first
+    ``n_bits`` dimensions packed into an integer (2^n_bits cells).
+
+    This is the SQL-portable stand-in for a k-means cell assignment —
+    at real scale you'd widen ``n_bits`` (or swap in the IVF centroids
+    of :func:`ivf_topk`) so the expected cell population stays at the
+    all-pairs-affordable size; the bucketing/verify plan below is
+    unchanged either way.
+    """
+    bits = [
+        (F.element_at(vec, d + 1) >= 0).cast("long") * (1 << d)
+        for d in range(n_bits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-cluster the
+    embedding space, then drop every vector that has a *lower-id*
+    neighbor in its own cluster with cosine ≥ ``threshold`` (the
+    deterministic keep-the-smallest-id rule; SemDeDup keeps one point
+    per intra-cluster duplicate group the same way).
+
+    Plan shape (the scale story): one codegen projection computes the
+    cell id; candidate pairs come from a *cell-keyed equi-join* —
+    never an all-pairs cross join — so the shuffle is hash-partitioned
+    on the cell key and each task only scores its own cell's pairs.
+    The cosine is exact (double-cast JVM higher-order fold), so unlike
+    the hyperplane-LSH path there is no recall question inside a cell;
+    across-cell near-dups are the recall trade SemDeDup itself makes
+    (mitigate with more/better cells, not a different operator).
+
+    Returns one row per input vector: ``(vec_id, bucket, keep)``.
+    """
+    cells = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    )
+    a = cells.select(
+        F.col("vec_id").alias("__ida"),
+        "bucket",
+        F.col("__v").alias("__va"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("__idb"),
+        "bucket",
+        F.col("__v").alias("__vb"),
+    )
+    dropped = (
+        a.join(b, "bucket")
+        .where(F.col("__ida") < F.col("__idb"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__idb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("__dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.col("__dup").isNull().alias("keep"),
+        )
+    )

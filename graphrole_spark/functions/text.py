@@ -859,3 +859,68 @@ def contamination_flags(
             (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
         )
     )
+
+
+# -- PII redaction ----------------------------------------------------------
+
+# Deliberately lookahead/backreference-free so Java regex (Spark
+# executors) and RE2 (the DuckDB oracle) match byte-for-byte the same
+# spans. \b and \d are ASCII in both dialects for these patterns.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+# Application order matters and is part of the contract: emails first
+# (an address like 10.0.0.1@host.com must redact as ONE email, not an
+# IP inside an email), then IPs, then phones (dash-separated — disjoint
+# from the dotted IP spans by construction).
+_PII_ORDER = ("email", "ip", "phone")
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails / IPv4s / phone numbers with ``<EMAIL>`` / ``<IP>`` /
+    ``<PHONE>`` placeholder tags — the standard pre-training scrub pass.
+
+    A chain of three codegen ``regexp_replace`` expressions (no Python,
+    no UDF): the corpus is scanned once per pattern inside one
+    whole-stage-codegen projection, so this composes with the quality /
+    dedup passes at zero extra shuffles.
+    """
+    out = text
+    for kind in _PII_ORDER:
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-kind match counts (pre-redaction), one codegen
+    ``regexp_count`` per pattern: ``[n_emails, n_ips, n_phones]``.
+    Count emails on the raw text but IPs/phones on the email-redacted
+    text so the three counts partition the redacted spans exactly the
+    way :func:`redact_pii` consumes them."""
+    after_email = F.regexp_replace(
+        text, PII_PATTERNS["email"], "<EMAIL>"
+    )
+    return [
+        F.regexp_count(text, F.lit(PII_PATTERNS["email"])).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_PATTERNS["ip"])).alias("n_ips"),
+        F.regexp_count(after_email, F.lit(PII_PATTERNS["phone"])).alias(
+            "n_phones"
+        ),
+    ]
+
+
+def redact_pii_frame(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, redacted, n_emails, n_ips, n_phones)`` — NULL text is
+    treated as the empty document (the corpus-wide NULL rule)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return documents.select(
+        "doc_id",
+        redact_pii(t).alias("redacted"),
+        *pii_counts(t),
+    )
