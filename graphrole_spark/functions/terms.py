@@ -60,7 +60,15 @@ def tfidf_topk(
     Returns ``(doc_id, term, tf, df, tfidf, rank)`` with rank ≤ k.
     """
     inst = _doc_terms(documents, text_col)
-    tf = inst.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # Pin the (doc, term, tf) aggregate: df, N and the ranking leg all
+    # derive from it, and without the persist Catalyst re-expands the
+    # lineage into THREE corpus explodes (verified via explain).  The
+    # cached frame is smaller than the token stream (distinct terms per
+    # doc), spills to disk, and turns the operator into a single
+    # corpus pass — the 100×-scale shape.
+    tf = (
+        inst.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = tf.select(F.countDistinct("doc_id").alias("__n_docs"))
     scored = (
@@ -100,7 +108,11 @@ def unigram_lm_scores(
     decimals (averaging order across engines differs only at ~1e-12).
     """
     inst = _doc_terms(documents, text_col)
-    counts = inst.groupBy("term").agg(F.count("*").alias("__c"))
+    # Pin the vocabulary-sized count table: the totals (T, V) and the
+    # scoring join both read it, and the persist caps the operator at
+    # the canonical TWO corpus passes (train the counts, score the
+    # instances) instead of one explode per consumer.
+    counts = inst.groupBy("term").agg(F.count("*").alias("__c")).persist()
     totals = counts.agg(
         F.sum("__c").alias("__t"), F.count("*").alias("__v")
     )
