@@ -123,32 +123,27 @@ def q_backfill(spark, sf_dir):
 
 
 def q_prefix_agg(spark, sf_dir):
-    from graphrole_spark.temporal.ops import prefix_aggregate
+    """Prefix aggregates AND the half-life-decayed sum (1-day half-life,
+    rebased closed form) in one query — merged from the former
+    `decayed_sum` entry so both prefix-scan shapes stay inside the
+    driver's oracle-check window; both are window passes over the same
+    (user, ts) ordering, composed on one frame."""
+    from graphrole_spark.temporal.ops import decayed_sum, prefix_aggregate
 
     out = prefix_aggregate(
         _events(spark, sf_dir), ["user_id"], ["ts", "event_id"],
         {"cum_value": F.sum("value"), "n_prior": F.count("*")},
         include_current=False,
     )
+    out = decayed_sum(
+        out, ["user_id"], ["ts", "event_id"],
+        "ts", "value", 86400.0, "decayed_value",
+    )
     return out.select(
         "event_id",
         F.round("cum_value", 6).alias("cum_value"),
         F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
-    )
-
-
-def q_decayed_sum(spark, sf_dir):
-    """Recency-weighted engagement: per event, the half-life-decayed sum
-    of the user's prior+current values (1-day half-life) — one window
-    pass via the rebased closed form."""
-    from graphrole_spark.temporal.ops import decayed_sum
-
-    out = decayed_sum(
-        _events(spark, sf_dir), ["user_id"], ["ts", "event_id"],
-        "ts", "value", 86400.0, "decayed_value",
-    )
-    return out.select(
-        "event_id", F.round("decayed_value", 6).alias("decayed_value")
+        F.round("decayed_value", 6).alias("decayed_value"),
     )
 
 
@@ -1094,6 +1089,17 @@ def q_lm_score(spark, sf_dir):
     return unigram_lm_scores(docs)
 
 
+def q_dup_ngrams(spark, sf_dir):
+    """Cross-document repeated-span stats (exact-substring contamination
+    à la Lee et al. 2022): per doc, how many of its 8-gram positions
+    also occur in another document, and the longest such verbatim span
+    in tokens."""
+    from graphrole_spark.functions.text import duplicate_ngram_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_ngram_stats(docs, n=8)
+
+
 def q_lsh_topk(spark, sf_dir):
     from graphrole_spark.functions.similarity import lsh_topk
 
@@ -1145,7 +1151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "prefix_agg": q_prefix_agg,
-        "decayed_sum": q_decayed_sum,
         "asof_directions": q_asof_directions,
         "range_window": q_range_window,
         "interval_count": q_interval_count,
@@ -1193,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "tfidf_topk": q_tfidf_topk,
         "lm_score": q_lm_score,
+        "dup_ngrams": q_dup_ngrams,
         # ---- rows-only tail (no SQL equivalent; rationale inline in
         # ---- oracle_sql()'s trailing comment) ------------------------
         "streaming_state": q_streaming_state,
@@ -1271,9 +1277,10 @@ def oracle_sql() -> dict[str, str]:
                          CASE WHEN event_type = 'purchase' THEN value END AS v
                   FROM events)
         """,
-        "decayed_sum": """
-            -- closed form: 2^(-(t-m)/hl) * cumsum(v * 2^((ti-m)/hl)),
-            -- m = per-user min ts (range re-basing), hl = 86400 s
+        # prefix_agg also carries the decayed sum (merged decayed_sum
+        # entry); closed form: 2^(-(t-m)/hl) * cumsum(v * 2^((ti-m)/hl)),
+        # m = per-user min ts (range re-basing), hl = 86400 s
+        "prefix_agg": """
             WITH b AS (
               SELECT event_id, user_id, ts, value,
                      (epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id)) / 86400.0
@@ -1281,21 +1288,17 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             c AS (
               SELECT event_id,
-                     sum(value * power(2.0, t)) OVER w AS acc, t
+                     round(SUM(value) OVER wp, 6) AS cum_value,
+                     COALESCE(COUNT(*) OVER wp, 0) AS n_prior,
+                     sum(value * power(2.0, t)) OVER wc AS acc, t
               FROM b
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-            SELECT event_id,
+              WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT event_id, cum_value, n_prior,
                    round(coalesce(acc, 0) * power(2.0, -t), 6) AS decayed_value
             FROM c
-        """,
-        "prefix_agg": """
-            SELECT event_id,
-                   round(SUM(value) OVER w, 6) AS cum_value,
-                   COALESCE(COUNT(*) OVER w, 0) AS n_prior
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         """,
         "range_window": """
             SELECT event_id,
@@ -2101,6 +2104,51 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(-ln((c + 1) * 1.0 / (t + v))), 6) AS nll
             FROM inst JOIN cnt USING (term) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        # dup_ngrams: cross-document repeated 8-gram spans. Same
+        # tokenizer; a gram is duplicated when >= 2 distinct docs carry
+        # it; max span = longest consecutive dup-gram run + n - 1 tokens
+        # (gaps-and-islands on position). The engine groups on
+        # xxhash64(gram) where the oracle groups on the gram string —
+        # equality semantics agree barring a 64-bit collision.
+        "dup_ngrams": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), ' +'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                     array_to_string(toks[i:i+7], ' ') AS gram
+              FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+              WHERE len(toks) >= 8),
+            dup AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2),
+            m AS (
+              SELECT g.doc_id, g.pos, (d.gram IS NOT NULL) AS isdup
+              FROM g LEFT JOIN dup d USING (gram)),
+            isl AS (
+              SELECT doc_id,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS island
+              FROM m WHERE isdup),
+            mx AS (
+              SELECT doc_id, max(run) AS maxrun
+              FROM (SELECT doc_id, island, count(*) AS run
+                    FROM isl GROUP BY doc_id, island)
+              GROUP BY doc_id),
+            tot AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS dup_grams
+              FROM m GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(dup_grams, 0) AS BIGINT) AS dup_grams,
+                   round(CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+                              ELSE dup_grams * 1.0 / n_grams END, 6) AS dup_frac,
+                   CAST(coalesce(maxrun + 7, 0) AS BIGINT) AS max_dup_span
+            FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN mx USING (doc_id)
         """,
         # Rows-only queries (no oracle_sql entry) and why — one line per
         # registry-tail entry, in tail order:

@@ -100,7 +100,6 @@ def main() -> None:
         "lag_lead",
         "backfill",
         "prefix_agg",
-        "decayed_sum",
         "asof_directions",
         "range_window",
         "interval_count",
@@ -138,6 +137,7 @@ def main() -> None:
         "minhash_dedup",
         "dedup_clusters",
         "ngram_jaccard",
+        "dup_ngrams",
         "rolling_fingerprint",
         "simhash_dedup",
         "cosine_topk",

@@ -255,6 +255,99 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def duplicate_ngram_stats(
+    documents: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-span statistics, the exact-substring
+    contamination diagnostic of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2022) at n-gram granularity:
+    an n-gram is *duplicated* when it occurs in ≥ 2 distinct documents,
+    and per document we report how much of it is built from such spans.
+
+    Returns one row per input document:
+
+    * ``n_grams`` — total n-gram positions (0 if the doc has < n tokens);
+    * ``dup_grams`` — positions whose n-gram also appears elsewhere;
+    * ``dup_frac`` — ``dup_grams / n_grams`` rounded to 6 decimals
+      (0.0 for short docs);
+    * ``max_dup_span`` — length **in tokens** of the longest run of
+      consecutive duplicated n-grams (a run of r grams covers r + n - 1
+      tokens), i.e. the longest verbatim span shared with another
+      document; 0 when none.
+
+    Scale notes (100 TB lens): one codegen pass builds positional
+    n-gram *hashes* (trim/split/slice/concat_ws/xxhash64 — 64-bit keys
+    shuffle instead of strings; a cross-doc collision needs ~2^32 grams
+    per partition-key to matter and can only flip one gram's dup bit).
+    The duplicated-gram set is one distinct + one filtered count over
+    the gram key; marking is a hash equi-join on the same key (no
+    broadcast of corpus-sized state); the run statistics are
+    gaps-and-islands windows partitioned by doc — all shuffles are on
+    the gram hash or doc_id, nothing is collected to the driver.
+    """
+    toks = F.filter(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+    )
+    base = documents.select("doc_id", toks.alias("__toks"))
+    grams = (
+        base.where(F.size("__toks") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - n),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("__toks", i + 1, n))
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    dup = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("gram", F.lit(1).alias("__dup"))
+    )
+    marked = grams.join(dup, "gram", "left")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        marked.where(F.col("__dup").isNotNull())
+        .withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "__isl")
+        .agg(F.count("*").alias("__run"))
+        .groupBy("doc_id")
+        .agg(F.max("__run").alias("__maxrun"))
+    )
+    totals = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count("__dup").alias("dup_grams"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).cast("bigint").alias("dup_grams"),
+            F.round(
+                F.when(F.coalesce("n_grams", F.lit(0)) == 0, 0.0).otherwise(
+                    F.col("dup_grams") / F.col("n_grams")
+                ),
+                6,
+            ).alias("dup_frac"),
+            F.coalesce(F.col("__maxrun") + (n - 1), F.lit(0))
+            .cast("bigint")
+            .alias("max_dup_span"),
+        )
+    )
+
+
 def minhash_shingle_hashes(
     documents: DataFrame,
     text_col: str = "text",

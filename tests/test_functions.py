@@ -409,3 +409,30 @@ def test_language_guess_frame_parity(spark):
     )
     pd.testing.assert_frame_equal(a, b)
     assert list(a["lang_guess"][:5]) == ["en", "es", "de", "fr", "und"]
+
+
+def test_duplicate_ngram_stats(spark):
+    """Hand-computed fixture: dup grams (n=3, >=2 distinct docs) are
+    'a b c' (docs 1,2,4) and 'b c d' (docs 1,2,4); everything else is
+    single-doc.  max_dup_span = longest consecutive dup-gram run + 2."""
+    from graphrole_spark.functions.text import duplicate_ngram_stats
+
+    rows = [
+        (1, "a b c d e"),        # grams: abc* bcd* cde  -> run [0,1]
+        (2, "x a b c d y"),      # xab abc* bcd* cdy     -> run [1,2]
+        (3, "q r"),              # < 3 tokens -> zeros
+        (4, "a b c a b c d"),    # abc* bca cab abc* bcd* -> runs [0],[3,4]
+        (5, None),               # NULL text -> zeros
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        duplicate_ngram_stats(docs, n=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1].tolist() == [3, 2, round(2 / 3, 6), 4]
+    assert out.loc[2].tolist() == [4, 2, 0.5, 4]
+    assert out.loc[3].tolist() == [0, 0, 0.0, 0]
+    assert out.loc[4].tolist() == [5, 3, 0.6, 4]
+    assert out.loc[5].tolist() == [0, 0, 0.0, 0]
