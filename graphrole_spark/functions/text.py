@@ -277,33 +277,47 @@ def duplicate_ngram_stats(
       tokens), i.e. the longest verbatim span shared with another
       document; 0 when none.
 
-    Scale notes (100 TB lens): one codegen pass builds positional
-    n-gram *hashes* (trim/split/slice/concat_ws/xxhash64 — 64-bit keys
-    shuffle instead of strings; a cross-doc collision needs ~2^32 grams
-    per partition-key to matter and can only flip one gram's dup bit).
-    The duplicated-gram set is one distinct + one filtered count over
-    the gram key; marking is a hash equi-join on the same key (no
-    broadcast of corpus-sized state); the run statistics are
-    gaps-and-islands windows partitioned by doc — all shuffles are on
-    the gram hash or doc_id, nothing is collected to the driver.
+    Scale notes (100 TB lens): each token string is hashed ONCE, in its
+    own projection; a gram's 64-bit key is then ``xxhash64`` of its n
+    token hashes — O(1) array reads per position, no per-gram string
+    slice/concat (the naive slice+concat_ws form is O(len·n)
+    interpreted work per doc, and posexplode behind a size() filter
+    additionally trips Catalyst's InferFiltersFromGenerate re-inlining
+    — the same trap :func:`minhash_bands` documents; measured 24.3 s →
+    1.5 s at sf0.01). 64-bit keys shuffle instead of strings; a
+    cross-doc collision needs ~2^32 grams to matter and can only flip
+    one gram's dup bit. The duplicated-gram set is one distinct + one
+    filtered count over the gram key; marking is a hash equi-join on
+    the same key (no broadcast of corpus-sized state); the run
+    statistics are gaps-and-islands windows partitioned by doc — all
+    shuffles are on the gram hash or doc_id, nothing is collected to
+    the driver.
     """
     toks = F.filter(
         tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
     )
-    base = documents.select("doc_id", toks.alias("__toks"))
+    # token-hash array in its own projection: inlining it into the gram
+    # lambda would re-run the tokenizer per position (O(len²) per doc)
+    th_frame = documents.select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("__th")
+    )
+    th = F.col("__th")
+
+    def gram_hash(i):
+        return F.xxhash64(*[F.get(th, i + j) for j in range(n)])
+
+    gram_arr = F.when(
+        F.size(th) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(th) - n), gram_hash),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # posexplode_OUTER + post-filter on the generated position: plain
+    # posexplode lets InferFiltersFromGenerate push a size(...) > 0
+    # predicate below the projections, re-inlining the whole nested
+    # gram expression into the scan (the minhash_bands dodge above)
     grams = (
-        base.where(F.size("__toks") >= n)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__toks") - n),
-                    lambda i: F.xxhash64(
-                        F.concat_ws(" ", F.slice("__toks", i + 1, n))
-                    ),
-                )
-            ).alias("pos", "gram"),
-        )
+        th_frame.select("doc_id", gram_arr.alias("__g"))
+        .select("doc_id", F.posexplode_outer("__g").alias("pos", "gram"))
+        .where(F.col("pos").isNotNull())
     )
     dup = (
         grams.select("doc_id", "gram")
