@@ -92,9 +92,21 @@ def test_join_agg_broadcasts_dimension(spark):
 
 
 def test_asof_join_single_exchange(spark):
-    import __spark_entry__ as e
+    """One bare backward as-of = exactly one hash exchange (the union
+    repartition); the registry's `asof_directions` entry unions four of
+    these, so the plan-shape pin targets the operator directly."""
+    from pyspark.sql import functions as F
 
-    plan = _plan(e.queries()["asof_join"](spark, "/root/testdata/sf0.001"))
+    from graphrole_spark.temporal.asof import asof_join
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    probes = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    refs = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    plan = _plan(asof_join(probes, refs, ["user_id"], "ts", "ts", ["value"]))
     assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
 
 
