@@ -42,13 +42,19 @@ def main() -> None:
     # round-over-round comparison noise, min-of-2 recovers the
     # comparable statistic at 2x bench wall time.
     REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # The flagship is the headline metric and its single reps swing up
+    # to 4x under co-tenant load (BENCH.md noise section), so it gets
+    # one extra rep: min-of-3 by default vs min-of-2 for the suite.
+    FLAGSHIP_REPEATS = int(
+        os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_REPEATS", str(max(REPEATS, 3)))
+    )
 
     # -- flagship: ReFeX over synthetic transcripts (turns/sec) ------------
     transcripts = synthesize_transcripts(spark, N_CONVS, seed=42).persist()
     n_turns = transcripts.count()
 
     refex_runs = []
-    for rep in range(REPEATS):
+    for rep in range(FLAGSHIP_REPEATS):
         if rep:
             # drop the previous fit's persisted generation frames —
             # cache-manager plan matching would otherwise serve them to
