@@ -1100,6 +1100,18 @@ def q_dup_ngrams(spark, sf_dir):
     return duplicate_ngram_stats(docs, n=8)
 
 
+def q_dedup_spans(spark, sf_dir):
+    """ExactSubstr removal (Lee et al. 2022): delete cross-document
+    verbatim spans >= 16 tokens, keeping the globally-first occurrence.
+    Rows-only: the owner/run/rebuild semantics are pinned by a
+    pure-Python oracle parity test
+    (test_functions.py::test_remove_duplicate_spans_parity)."""
+    from graphrole_spark.functions.text import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicate_spans(docs, n=8, min_span_tokens=16)
+
+
 def q_lsh_topk(spark, sf_dir):
     from graphrole_spark.functions.similarity import lsh_topk
 
@@ -1202,6 +1214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- rows-only tail (no SQL equivalent; rationale inline in
         # ---- oracle_sql()'s trailing comment) ------------------------
         "streaming_state": q_streaming_state,
+        # dedup_spans: ExactSubstr removal — global gram ownership is
+        # not reasonably SQL-expressible; pure-Python oracle parity is
+        # pytest-pinned (test_remove_duplicate_spans_parity)
+        "dedup_spans": q_dedup_spans,
         "rolling_fingerprint": q_rolling_fingerprint,
         "simhash_dedup": q_simhash_dedup,
         "lsh_topk": q_lsh_topk,

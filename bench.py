@@ -144,6 +144,7 @@ def main() -> None:
         "dedup_clusters",
         "ngram_jaccard",
         "dup_ngrams",
+        "dedup_spans",
         "rolling_fingerprint",
         "simhash_dedup",
         "cosine_topk",

@@ -362,6 +362,132 @@ def duplicate_ngram_stats(
     )
 
 
+def remove_duplicate_spans(
+    documents: DataFrame,
+    n: int = 8,
+    min_span_tokens: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, ExactSubstr):
+    delete verbatim cross-document spans, keeping one copy globally.
+
+    The removal counterpart of :func:`duplicate_ngram_stats`, at the
+    same n-gram granularity:
+
+    * a gram (n consecutive tokens) is *duplicated* when it occurs in
+      ≥ 2 distinct documents;
+    * each duplicated gram has one deterministic **owner** occurrence —
+      the globally minimal ``(doc_id, pos)`` — which is kept;
+    * every other occurrence is *redundant*; maximal runs of
+      consecutive redundant positions cover ``run + n - 1`` tokens, and
+      runs covering ≥ ``min_span_tokens`` tokens are deleted from the
+      text (Lee et al. delete one of each pair of ≥ 50-token repeats;
+      the default here is lower so the operator is exercised by small
+      test corpora — pass 50 for the paper's setting).
+
+    Returns one row per input document:
+    ``(doc_id, text, n_tokens, removed_tokens)`` where ``text`` is the
+    cleaned document (surviving tokens joined by single spaces — the
+    same whitespace normalization :func:`clean_corpus` applies),
+    ``n_tokens`` the pre-removal token count and ``removed_tokens`` how
+    many tokens were deleted. Documents with no qualifying span pass
+    through with ``removed_tokens = 0``; documents shorter than ``n``
+    tokens are never touched.
+
+    Scale notes (100 TB lens): gram keys are 64-bit xxhash64 of
+    once-hashed tokens (the :func:`duplicate_ngram_stats` construction
+    — no per-gram string slicing, no re-inlined generators); ownership
+    is one ``min(struct(doc_id, pos))`` in the same aggregation that
+    counts distinct docs per gram; redundancy marking is a hash
+    equi-join on the gram key; runs/intervals are gaps-and-islands
+    windows partitioned by doc_id; the rebuild joins the per-doc
+    interval list (bounded by the doc's run count, usually a handful)
+    back to the documents table and filters the token array with a
+    higher-order ``exists`` — O(tokens × intervals) inside the task,
+    nothing collected to the driver, shuffles only on the gram hash and
+    doc_id.
+    """
+    toks_expr = F.filter(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+    )
+    th_frame = documents.select(
+        "doc_id", F.transform(toks_expr, lambda t: F.xxhash64(t)).alias("__th")
+    )
+    th = F.col("__th")
+
+    def gram_hash(i):
+        return F.xxhash64(*[F.get(th, i + j) for j in range(n)])
+
+    gram_arr = F.when(
+        F.size(th) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(th) - n), gram_hash),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # posexplode_OUTER + post-filter: dodge InferFiltersFromGenerate
+    # re-inlining the gram expression below the projection (see
+    # duplicate_ngram_stats / minhash_bands)
+    grams = (
+        th_frame.select("doc_id", gram_arr.alias("__g"))
+        .select("doc_id", F.posexplode_outer("__g").alias("pos", "gram"))
+        .where(F.col("pos").isNotNull())
+    )
+    owners = (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("__nd"),
+            F.min(F.struct("doc_id", "pos")).alias("__own"),
+        )
+        .where(F.col("__nd") >= 2)
+        .select("gram", "__own")
+    )
+    redundant = (
+        grams.join(owners, "gram")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("__own.doc_id"))
+                & (F.col("pos") == F.col("__own.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    intervals = (
+        redundant.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "__isl")
+        .agg(F.min("pos").alias("s"), F.count("*").alias("r"))
+        # a run of r grams covers tokens [s, s + r + n - 2]
+        .withColumn("e", F.col("s") + F.col("r") + F.lit(n - 2))
+        .where(F.col("e") - F.col("s") + 1 >= min_span_tokens)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("s").cast("long").alias("s"),
+                    F.col("e").cast("long").alias("e"),
+                )
+            ).alias("__iv")
+        )
+    )
+    iv = F.coalesce(F.col("__iv"), F.array().cast("array<struct<s:long,e:long>>"))
+    indexed = F.transform(
+        toks_expr, lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(iv, lambda v: (s["i"] >= v["s"]) & (s["i"] <= v["e"])),
+    )
+    return (
+        documents.join(intervals, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("text"),
+            F.size(toks_expr).cast("bigint").alias("n_tokens"),
+            (F.size(toks_expr) - F.size(kept)).cast("bigint").alias(
+                "removed_tokens"
+            ),
+        )
+    )
+
+
 def minhash_shingle_hashes(
     documents: DataFrame,
     text_col: str = "text",

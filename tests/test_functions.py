@@ -436,3 +436,76 @@ def test_duplicate_ngram_stats(spark):
     assert out.loc[3].tolist() == [0, 0, 0.0, 0]
     assert out.loc[4].tolist() == [5, 3, 0.6, 4]
     assert out.loc[5].tolist() == [0, 0, 0.0, 0]
+
+
+def _oracle_remove_spans(rows, n, min_span):
+    """Pure-Python ExactSubstr reference: same owner/run/threshold
+    semantics as remove_duplicate_spans, computed with dicts."""
+    from collections import defaultdict
+
+    toks = {d: (t or "").split() for d, t in rows}
+    occ = defaultdict(list)
+    for d in sorted(toks):
+        ts = toks[d]
+        for p in range(len(ts) - n + 1):
+            occ[tuple(ts[p : p + n])].append((d, p))
+    redundant = defaultdict(set)
+    for lst in occ.values():
+        if len({d for d, _ in lst}) >= 2:
+            own = min(lst)
+            for o in lst:
+                if o != own:
+                    redundant[o[0]].add(o[1])
+    out = {}
+    for d, ts in toks.items():
+        red = sorted(redundant.get(d, ()))
+        delete = set()
+        i = 0
+        while i < len(red):
+            j = i
+            while j + 1 < len(red) and red[j + 1] == red[j] + 1:
+                j += 1
+            s, e = red[i], red[j] + n - 1
+            if e - s + 1 >= min_span:
+                delete.update(range(s, e + 1))
+            i = j + 1
+        kept = [t for k, t in enumerate(ts) if k not in delete]
+        out[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def test_remove_duplicate_spans_parity(spark):
+    """Seeded random corpus with planted cross-doc repeats: the Spark
+    plan must agree with the pure-Python ExactSubstr oracle on every
+    document (text, token counts), and untouched docs must round-trip
+    byte-identically (modulo the documented whitespace normalization)."""
+    import random
+
+    from graphrole_spark.functions.text import remove_duplicate_spans
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = [" ".join(rng.choice(vocab) for _ in range(rng.randint(18, 30)))
+              for _ in range(4)]
+    rows = []
+    for d in range(30):
+        parts = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        if rng.random() < 0.6:  # plant a shared span at a random offset
+            at = rng.randint(0, max(len(parts) - 1, 0))
+            parts[at:at] = rng.choice(boiler).split()
+        rows.append((d, " ".join(parts)))
+    rows.append((98, None))
+    rows.append((99, "tiny"))
+
+    for n, min_span in ((8, 16), (5, 10)):
+        expect = _oracle_remove_spans(rows, n, min_span)
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens"], r["removed_tokens"])
+            for r in remove_duplicate_spans(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                n=n,
+                min_span_tokens=min_span,
+            ).collect()
+        }
+        assert got == expect
+        assert any(v[2] > 0 for v in got.values())  # removal exercised
