@@ -1910,7 +1910,9 @@ def oracle_sql() -> dict[str, str]:
                              + 1 END AS n_tokens
               FROM documents),
             t2 AS (SELECT doc_id, text, n_tokens,
-                          list_filter(rawtoks, x -> x <> '') AS toks
+                          list_filter(rawtoks, x -> x <> '') AS toks,
+                          list_filter(string_split(text, chr(10)),
+                                      x -> length(trim(x)) > 0) AS nel
                    FROM t),
             tc AS (
               SELECT doc_id, max(c) AS top FROM (
@@ -1923,6 +1925,17 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 /
                          greatest(length(text), 1), 6) AS alpha_ratio,
                    round(length(text) * 1.0 / greatest(n_tokens, 1), 6) AS chars_per_token,
+                   len(nel) AS n_lines,
+                   CASE WHEN len(nel) = 0 THEN 0.0
+                        ELSE round(len(list_filter(nel,
+                               x -> right(trim(x), 1) IN ('.', '!', '?', '"')))
+                             * 1.0 / greatest(len(nel), 1), 6)
+                   END AS end_punct_line_frac,
+                   CASE WHEN len(nel) = 0 THEN 0.0
+                        ELSE round(len(list_filter(nel,
+                               x -> trim(x) LIKE '%...'))
+                             * 1.0 / greatest(len(nel), 1), 6)
+                   END AS ellipsis_line_frac,
                    CASE WHEN n_tokens = 0 THEN 0.0
                         ELSE round(top * 1.0 / greatest(n_tokens, 1), 6)
                    END AS top_token_frac,

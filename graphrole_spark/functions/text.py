@@ -992,19 +992,39 @@ def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
     token length, plus Gopher-style repetition signals —
     ``top_token_frac`` (share of the most frequent token) and
     ``dup_token_frac`` (1 − distinct/total) flag the boilerplate and
-    keyword-stuffed documents length filters miss.
+    keyword-stuffed documents length filters miss — and C4/RefinedWeb
+    line-level signals: ``n_lines`` (non-blank lines),
+    ``end_punct_line_frac`` (lines ending in terminal punctuation —
+    C4 drops lines that don't) and ``ellipsis_line_frac`` (lines
+    ending in ``...`` — the truncated-nav-text marker).
 
-    Length/ratio columns are pure codegen expressions; the top-token
-    mode is explode → two-level groupBy keyed on doc_id — one shuffle,
-    partial-aggregated map-side, no Python."""
+    Length/ratio columns are pure codegen expressions; the line
+    signals are array higher-order functions over the per-doc line
+    split (interpreted, but array-local — no explode, no shuffle); the
+    top-token mode is explode → two-level groupBy keyed on doc_id —
+    one shuffle, partial-aggregated map-side, no Python."""
     t = F.col(text_col)
     n_tok = token_count(t)
+    nel = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(nel)
+    end_punct = F.size(
+        F.filter(nel, lambda x: F.substring(F.trim(x), -1, 1).isin(".", "!", "?", '"'))
+    )
+    ellipsis = F.size(F.filter(nel, lambda x: F.trim(x).endswith("...")))
+    line_denom = F.greatest(n_lines, F.lit(1))
     base = documents.select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
         alpha_ratio(t).alias("alpha_ratio"),
         F.round(F.length(t) / F.greatest(n_tok, F.lit(1)), 6).alias("chars_per_token"),
+        n_lines.cast("long").alias("n_lines"),
+        F.when(n_lines == 0, F.lit(0.0))
+        .otherwise(F.round(end_punct / line_denom, 6))
+        .alias("end_punct_line_frac"),
+        F.when(n_lines == 0, F.lit(0.0))
+        .otherwise(F.round(ellipsis / line_denom, 6))
+        .alias("ellipsis_line_frac"),
         F.size(F.array_distinct(tokens(t))).alias("__n_distinct"),
     )
     top = (
@@ -1022,6 +1042,9 @@ def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "n_tokens",
         "alpha_ratio",
         "chars_per_token",
+        "n_lines",
+        "end_punct_line_frac",
+        "ellipsis_line_frac",
         F.when(zero_tok, F.lit(0.0))
         .otherwise(F.round(F.col("__top") / denom, 6))
         .alias("top_token_frac"),

@@ -337,6 +337,32 @@ def test_quality_repetition_signals(spark):
     assert pd.isna(out.loc[5, "top_token_frac"])
 
 
+def test_quality_line_signals(spark):
+    from graphrole_spark.functions.text import quality_features
+
+    rows = [
+        # 4 lines, 1 blank -> 3 non-blank; all 3 end-punct (ellipsis
+        # lines end in '.' so they count for both), 1 ellipsis
+        (1, "A full sentence.\n\nread more...\nShort!  "),
+        (2, "no terminal punct"),          # 1 line, 0 fracs
+        (3, 'He said stop\nquote ends "'),  # closing-quote line counts
+        (4, ""),                           # no lines -> 0.0 by definition
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_features(docs).toPandas().set_index("doc_id")
+
+    assert out.loc[1, "n_lines"] == 3
+    assert out.loc[1, "end_punct_line_frac"] == 1.0
+    assert out.loc[1, "ellipsis_line_frac"] == pytest.approx(0.333333)
+    assert out.loc[2, "n_lines"] == 1
+    assert out.loc[2, "end_punct_line_frac"] == 0.0
+    assert out.loc[3, "n_lines"] == 2
+    assert out.loc[3, "end_punct_line_frac"] == 0.5
+    assert out.loc[4, "n_lines"] == 0
+    assert out.loc[4, "end_punct_line_frac"] == 0.0
+    assert out.loc[4, "ellipsis_line_frac"] == 0.0
+
+
 def test_vocab_coverage(spark):
     from graphrole_spark.functions.text import build_vocabulary, vocab_coverage
 
