@@ -87,18 +87,28 @@ def q_session_agg(spark, sf_dir):
     )
 
 
-def q_lag_lead(spark, sf_dir):
+def q_lag_lead_rank(spark, sf_dir):
+    """lag/lead features + dense_rank/ntile/row_number/top-k-flag merged
+    into one registry slot (window cap): both families partition by
+    user_id, so the plan is ONE exchange with two in-partition sorts
+    (ts asc for lag/lead, value desc for the ranks)."""
     from graphrole_spark.temporal.ops import lag_lead_features
 
     out = lag_lead_features(
         _events(spark, sf_dir), ["user_id"], ["ts", "event_id"], ["value"],
         lags=[1, 2], leads=[1],
     )
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    rk = F.row_number().over(w)
     return out.select(
         "event_id",
         F.round("value_lag1", 6).alias("value_lag1"),
         F.round("value_lag2", 6).alias("value_lag2"),
         F.round("value_lead1", 6).alias("value_lead1"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        rk.alias("rk"),
+        (rk <= 3).cast("int").alias("in_top3"),
     )
 
 
@@ -645,22 +655,6 @@ def q_percentiles(spark, sf_dir):
     )
 
 
-def q_dense_rank(spark, sf_dir):
-    """dense_rank + topk_per_user merged into one registry slot (window
-    cap): dense_rank/ntile/row_number over the same per-user window,
-    with the top-k-per-key selection carried as a flag column."""
-    ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
-    rk = F.row_number().over(w)
-    return ev.select(
-        "event_id",
-        F.dense_rank().over(w).alias("drk"),
-        F.ntile(4).over(w).alias("quartile"),
-        rk.alias("rk"),
-        (rk <= 3).cast("int").alias("in_top3"),
-    )
-
-
 # --------------------------------------------------------------------------
 # RolX + multimodal (rows-only: NMF / binary decode are not SQL)
 # --------------------------------------------------------------------------
@@ -856,15 +850,25 @@ def q_quality(spark, sf_dir):
     """Per-doc quality metrics + the BPE-ish pre-tokenizer segment
     count (the token-budget proxy; merged from the former token_count
     entry — one extra codegen column on the same scan, keeping both
-    inside the driver's oracle-check window)."""
-    from graphrole_spark.functions.text import bpe_token_count, quality_features
+    inside the driver's oracle-check window) + Gopher's within-doc
+    n-gram repetition pair (same merge rationale: per-row projections
+    on the same documents scan)."""
+    from graphrole_spark.functions.text import (
+        bpe_token_count,
+        ngram_repetition_features,
+        quality_features,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return quality_features(docs).join(
-        docs.select(
-            "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
-        ),
-        "doc_id",
+    return (
+        quality_features(docs)
+        .join(
+            docs.select(
+                "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+            ),
+            "doc_id",
+        )
+        .join(ngram_repetition_features(docs), "doc_id")
     )
 
 
@@ -1100,6 +1104,16 @@ def q_dup_ngrams(spark, sf_dir):
     return duplicate_ngram_stats(docs, n=8)
 
 
+def q_dedup_lines(spark, sf_dir):
+    """C4/RefinedWeb boilerplate scrub: drop every line that appears in
+    >= 2 distinct documents, rebuild the survivors (frequency count +
+    broadcast dup flag + per-doc reassembly — two shuffles)."""
+    from graphrole_spark.functions.text import dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_lines(docs, min_docs=2)
+
+
 def q_dedup_spans(spark, sf_dir):
     """ExactSubstr removal (Lee et al. 2022): delete cross-document
     verbatim spans >= 16 tokens, keeping the globally-first occurrence.
@@ -1160,7 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- temporal / windowed feature engineering (north_rule core) --
         "sessionize": q_sessionize,
         "session_agg": q_session_agg,
-        "lag_lead": q_lag_lead,
+        "lag_lead_rank": q_lag_lead_rank,
         "backfill": q_backfill,
         "prefix_agg": q_prefix_agg,
         "asof_directions": q_asof_directions,
@@ -1189,7 +1203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "distinct_agg": q_distinct_agg,
         "daily_counts": q_daily_counts,
-        "dense_rank": q_dense_rank,
         "percentiles": q_percentiles,
         # -- training-data pipeline: text / dedup / similarity ---------
         "media_features": q_media_features,
@@ -1211,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "lm_score": q_lm_score,
         "dup_ngrams": q_dup_ngrams,
+        "dedup_lines": q_dedup_lines,
         # ---- rows-only tail (no SQL equivalent; rationale inline in
         # ---- oracle_sql()'s trailing comment) ------------------------
         "streaming_state": q_streaming_state,
@@ -1272,13 +1286,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS session_value
             FROM s GROUP BY user_id, session_seq
         """,
-        "lag_lead": """
+        "lag_lead_rank": """
             SELECT event_id,
                    round(lag(value, 1)  OVER w, 6) AS value_lag1,
                    round(lag(value, 2)  OVER w, 6) AS value_lag2,
-                   round(lead(value, 1) OVER w, 6) AS value_lead1
+                   round(lead(value, 1) OVER w, 6) AS value_lead1,
+                   dense_rank() OVER r AS drk,
+                   ntile(4) OVER r AS quartile,
+                   row_number() OVER r AS rk,
+                   CAST(CASE WHEN row_number() OVER r <= 3 THEN 1 ELSE 0 END
+                        AS INT) AS in_top3
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   r AS (PARTITION BY user_id ORDER BY value DESC, event_id)
         """,
         "backfill": """
             SELECT event_id,
@@ -1757,16 +1777,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 6) AS total
             FROM events GROUP BY date_trunc('day', ts), event_type
         """,
-        "dense_rank": """
-            SELECT event_id,
-                   dense_rank() OVER w AS drk,
-                   ntile(4) OVER w AS quartile,
-                   row_number() OVER w AS rk,
-                   CAST(CASE WHEN row_number() OVER w <= 3 THEN 1 ELSE 0 END
-                        AS INT) AS in_top3
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
-        """,
         # vocab_coverage: top-500 corpus tokens by frequency (ties on the
         # token string), then each doc's OOV occurrence fraction
         "vocab_coverage": """
@@ -1918,6 +1928,35 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, max(c) AS top FROM (
                 SELECT doc_id, tok, count(*) AS c
                 FROM t2, unnest(toks) AS u(tok) GROUP BY doc_id, tok)
+              GROUP BY doc_id),
+            dl AS (
+              SELECT doc_id,
+                     sum((c - 1) * length(line)) AS dup_chars,
+                     sum(c * length(line)) AS tot_chars,
+                     count(*) AS n_distinct_lines,
+                     sum(c) AS n_lines_tot
+              FROM (
+                SELECT doc_id, trim(line) AS line, count(*) AS c
+                FROM t2, unnest(nel) AS u(line)
+                GROUP BY doc_id, trim(line))
+              GROUP BY doc_id),
+            r2 AS (
+              SELECT doc_id, max(c * length(gram)) AS top2_chars
+              FROM (
+                SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+                       count(*) AS c
+                FROM t2, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+                WHERE len(toks) >= 2
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id),
+            r5 AS (
+              SELECT doc_id, sum((c - 1) * length(gram)) AS dup5_chars
+              FROM (
+                SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram,
+                       count(*) AS c
+                FROM t2, unnest(generate_series(1, len(toks) - 4)) AS u(i)
+                WHERE len(toks) >= 5
+                GROUP BY doc_id, gram)
               GROUP BY doc_id)
             SELECT doc_id,
                    length(text) AS n_chars,
@@ -1936,6 +1975,13 @@ def oracle_sql() -> dict[str, str]:
                                x -> trim(x) LIKE '%...'))
                              * 1.0 / greatest(len(nel), 1), 6)
                    END AS ellipsis_line_frac,
+                   CASE WHEN len(nel) = 0 THEN 0.0
+                        ELSE round(1 - n_distinct_lines * 1.0 /
+                                   greatest(n_lines_tot, 1), 6)
+                   END AS dup_line_frac,
+                   CASE WHEN coalesce(tot_chars, 0) = 0 THEN 0.0
+                        ELSE round(dup_chars * 1.0 / tot_chars, 6)
+                   END AS dup_line_char_frac,
                    CASE WHEN n_tokens = 0 THEN 0.0
                         ELSE round(top * 1.0 / greatest(n_tokens, 1), 6)
                    END AS top_token_frac,
@@ -1944,8 +1990,15 @@ def oracle_sql() -> dict[str, str]:
                                    greatest(n_tokens, 1), 6)
                    END AS dup_token_frac,
                    length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-                     AS n_bpe_tokens
-            FROM t2 LEFT JOIN tc USING (doc_id)
+                     AS n_bpe_tokens,
+                   round(coalesce(top2_chars, 0) * 1.0 /
+                         greatest(length(coalesce(text, '')), 1), 6)
+                     AS top_2gram_char_frac,
+                   round(coalesce(dup5_chars, 0) * 1.0 /
+                         greatest(length(coalesce(text, '')), 1), 6)
+                     AS dup_5gram_char_frac
+            FROM t2 LEFT JOIN tc USING (doc_id) LEFT JOIN dl USING (doc_id)
+                    LEFT JOIN r2 USING (doc_id) LEFT JOIN r5 USING (doc_id)
         """,
         "asof_directions": """
             WITH p AS (SELECT event_id, user_id, ts FROM events
@@ -2178,6 +2231,37 @@ def oracle_sql() -> dict[str, str]:
                               ELSE dup_grams * 1.0 / n_grams END, 6) AS dup_frac,
                    CAST(coalesce(maxrun + 7, 0) AS BIGINT) AS max_dup_span
             FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN mx USING (doc_id)
+        """,
+        "dedup_lines": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         string_split(coalesce(text, ''), chr(10)),
+                         x -> trim(x)), x -> length(x) > 0) AS lns
+              FROM documents),
+            l AS (
+              SELECT doc_id, unnest(lns) AS line,
+                     unnest(range(1, len(lns) + 1)) AS idx
+              FROM d),
+            f AS (
+              SELECT line FROM l GROUP BY line
+              HAVING count(DISTINCT doc_id) >= 2),
+            k AS (
+              SELECT l.doc_id, l.idx, l.line,
+                     (f.line IS NOT NULL) AS dup
+              FROM l LEFT JOIN f USING (line)),
+            r AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY idx)
+                       FILTER (WHERE NOT dup) AS text,
+                     sum(CASE WHEN dup THEN 0 ELSE 1 END) AS n_kept,
+                     sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dropped
+              FROM k GROUP BY doc_id)
+            SELECT d0.doc_id,
+                   coalesce(r.text, '') AS text,
+                   CAST(coalesce(n_kept, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_lines_dropped
+            FROM documents d0 LEFT JOIN r USING (doc_id)
         """,
         # Rows-only queries (no oracle_sql entry) and why — one line per
         # registry-tail entry, in tail order:

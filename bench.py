@@ -103,7 +103,7 @@ def main() -> None:
     suite = [
         "sessionize",
         "session_agg",
-        "lag_lead",
+        "lag_lead_rank",
         "backfill",
         "prefix_agg",
         "asof_directions",
@@ -132,7 +132,6 @@ def main() -> None:
         "pivot",
         "distinct_agg",
         "daily_counts",
-        "dense_rank",
         "dedup_exact",
         "corpus_clean",
         "quality",
@@ -144,6 +143,7 @@ def main() -> None:
         "dedup_clusters",
         "ngram_jaccard",
         "dup_ngrams",
+        "dedup_lines",
         "dedup_spans",
         "rolling_fingerprint",
         "simhash_dedup",

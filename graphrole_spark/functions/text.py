@@ -255,6 +255,80 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dedup_lines(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document line deduplication (the C4 / RefinedWeb boilerplate
+    scrub): drop every occurrence of any whitespace-trimmed line that
+    appears in at least ``min_docs`` DISTINCT documents — the "Share on
+    Facebook" / cookie-banner lines that survive document-level dedup —
+    and rebuild each document from its surviving lines.
+
+    Plan shape (scales to corpus size): posexplode the line split with
+    blank lines dropped; ONE corpus-wide partial-aggregated groupBy on
+    the line counting distinct documents (the frequent-line set is a
+    tiny heavy-hitter list); BROADCAST it back onto the exploded lines
+    as a dup flag; ONE groupBy per document rebuilds the text via a
+    sort_array over (idx, line) structs. Two shuffles total, no
+    all-pairs comparison. A line repeated many times inside a single
+    document is NOT boilerplate under this rule (distinct-doc count),
+    so it survives — :func:`quality_features`' ``dup_line_frac`` covers
+    that case.
+
+    Output is ``(doc_id, text, n_lines_kept, n_lines_dropped)`` — lines
+    come back trimmed and blank lines are not preserved; documents whose
+    every line was boilerplate (or that had no non-blank lines) return
+    empty text so downstream length filters make the drop decision.
+    """
+    lines = (
+        documents.select(
+            id_col,
+            F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+                "__idx", "__raw"
+            ),
+        )
+        .select(id_col, "__idx", F.trim("__raw").alias("__line"))
+        .where(F.length("__line") > 0)
+    )
+    frequent = (
+        lines.groupBy("__line")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__line", F.lit(True).alias("__dup"))
+    )
+    flagged = lines.join(F.broadcast(frequent), "__line", "left")
+    keep = ~F.coalesce(F.col("__dup"), F.lit(False))
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_lines_dropped"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_lines_kept"),
+        # collect_list skips NULLs, so dup lines fall out of the rebuild
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.when(keep, F.struct("__idx", "__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias("__text"),
+    )
+    return (
+        documents.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__text", F.lit("")).alias(text_col),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            F.coalesce("n_lines_dropped", F.lit(0))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )
+
+
 def duplicate_ngram_stats(
     documents: DataFrame,
     n: int = 8,
@@ -995,29 +1069,66 @@ def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
     keyword-stuffed documents length filters miss — and C4/RefinedWeb
     line-level signals: ``n_lines`` (non-blank lines),
     ``end_punct_line_frac`` (lines ending in terminal punctuation —
-    C4 drops lines that don't) and ``ellipsis_line_frac`` (lines
-    ending in ``...`` — the truncated-nav-text marker).
+    C4 drops lines that don't), ``ellipsis_line_frac`` (lines ending
+    in ``...`` — the truncated-nav-text marker), and Gopher's
+    within-document line-repetition pair ``dup_line_frac``
+    (1 − distinct/total over trimmed lines) and ``dup_line_char_frac``
+    (characters in repeat occurrences / total line characters).
 
     Length/ratio columns are pure codegen expressions; the line
     signals are array higher-order functions over the per-doc line
-    split (interpreted, but array-local — no explode, no shuffle); the
-    top-token mode is explode → two-level groupBy keyed on doc_id —
-    one shuffle, partial-aggregated map-side, no Python."""
+    split (interpreted, but array-local — no explode, no shuffle),
+    with the trimmed/sorted line arrays factored into their own
+    projection so Catalyst can't re-inline the split per consumer.
+    ``dup_line_char_frac`` is the sorted-adjacent-equal formulation —
+    O(L log L) per doc, equivalent to Σ(count−1)·len over distinct
+    lines. The top-token mode is explode → two-level groupBy keyed on
+    doc_id — one shuffle, partial-aggregated map-side, no Python."""
     t = F.col(text_col)
     n_tok = token_count(t)
-    nel = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
-    n_lines = F.size(nel)
-    end_punct = F.size(
-        F.filter(nel, lambda x: F.substring(F.trim(x), -1, 1).isin(".", "!", "?", '"'))
+    nel_t = F.transform(
+        F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0),
+        lambda x: F.trim(x),
     )
-    ellipsis = F.size(F.filter(nel, lambda x: F.trim(x).endswith("...")))
-    line_denom = F.greatest(n_lines, F.lit(1))
-    base = documents.select(
+    lines = documents.select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
         alpha_ratio(t).alias("alpha_ratio"),
         F.round(F.length(t) / F.greatest(n_tok, F.lit(1)), 6).alias("chars_per_token"),
+        F.size(F.array_distinct(tokens(t))).alias("__n_distinct"),
+        nel_t.alias("__nel"),
+        F.sort_array(nel_t).alias("__srt"),
+    )
+    srt = F.col("__srt")
+    nel = F.col("__nel")
+    n_lines = F.size(nel)
+    end_punct = F.size(
+        F.filter(nel, lambda x: F.substring(x, -1, 1).isin(".", "!", "?", '"'))
+    )
+    ellipsis = F.size(F.filter(nel, lambda x: x.endswith("...")))
+    # repeat-occurrence chars: in the sorted array, a line equal to its
+    # predecessor is a repeat; F.get(srt, -1) is NULL so i=0 never fires
+    dup_chars = F.aggregate(
+        F.transform(
+            srt,
+            lambda x, i: F.when(x == F.get(srt, i - 1), F.length(x)).otherwise(
+                F.lit(0)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    tot_line_chars = F.aggregate(
+        nel, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    line_denom = F.greatest(n_lines, F.lit(1))
+    base = lines.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "alpha_ratio",
+        "chars_per_token",
         n_lines.cast("long").alias("n_lines"),
         F.when(n_lines == 0, F.lit(0.0))
         .otherwise(F.round(end_punct / line_denom, 6))
@@ -1025,7 +1136,13 @@ def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(n_lines == 0, F.lit(0.0))
         .otherwise(F.round(ellipsis / line_denom, 6))
         .alias("ellipsis_line_frac"),
-        F.size(F.array_distinct(tokens(t))).alias("__n_distinct"),
+        F.when(n_lines == 0, F.lit(0.0))
+        .otherwise(F.round(1 - F.size(F.array_distinct(nel)) / line_denom, 6))
+        .alias("dup_line_frac"),
+        F.when(tot_line_chars == 0, F.lit(0.0))
+        .otherwise(F.round(dup_chars / tot_line_chars, 6))
+        .alias("dup_line_char_frac"),
+        "__n_distinct",
     )
     top = (
         documents.select("doc_id", F.explode(tokens(t)).alias("tok"))
@@ -1045,12 +1162,87 @@ def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "n_lines",
         "end_punct_line_frac",
         "ellipsis_line_frac",
+        "dup_line_frac",
+        "dup_line_char_frac",
         F.when(zero_tok, F.lit(0.0))
         .otherwise(F.round(F.col("__top") / denom, 6))
         .alias("top_token_frac"),
         F.when(zero_tok, F.lit(0.0))
         .otherwise(F.round(1 - F.col("__n_distinct") / denom, 6))
         .alias("dup_token_frac"),
+    )
+
+
+def ngram_repetition_features(
+    documents: DataFrame,
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher's within-document n-gram repetition filters (the companion
+    to :func:`quality_features`' line-level pair):
+
+    * ``top_{top_n}gram_char_frac`` — characters covered by the single
+      most-repeated ``top_n``-gram (occurrences × gram length) over the
+      document's character count; catches "buy now buy now buy now"
+      keyword stuffing.
+    * ``dup_{dup_n}gram_char_frac`` — characters in repeat occurrences
+      (after the first) of all duplicated ``dup_n``-grams over the
+      document's character count; catches looped paragraphs.
+
+    Both are array-local sorted-adjacent formulations — sort the gram
+    array once, then one O(T) fold: equal-neighbour runs give per-gram
+    occurrence counts without any explode or shuffle, so the operator is
+    a pure per-row projection that scales with the corpus scan."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(tokens(t), lambda x: x != F.lit(""))
+
+    def sorted_grams(n: int) -> Column:
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        return (
+            F.when(F.size(toks) >= n, F.sort_array(grams))
+            .otherwise(F.array().cast("array<string>"))
+        )
+
+    base = documents.select(
+        "doc_id",
+        F.length(t).cast("long").alias("__nc"),
+        sorted_grams(top_n).alias("__gt"),
+        sorted_grams(dup_n).alias("__gd"),
+    )
+    gt, gd = F.col("__gt"), F.col("__gd")
+    zero = F.lit(0).cast("long")
+    run = lambda acc, x: (  # noqa: E731 — occurrences of x so far in its run
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    )
+    top_chars = F.aggregate(
+        gt,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x) * F.length(x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    dup_chars = F.aggregate(
+        F.transform(
+            gd,
+            lambda x, i: F.when(x == F.get(gd, i - 1), F.length(x)).otherwise(
+                F.lit(0)
+            ),
+        ),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    denom = F.greatest(F.col("__nc"), F.lit(1))
+    return base.select(
+        "doc_id",
+        F.round(top_chars / denom, 6).alias(f"top_{top_n}gram_char_frac"),
+        F.round(dup_chars / denom, 6).alias(f"dup_{dup_n}gram_char_frac"),
     )
 
 

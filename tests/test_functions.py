@@ -363,6 +363,90 @@ def test_quality_line_signals(spark):
     assert out.loc[4, "ellipsis_line_frac"] == 0.0
 
 
+def test_dedup_lines(spark):
+    from graphrole_spark.functions.text import dedup_lines
+
+    boiler = "Share on Facebook"
+    rows = [
+        (1, f"Real content one.\n{boiler}\nMore real text."),
+        (2, f"{boiler}\nDifferent article body."),
+        # boilerplate twice in one doc: both occurrences dropped
+        (3, f"  {boiler}  \nUnique closer.\n{boiler}"),
+        # repeated line but only within ONE doc -> kept (distinct-doc rule)
+        (4, "solo repeat\nsolo repeat"),
+        (5, ""),  # no lines
+        (6, boiler),  # all-boilerplate doc -> empty text, kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_lines(docs, min_docs=2).toPandas().set_index("doc_id").sort_index()
+
+    assert out.loc[1, "text"] == "Real content one.\nMore real text."
+    assert out.loc[1, "n_lines_kept"] == 2 and out.loc[1, "n_lines_dropped"] == 1
+    assert out.loc[2, "text"] == "Different article body."
+    assert out.loc[3, "text"] == "Unique closer."
+    assert out.loc[3, "n_lines_dropped"] == 2
+    assert out.loc[4, "text"] == "solo repeat\nsolo repeat"
+    assert out.loc[4, "n_lines_dropped"] == 0
+    assert out.loc[5, "text"] == "" and out.loc[5, "n_lines_kept"] == 0
+    assert out.loc[6, "text"] == "" and out.loc[6, "n_lines_dropped"] == 1
+    assert len(out) == 6
+
+
+def test_quality_dup_line_signals(spark):
+    from graphrole_spark.functions.text import quality_features
+
+    rows = [
+        # "apple." twice + "banana!": distinct 2/3; repeat chars 6 of 19
+        (1, "apple.\napple.\nbanana!"),
+        (2, "all\nunique\nlines"),
+        # whitespace-only difference still counts as a duplicate line
+        (3, "  x \nx"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_features(docs).toPandas().set_index("doc_id")
+
+    assert out.loc[1, "dup_line_frac"] == pytest.approx(0.333333)
+    assert out.loc[1, "dup_line_char_frac"] == pytest.approx(6 / 19, abs=1e-6)
+    assert out.loc[2, "dup_line_frac"] == 0.0
+    assert out.loc[2, "dup_line_char_frac"] == 0.0
+    assert out.loc[3, "dup_line_frac"] == 0.5
+    assert out.loc[3, "dup_line_char_frac"] == 0.5
+    assert out.loc[4, "dup_line_frac"] == 0.0
+    assert out.loc[4, "dup_line_char_frac"] == 0.0
+
+
+def test_ngram_repetition_features(spark):
+    from graphrole_spark.functions.text import ngram_repetition_features
+
+    rows = [
+        # "buy now" 2-gram occurs 3x (overlapping tokens): chars 7*3=21
+        # over 23 doc chars
+        (1, "buy now buy now buy now"),
+        (2, "all tokens here are distinct words"),
+        # 5-gram "a b c d e" occurs twice -> one repeat of 9 chars / 19
+        (3, "a b c d e a b c d e"),
+        (4, "short"),  # fewer tokens than n -> 0.0
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        ngram_repetition_features(docs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    assert out.loc[1, "top_2gram_char_frac"] == pytest.approx(21 / 23, abs=1e-6)
+    # distinct words: every 2-gram unique -> best run is 1 occurrence
+    assert out.loc[2, "top_2gram_char_frac"] > 0.0
+    assert out.loc[2, "dup_5gram_char_frac"] == 0.0
+    assert out.loc[3, "dup_5gram_char_frac"] == pytest.approx(9 / 19, abs=1e-6)
+    assert out.loc[4, "top_2gram_char_frac"] == 0.0
+    assert out.loc[5, "top_2gram_char_frac"] == 0.0
+    assert out.loc[5, "dup_5gram_char_frac"] == 0.0
+
+
 def test_vocab_coverage(spark):
     from graphrole_spark.functions.text import build_vocabulary, vocab_coverage
 
