@@ -848,28 +848,14 @@ def q_corpus_clean(spark, sf_dir):
 
 def q_quality(spark, sf_dir):
     """Per-doc quality metrics + the BPE-ish pre-tokenizer segment
-    count (the token-budget proxy; merged from the former token_count
-    entry — one extra codegen column on the same scan, keeping both
-    inside the driver's oracle-check window) + Gopher's within-doc
-    n-gram repetition pair (same merge rationale: per-row projections
-    on the same documents scan)."""
-    from graphrole_spark.functions.text import (
-        bpe_token_count,
-        ngram_repetition_features,
-        quality_features,
-    )
+    count (merged from the former token_count entry) + Gopher's
+    within-doc n-gram repetition pair — ALL folded into quality's
+    single documents scan (one scan + the top-token shuffle; no extra
+    joins), keeping every signal inside the driver's oracle window."""
+    from graphrole_spark.functions.text import quality_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        quality_features(docs)
-        .join(
-            docs.select(
-                "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
-            ),
-            "doc_id",
-        )
-        .join(ngram_repetition_features(docs), "doc_id")
-    )
+    return quality_features(docs, top_ngram=2, dup_ngram=5, bpe=True)
 
 
 def q_lang_guess(spark, sf_dir):

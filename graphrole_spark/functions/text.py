@@ -1061,7 +1061,13 @@ def vocab_coverage(
     )
 
 
-def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    documents: DataFrame,
+    text_col: str = "text",
+    top_ngram: int | None = None,
+    dup_ngram: int | None = None,
+    bpe: bool = False,
+) -> DataFrame:
     """Per-document quality metrics: length, tokens, alpha ratio, mean
     token length, plus Gopher-style repetition signals —
     ``top_token_frac`` (share of the most frequent token) and
@@ -1083,13 +1089,34 @@ def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
     ``dup_line_char_frac`` is the sorted-adjacent-equal formulation —
     O(L log L) per doc, equivalent to Σ(count−1)·len over distinct
     lines. The top-token mode is explode → two-level groupBy keyed on
-    doc_id — one shuffle, partial-aggregated map-side, no Python."""
+    doc_id — one shuffle, partial-aggregated map-side, no Python.
+
+    ``top_ngram=``/``dup_ngram=`` fold the corresponding
+    :func:`ngram_repetition_features` columns into this SAME documents
+    scan, and ``bpe=True`` folds in :func:`bpe_token_count` as
+    ``n_bpe_tokens`` — pipelines wanting all the signals pay one scan
+    plus the single top-token shuffle instead of three scans and two
+    extra joins."""
     t = F.col(text_col)
     n_tok = token_count(t)
     nel_t = F.transform(
         F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0),
         lambda x: F.trim(x),
     )
+    extra_proj, extra_out = [], []
+    if top_ngram:
+        extra_proj.append(
+            _sorted_grams(F.coalesce(t, F.lit("")), top_ngram).alias("__gt")
+        )
+        extra_out.append(f"top_{top_ngram}gram_char_frac")
+    if dup_ngram:
+        extra_proj.append(
+            _sorted_grams(F.coalesce(t, F.lit("")), dup_ngram).alias("__gd")
+        )
+        extra_out.append(f"dup_{dup_ngram}gram_char_frac")
+    if bpe:
+        extra_proj.append(bpe_token_count(t).alias("n_bpe_tokens"))
+        extra_out.append("n_bpe_tokens")
     lines = documents.select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars"),
@@ -1099,6 +1126,7 @@ def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.array_distinct(tokens(t))).alias("__n_distinct"),
         nel_t.alias("__nel"),
         F.sort_array(nel_t).alias("__srt"),
+        *extra_proj,
     )
     srt = F.col("__srt")
     nel = F.col("__nel")
@@ -1123,6 +1151,22 @@ def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
         nel, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
     line_denom = F.greatest(n_lines, F.lit(1))
+    char_denom = F.greatest(F.col("n_chars"), F.lit(1))
+    extra_base = []
+    if top_ngram:
+        extra_base.append(
+            F.round(_run_max_chars(F.col("__gt")) / char_denom, 6).alias(
+                f"top_{top_ngram}gram_char_frac"
+            )
+        )
+    if dup_ngram:
+        extra_base.append(
+            F.round(_adjacent_dup_chars(F.col("__gd")) / char_denom, 6).alias(
+                f"dup_{dup_ngram}gram_char_frac"
+            )
+        )
+    if bpe:
+        extra_base.append(F.col("n_bpe_tokens"))
     base = lines.select(
         "doc_id",
         "n_chars",
@@ -1143,6 +1187,7 @@ def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.round(dup_chars / tot_line_chars, 6))
         .alias("dup_line_char_frac"),
         "__n_distinct",
+        *extra_base,
     )
     top = (
         documents.select("doc_id", F.explode(tokens(t)).alias("tok"))
@@ -1170,6 +1215,55 @@ def quality_features(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(zero_tok, F.lit(0.0))
         .otherwise(F.round(1 - F.col("__n_distinct") / denom, 6))
         .alias("dup_token_frac"),
+        *extra_out,
+    )
+
+
+def _sorted_grams(t: Column, n: int) -> Column:
+    """Sorted word n-gram array of ``t`` (NON-distinct — repetition
+    analysis needs the counts that :func:`shingles` throws away)."""
+    toks = F.filter(tokens(t), lambda x: x != F.lit(""))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        F.when(F.size(toks) >= n, F.sort_array(grams))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _run_max_chars(srt: Column) -> Column:
+    """Max over equal-neighbour runs of run_length × element_length in a
+    SORTED string array — one O(T) fold, no explode."""
+    zero = F.lit(0).cast("long")
+    run = lambda acc, x: (  # noqa: E731 — occurrences of x so far in its run
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    )
+    return F.aggregate(
+        srt,
+        F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x) * F.length(x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def _adjacent_dup_chars(srt: Column) -> Column:
+    """Characters in repeat occurrences (element equal to its
+    predecessor) of a SORTED string array. ``srt`` must be a plain
+    column reference — ``F.get`` re-evaluates its operand per element,
+    so pass a materialized projection column, not an expression."""
+    return F.aggregate(
+        F.transform(
+            srt,
+            lambda x, i: F.when(x == F.get(srt, i - 1), F.length(x)).otherwise(
+                F.lit(0)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
 
 
@@ -1193,56 +1287,26 @@ def ngram_repetition_features(
     Both are array-local sorted-adjacent formulations — sort the gram
     array once, then one O(T) fold: equal-neighbour runs give per-gram
     occurrence counts without any explode or shuffle, so the operator is
-    a pure per-row projection that scales with the corpus scan."""
+    a pure per-row projection that scales with the corpus scan.
+    (:func:`quality_features` can fold these columns into its own scan
+    via ``top_ngram=``/``dup_ngram=`` — use that in pipelines that also
+    want the base metrics.)"""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.filter(tokens(t), lambda x: x != F.lit(""))
-
-    def sorted_grams(n: int) -> Column:
-        idx = F.sequence(F.lit(0), F.size(toks) - n)
-        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-        return (
-            F.when(F.size(toks) >= n, F.sort_array(grams))
-            .otherwise(F.array().cast("array<string>"))
-        )
-
     base = documents.select(
         "doc_id",
         F.length(t).cast("long").alias("__nc"),
-        sorted_grams(top_n).alias("__gt"),
-        sorted_grams(dup_n).alias("__gd"),
-    )
-    gt, gd = F.col("__gt"), F.col("__gd")
-    zero = F.lit(0).cast("long")
-    run = lambda acc, x: (  # noqa: E731 — occurrences of x so far in its run
-        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-    )
-    top_chars = F.aggregate(
-        gt,
-        F.struct(
-            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            run(acc, x).alias("run"),
-            F.greatest(acc["best"], run(acc, x) * F.length(x)).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    dup_chars = F.aggregate(
-        F.transform(
-            gd,
-            lambda x, i: F.when(x == F.get(gd, i - 1), F.length(x)).otherwise(
-                F.lit(0)
-            ),
-        ),
-        zero,
-        lambda acc, v: acc + v,
+        _sorted_grams(t, top_n).alias("__gt"),
+        _sorted_grams(t, dup_n).alias("__gd"),
     )
     denom = F.greatest(F.col("__nc"), F.lit(1))
     return base.select(
         "doc_id",
-        F.round(top_chars / denom, 6).alias(f"top_{top_n}gram_char_frac"),
-        F.round(dup_chars / denom, 6).alias(f"dup_{dup_n}gram_char_frac"),
+        F.round(_run_max_chars(F.col("__gt")) / denom, 6).alias(
+            f"top_{top_n}gram_char_frac"
+        ),
+        F.round(_adjacent_dup_chars(F.col("__gd")) / denom, 6).alias(
+            f"dup_{dup_n}gram_char_frac"
+        ),
     )
 
 

@@ -208,6 +208,47 @@ def ingest_stress(spark, store_docs: int, batch_docs: int, work_dir: str) -> dic
     }
 
 
+def lines_stress(spark, n: int, work_dir: str) -> dict:
+    """Line-dedup scale evidence: multi-line synthetic docs (10 lines
+    each, ~30% drawn from a 50-line boilerplate pool, the rest globally
+    unique), timed through dedup_lines. Near-linear wall time + a
+    boilerplate set that stays pool-sized = the heavy-hitter broadcast
+    shape holds at scale."""
+    from pyspark.sql import functions as F
+
+    from graphrole_spark.functions.text import dedup_lines
+
+    pq = os.path.join(work_dir, f"linedocs_{n}")
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+        line = lambda j: F.when(  # noqa: E731
+            F.pmod(F.xxhash64("doc_id", j, F.lit(5)), F.lit(10)) < 3,
+            F.concat(
+                F.lit("boilerplate line "),
+                F.pmod(F.xxhash64(j, F.lit(6), "doc_id"), F.lit(50)).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("unique "), F.xxhash64("doc_id", j).cast("string"))
+        )
+        text = F.concat_ws("\n", F.transform(F.sequence(F.lit(0), F.lit(9)), line))
+        ids.select("doc_id", text.alias("text")).write.mode("overwrite").parquet(pq)
+    docs = spark.read.parquet(pq)
+
+    t0 = time.time()
+    out = dedup_lines(docs, min_docs=2)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum("n_lines_kept").alias("kept"),
+        F.sum("n_lines_dropped").alias("dropped"),
+    ).collect()[0]
+    return {
+        "lines_docs": n,
+        "lines_sec": round(time.time() - t0, 2),
+        "lines_kept": int(agg["kept"]),
+        "lines_dropped": int(agg["dropped"]),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,50000,500000")
@@ -215,6 +256,8 @@ def main() -> None:
                     help="node counts for the CC-only stress (chains+shortcuts)")
     ap.add_argument("--ingest-stores", default="",
                     help="store sizes for the streaming-ingest probe-cost stress")
+    ap.add_argument("--lines-sizes", default="",
+                    help="doc counts for the cross-doc line-dedup stress")
     ap.add_argument("--ingest-batch", type=int, default=5000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--work-dir", default="/tmp/dedup_scale")
@@ -236,6 +279,8 @@ def main() -> None:
         record(cc_stress(spark, n))
     for n in [int(s) for s in args.ingest_stores.split(",") if s]:
         record(ingest_stress(spark, n, args.ingest_batch, args.work_dir))
+    for n in [int(s) for s in args.lines_sizes.split(",") if s]:
+        record(lines_stress(spark, n, args.work_dir))
 
 
 if __name__ == "__main__":
