@@ -69,22 +69,34 @@ ordered AS (
 # temporal operators (M1)
 # --------------------------------------------------------------------------
 
-def q_sessionize(spark, sf_dir):
-    from graphrole_spark.temporal.ops import sessionize
-
-    return sessionize(_events(spark, sf_dir), ["user_id"], "ts", SESSION_GAP).select(
-        "event_id", "session_seq"
-    )
-
-
-def q_session_agg(spark, sf_dir):
+def q_session_features(spark, sf_dir):
+    """sessionize + session_agg merged into one registry slot (window
+    cap): per-event session id plus that session's aggregates via a
+    second window over the assigned (user_id, session_seq). The
+    sessionize exchange on user_id already clusters every
+    (user_id, session_seq) group, so the session-aggregate window adds
+    only an in-partition sort — one exchange for both families."""
     from graphrole_spark.temporal.ops import sessionize
 
     s = sessionize(_events(spark, sf_dir), ["user_id"], "ts", SESSION_GAP)
-    return s.groupBy("user_id", "session_seq").agg(
-        F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("session_value"),
+    w = Window.partitionBy("user_id", "session_seq")
+    return s.select(
+        "event_id",
+        "session_seq",
+        F.count("*").over(w).alias("n_events"),
+        F.round(F.sum("value").over(w), 6).alias("session_value"),
     )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weighting (Xie et al. 2023): hashed-bigram
+    log-likelihood ratio of the English slice (target) vs the full
+    corpus (raw), with a deterministic top-100 selection flag (the
+    greedy resampling cut — TakeOrderedAndProject + broadcast flag)."""
+    from graphrole_spark.functions.importance import dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_select(docs, docs.where(F.col("lang") == "en"), k=100)
 
 
 def q_lag_lead_rank(spark, sf_dir):
@@ -1158,8 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # block and keep len(oracle_sql()) <= 50.
     return {
         # -- temporal / windowed feature engineering (north_rule core) --
-        "sessionize": q_sessionize,
-        "session_agg": q_session_agg,
+        "session_features": q_session_features,
         "lag_lead_rank": q_lag_lead_rank,
         "backfill": q_backfill,
         "prefix_agg": q_prefix_agg,
@@ -1211,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "dup_ngrams": q_dup_ngrams,
         "dedup_lines": q_dedup_lines,
+        "dsir_weights": q_dsir_weights,
         # ---- rows-only tail (no SQL equivalent; rationale inline in
         # ---- oracle_sql()'s trailing comment) ------------------------
         "streaming_state": q_streaming_state,
@@ -1245,32 +1257,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "sessionize": f"""
-            SELECT event_id,
-                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
-            FROM (
-              SELECT event_id, user_id, ts,
-                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 0
-                          WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > {SESSION_GAP}
-                          THEN 1 ELSE 0 END AS is_new
-              FROM events)
-        """,
-        "session_agg": f"""
+        "session_features": f"""
             WITH s AS (
-              SELECT user_id, value,
+              SELECT event_id, user_id, value,
                      CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
                           ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
               FROM (
-                SELECT user_id, ts, value,
+                SELECT event_id, user_id, ts, value,
                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 0
                             WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > {SESSION_GAP}
                             THEN 1 ELSE 0 END AS is_new
                 FROM events)
             )
-            SELECT user_id, session_seq, count(*) AS n_events,
-                   round(sum(value), 6) AS session_value
-            FROM s GROUP BY user_id, session_seq
+            SELECT event_id, session_seq,
+                   count(*) OVER ses AS n_events,
+                   round(sum(value) OVER ses, 6) AS session_value
+            FROM s
+            WINDOW ses AS (PARTITION BY user_id, session_seq)
         """,
         "lag_lead_rank": """
             SELECT event_id,
@@ -2248,6 +2251,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(n_kept, 0) AS BIGINT) AS n_lines_kept,
                    CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_lines_dropped
             FROM documents d0 LEFT JOIN r USING (doc_id)
+        """,
+        # DSIR (Xie et al. 2023): hashed-bigram add-one multinomials,
+        # target = lang='en' slice, raw = full corpus; same portable
+        # md5-prefix bucket hash as the Spark side
+        "dsir_weights": """
+            WITH tk AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), ' +'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang,
+                     CAST(concat('0x', substr(md5(
+                         array_to_string(toks[i:i+1], ' ')), 1, 8)) AS BIGINT)
+                       % 4096 AS bucket
+              FROM tk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+              WHERE len(toks) >= 2),
+            rc AS (SELECT bucket, count(*) AS rcnt FROM g GROUP BY bucket),
+            tc AS (SELECT bucket, count(*) AS tcnt FROM g
+                   WHERE lang = 'en' GROUP BY bucket),
+            tot AS (SELECT (SELECT count(*) FROM g) AS rtot,
+                           (SELECT count(*) FROM g WHERE lang = 'en') AS ttot),
+            dim AS (
+              SELECT bucket,
+                     ln((coalesce(tcnt, 0) + 1.0) / (ttot + 4096))
+                   - ln((coalesce(rcnt, 0) + 1.0) / (rtot + 4096)) AS log_ratio
+              FROM rc FULL OUTER JOIN tc USING (bucket), tot),
+            sc AS (
+              SELECT g.doc_id, count(*) AS n_grams, avg(log_ratio) AS s
+              FROM g JOIN dim USING (bucket) GROUP BY g.doc_id),
+            out AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+                     round(coalesce(s, 0.0), 6) AS dsir_score
+              FROM documents d LEFT JOIN sc USING (doc_id)),
+            rk AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rn
+              FROM out)
+            SELECT out.doc_id, n_grams, dsir_score,
+                   CAST(CASE WHEN rn <= 100 THEN 1 ELSE 0 END AS INT) AS selected
+            FROM out JOIN rk USING (doc_id)
         """,
         # Rows-only queries (no oracle_sql entry) and why — one line per
         # registry-tail entry, in tail order:

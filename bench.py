@@ -101,8 +101,7 @@ def main() -> None:
     # CC stack twice against a disk store per invocation; pytest covers
     # both, and the driver's correctness harness still runs rolx)
     suite = [
-        "sessionize",
-        "session_agg",
+        "session_features",
         "lag_lead_rank",
         "backfill",
         "prefix_agg",
@@ -144,6 +143,7 @@ def main() -> None:
         "ngram_jaccard",
         "dup_ngrams",
         "dedup_lines",
+        "dsir_weights",
         "dedup_spans",
         "rolling_fingerprint",
         "simhash_dedup",

@@ -392,6 +392,64 @@ def test_dedup_lines(spark):
     assert len(out) == 6
 
 
+def test_dsir_scores_and_select(spark):
+    import math
+
+    from graphrole_spark.functions.importance import dsir_scores, dsir_select
+
+    # target distribution: "the cat sat" style; off-target: digits
+    rows = [(i, "the cat sat on the mat") for i in range(6)] + [
+        (10, "the cat sat on a rug"),   # mostly target-like grams
+        (11, "7 8 9 10 11 12"),         # no target grams at all
+        (12, "x"),                      # 1 token -> no bigrams
+        (13, None),                     # null text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") <= 5)
+
+    out = dsir_scores(docs, target, buckets=256).toPandas().set_index("doc_id")
+    assert out.loc[10, "dsir_score"] > out.loc[11, "dsir_score"]
+    # exact target docs rank above everything off-target (absolute sign
+    # is smoothing-dependent on a corpus this small, so only order is
+    # asserted)
+    assert out.loc[0, "dsir_score"] > out.loc[11, "dsir_score"]
+    assert out.loc[0, "dsir_score"] >= out.loc[10, "dsir_score"]
+    assert out.loc[12, "n_grams"] == 0 and out.loc[12, "dsir_score"] == 0.0
+    assert out.loc[13, "n_grams"] == 0 and out.loc[13, "dsir_score"] == 0.0
+
+    # pure-python oracle for one doc's score (doc 11, disjoint grams)
+    def bucket(gram):
+        import hashlib
+
+        return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % 256
+
+    texts = {r[0]: (r[1] or "") for r in rows}
+    grams = lambda s: [  # noqa: E731
+        " ".join(p) for p in zip(s.split(), s.split()[1:])
+    ]
+    raw_counts, tgt_counts = {}, {}
+    for did, s in texts.items():
+        for gm in grams(s):
+            b = bucket(gm)
+            raw_counts[b] = raw_counts.get(b, 0) + 1
+            if did <= 5:
+                tgt_counts[b] = tgt_counts.get(b, 0) + 1
+    rtot, ttot = sum(raw_counts.values()), sum(tgt_counts.values())
+    exp = [
+        math.log((tgt_counts.get(bucket(gm), 0) + 1.0) / (ttot + 256))
+        - math.log((raw_counts.get(bucket(gm), 0) + 1.0) / (rtot + 256))
+        for gm in grams(texts[11])
+    ]
+    assert out.loc[11, "dsir_score"] == pytest.approx(
+        sum(exp) / len(exp), abs=1e-6
+    )
+
+    sel = dsir_select(docs, target, k=3, buckets=256).toPandas()
+    assert sel["selected"].sum() == 3
+    # the never-target doc can't be in the top 3
+    assert sel.set_index("doc_id").loc[11, "selected"] == 0
+
+
 def test_quality_dup_line_signals(spark):
     from graphrole_spark.functions.text import quality_features
 
