@@ -128,3 +128,32 @@ def test_vocab_coverage_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "rangepartitioning" not in plan      # no global sort exchange
+
+
+def test_dedup_lines_plan_shape(spark):
+    """Line dedup: the frequent-line set must come back as a BROADCAST
+    join (never a shuffled join of the full line stream against it),
+    and the plan costs exactly three hash exchanges: the two-phase
+    distinct aggregation for count_distinct(doc_id) per line (partial
+    distinct map-side, so already-deduped pairs shuffle) plus the
+    per-doc rebuild."""
+    from graphrole_spark.functions.text import dedup_lines
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dedup_lines(docs))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan[:4000]
+
+
+def test_dsir_plan_shape(spark):
+    """DSIR: both model dims and the top-k flag broadcast; the
+    selection cut is the distributed TakeOrderedAndProject, never a
+    global sort exchange."""
+    from graphrole_spark.functions.importance import dsir_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.where(F.col("lang") == "en")
+    plan = _plan(dsir_select(docs, target, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:4000]
