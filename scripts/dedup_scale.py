@@ -249,6 +249,35 @@ def lines_stress(spark, n: int, work_dir: str) -> dict:
     }
 
 
+def dsir_stress(spark, n: int, work_dir: str) -> dict:
+    """DSIR scale evidence on the multi-line synthetic corpus (every
+    10th doc is 'target'): two corpus gram scans + <=buckets-row
+    broadcast dims, so wall time should track the corpus linearly."""
+    from pyspark.sql import functions as F
+
+    from graphrole_spark.functions.importance import dsir_select
+
+    pq = os.path.join(work_dir, f"linedocs_{n}")
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        lines_stress(spark, n, work_dir)  # synthesizes the corpus
+    docs = spark.read.parquet(pq)
+    target = docs.where(F.col("doc_id") % 10 == 0)
+
+    t0 = time.time()
+    out = dsir_select(docs, target, k=max(1, n // 10))
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum("selected").alias("n_sel"),
+        F.round(F.avg("dsir_score"), 6).alias("mean_score"),
+    ).collect()[0]
+    return {
+        "dsir_docs": n,
+        "dsir_sec": round(time.time() - t0, 2),
+        "dsir_selected": int(agg["n_sel"]),
+        "dsir_mean_score": float(agg["mean_score"]),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,50000,500000")
@@ -258,6 +287,8 @@ def main() -> None:
                     help="store sizes for the streaming-ingest probe-cost stress")
     ap.add_argument("--lines-sizes", default="",
                     help="doc counts for the cross-doc line-dedup stress")
+    ap.add_argument("--dsir-sizes", default="",
+                    help="doc counts for the DSIR scoring stress")
     ap.add_argument("--ingest-batch", type=int, default=5000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--work-dir", default="/tmp/dedup_scale")
@@ -281,6 +312,8 @@ def main() -> None:
         record(ingest_stress(spark, n, args.ingest_batch, args.work_dir))
     for n in [int(s) for s in args.lines_sizes.split(",") if s]:
         record(lines_stress(spark, n, args.work_dir))
+    for n in [int(s) for s in args.dsir_sizes.split(",") if s]:
+        record(dsir_stress(spark, n, args.work_dir))
 
 
 if __name__ == "__main__":
