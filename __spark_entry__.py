@@ -88,6 +88,21 @@ def q_session_features(spark, sf_dir):
     )
 
 
+def q_feature_drift(spark, sf_dir):
+    """Feature-store drift monitoring: per-feature PSI of (value,
+    hour-of-day) between the first and second half of the events
+    timeline — the training-vs-serving snapshot comparison, binned on
+    the reference grid."""
+    from graphrole_spark.functions.drift import feature_drift
+
+    ev = _events(spark, sf_dir).select(
+        "ts", "value", F.hour("ts").cast("double").alias("hour")
+    )
+    ref = ev.where(F.col("ts") < "2024-01-16").select("value", "hour")
+    cur = ev.where(F.col("ts") >= "2024-01-16").select("value", "hour")
+    return feature_drift(ref, cur, ["value", "hour"], bins=10)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weighting (Xie et al. 2023): hashed-bigram
     log-likelihood ratio of the English slice (target) vs the full
@@ -542,6 +557,10 @@ def q_egonet(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_groupby_agg(spark, sf_dir):
+    """Plain + DISTINCT aggregates in one groupBy (distinct_agg merged
+    into this slot, window cap): the two countDistinct columns force
+    Spark's expand-based multi-distinct plan alongside the ordinary
+    partial aggregates — both capabilities value-checked in one entry."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -552,6 +571,8 @@ def q_groupby_agg(spark, sf_dir):
                 "revenue"
             ),
             F.count("*").alias("n_rows"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_partkey").alias("n_parts"),
         )
     )
 
@@ -642,14 +663,6 @@ def q_dedup_clusters(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
     return dedup_keep(docs, pairs, quality_col="n_chars")
-
-
-def q_distinct_agg(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-    )
 
 
 def q_daily_counts(spark, sf_dir):
@@ -1198,7 +1211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "rollup_cube": q_rollup_cube,
         "pivot": q_pivot,
-        "distinct_agg": q_distinct_agg,
         "daily_counts": q_daily_counts,
         "percentiles": q_percentiles,
         # -- training-data pipeline: text / dedup / similarity ---------
@@ -1223,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "dedup_lines": q_dedup_lines,
         "dsir_weights": q_dsir_weights,
+        "feature_drift": q_feature_drift,
         # ---- rows-only tail (no SQL equivalent; rationale inline in
         # ---- oracle_sql()'s trailing comment) ------------------------
         "streaming_state": q_streaming_state,
@@ -1676,7 +1689,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 6) AS sum_qty,
                    round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
-                   count(*) AS n_rows
+                   count(*) AS n_rows,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   count(DISTINCT l_partkey) AS n_parts
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
@@ -1754,12 +1769,6 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY n_chars DESC NULLS LAST, doc_id) = 1
                         THEN 1 ELSE 0 END AS INT) AS keep
             FROM assigned
-        """,
-        "distinct_agg": """
-            SELECT l_returnflag,
-                   count(DISTINCT l_suppkey) AS n_supps,
-                   count(DISTINCT l_partkey) AS n_parts
-            FROM lineitem GROUP BY l_returnflag
         """,
         "daily_counts": """
             SELECT date_trunc('day', ts) AS day, event_type,
@@ -2293,6 +2302,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT out.doc_id, n_grams, dsir_score,
                    CAST(CASE WHEN rn <= 100 THEN 1 ELSE 0 END AS INT) AS selected
             FROM out JOIN rk USING (doc_id)
+        """,
+        # PSI drift: add-0.5 smoothing over a fixed 11-bin denominator
+        # (10 reference-grid bins + the NULL bin), edges from the ref half
+        "feature_drift": """
+            WITH base AS (
+              SELECT ts, value, CAST(hour(ts) AS DOUBLE) AS hour FROM events),
+            lng AS (
+              SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref'
+                          ELSE 'cur' END AS side,
+                     f.feature,
+                     CASE f.feature WHEN 'value' THEN value ELSE hour END AS v
+              FROM base, (SELECT unnest(['value', 'hour']) AS feature) f),
+            edges AS (
+              SELECT feature, min(v) AS mn, max(v) AS mx
+              FROM lng WHERE side = 'ref' GROUP BY feature),
+            b AS (
+              SELECT side, lng.feature,
+                     CASE WHEN v IS NULL THEN -1
+                          WHEN (mx - mn) / 10 <= 0 THEN 0
+                          ELSE least(9, greatest(0,
+                                 CAST(floor((v - mn) / ((mx - mn) / 10))
+                                      AS BIGINT)))
+                     END AS bin
+              FROM lng JOIN edges USING (feature)),
+            c AS (
+              SELECT feature, bin,
+                     sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS rc,
+                     sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS cc
+              FROM b GROUP BY feature, bin),
+            t AS (
+              SELECT feature, sum(rc) AS n_ref, sum(cc) AS n_cur
+              FROM c GROUP BY feature)
+            SELECT c.feature,
+                   round(sum(
+                     ((cc + 0.5) / (n_cur + 0.5 * 11)
+                      - (rc + 0.5) / (n_ref + 0.5 * 11))
+                     * ln(((cc + 0.5) / (n_cur + 0.5 * 11))
+                          / ((rc + 0.5) / (n_ref + 0.5 * 11)))), 6) AS psi,
+                   CAST(max(n_ref) AS BIGINT) AS n_ref,
+                   CAST(max(n_cur) AS BIGINT) AS n_cur
+            FROM c JOIN t USING (feature)
+            GROUP BY c.feature
         """,
         # Rows-only queries (no oracle_sql entry) and why — one line per
         # registry-tail entry, in tail order:

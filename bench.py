@@ -129,7 +129,6 @@ def main() -> None:
         "set_ops",
         "rollup_cube",
         "pivot",
-        "distinct_agg",
         "daily_counts",
         "dedup_exact",
         "corpus_clean",
@@ -144,6 +143,7 @@ def main() -> None:
         "dup_ngrams",
         "dedup_lines",
         "dsir_weights",
+        "feature_drift",
         "dedup_spans",
         "rolling_fingerprint",
         "simhash_dedup",

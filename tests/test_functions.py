@@ -392,6 +392,40 @@ def test_dedup_lines(spark):
     assert len(out) == 6
 
 
+def test_feature_drift_psi(spark):
+    import math
+
+    from graphrole_spark.functions.drift import feature_drift
+
+    ref = spark.createDataFrame(
+        [(0.0,)] * 5 + [(10.0,)] * 5, "value double"
+    )
+    cur_same = spark.createDataFrame(
+        [(0.0,)] * 5 + [(10.0,)] * 5, "value double"
+    )
+    cur_shift = spark.createDataFrame([(0.0,)] * 10, "value double")
+
+    same = feature_drift(ref, cur_same, ["value"]).toPandas()
+    assert same.loc[0, "psi"] == 0.0  # identical distributions
+    assert same.loc[0, "n_ref"] == 10 and same.loc[0, "n_cur"] == 10
+
+    out = feature_drift(ref, cur_shift, ["value"]).toPandas()
+    # hand-computed: bins 0 and 9 (10.0 clamps to the top bin),
+    # add-0.5 smoothing over the fixed 11-bin denominator
+    p0, q0 = 5.5 / 15.5, 10.5 / 15.5
+    p9, q9 = 5.5 / 15.5, 0.5 / 15.5
+    expected = (q0 - p0) * math.log(q0 / p0) + (q9 - p9) * math.log(q9 / p9)
+    assert out.loc[0, "psi"] == pytest.approx(expected, abs=1e-6)
+
+    # NULLs get their own bin and register as drift
+    cur_null = spark.createDataFrame(
+        [(None,)] * 5 + [(0.0,)] * 3 + [(10.0,)] * 2, "value double"
+    )
+    nd = feature_drift(ref, cur_null, ["value"]).toPandas()
+    assert nd.loc[0, "psi"] > 0.0
+    assert nd.loc[0, "n_cur"] == 10  # nulls counted
+
+
 def test_dsir_scores_and_select(spark):
     import math
 
