@@ -80,7 +80,11 @@ def dsir_scores(
 
     Returns ``(id_col, n_grams, dsir_score)``.
     """
-    raw_g = _gram_buckets(raw, text_col, n, buckets, id_col)
+    # the raw gram stream feeds BOTH the raw model fit and the scoring
+    # pass; persist the (id, long) rows once so the corpus is exploded
+    # and md5-hashed a single time (same fan-out rule as terms.py — the
+    # footprint is two longs per gram, far cheaper than a second scan)
+    raw_g = _gram_buckets(raw, text_col, n, buckets, id_col).persist()
     tgt_g = _gram_buckets(target, text_col, n, buckets, id_col)
     rc = raw_g.groupBy("bucket").agg(F.count("*").alias("rc"))
     tc = tgt_g.groupBy("bucket").agg(F.count("*").alias("tc"))
