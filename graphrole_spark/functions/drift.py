@@ -36,9 +36,12 @@ def _binned(long: DataFrame, edges: DataFrame, bins: int) -> DataFrame:
     (mn == mx) reference → everything in bin 0."""
     width = (F.col("mx") - F.col("mn")) / bins
     raw = F.floor((F.col("value") - F.col("mn")) / width)
+    # width.isNull() covers an all-NULL reference feature (mn/mx NULL):
+    # without it those rows would land in a NULL bin, which a full-outer
+    # join never co-groups — degenerate refs collapse to bin 0 instead
     bucket = (
         F.when(F.col("value").isNull(), F.lit(-1))
-        .when(width <= 0, F.lit(0))
+        .when(width.isNull() | (width <= 0), F.lit(0))
         .otherwise(F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)))
     )
     return long.join(F.broadcast(edges), "feature").select(

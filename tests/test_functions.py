@@ -425,6 +425,13 @@ def test_feature_drift_psi(spark):
     assert nd.loc[0, "psi"] > 0.0
     assert nd.loc[0, "n_cur"] == 10  # nulls counted
 
+    # all-NULL reference: degenerate width must not create NULL bins
+    # (a full-outer join never co-groups them) — finite psi, full counts
+    ref_allnull = spark.createDataFrame([(None,)] * 4, "value double")
+    an = feature_drift(ref_allnull, cur_null, ["value"]).toPandas()
+    assert math.isfinite(an.loc[0, "psi"])
+    assert an.loc[0, "n_ref"] == 4 and an.loc[0, "n_cur"] == 10
+
 
 def test_dsir_scores_and_select(spark):
     import math
