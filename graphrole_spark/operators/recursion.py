@@ -559,6 +559,7 @@ class RecursiveFeatureExtractor:
                     "retained_order": self._retained_order,
                     "aggs": self.aggs,
                     "directed": self.directed,
+                    "max_generations": self.max_generations,
                     "chain_keys": list(self.chain_keys) if self.chain_keys else None,
                     "chain_block_col": self.chain_block_col,
                     "chain_own_col": self.chain_own_col,
@@ -578,6 +579,14 @@ class RecursiveFeatureExtractor:
         """
         with open(os.path.join(checkpoint_dir, "_lineage.json")) as fh:
             manifest = json.load(fh)
+        # the manifest is self-describing: a bare resume(spark, dir)
+        # continues with the fitted run's own settings (built-in agg
+        # names round-trip; custom callables must be re-passed and will
+        # fail normalize_aggs loudly if forgotten)
+        kwargs.setdefault("aggs", manifest["aggs"])
+        kwargs.setdefault("directed", manifest.get("directed", False))
+        if manifest.get("max_generations") is not None:
+            kwargs.setdefault("max_generations", manifest["max_generations"])
         if manifest.get("chain_keys"):
             kwargs.setdefault("chain_keys", tuple(manifest["chain_keys"]))
             if manifest.get("chain_block_col"):

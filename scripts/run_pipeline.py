@@ -40,7 +40,9 @@ def main() -> None:
     p.add_argument("--synthesize", type=int, default=0, help="generate N synthetic conversations instead of reading --input")
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--generations", type=int, default=5)
+    p.add_argument("--generations", type=int, default=None,
+                   help="max recursion generations (fit default: 5; "
+                        "resume default: the fitted run's own setting)")
     p.add_argument("--cutoff", default=None, help="point-in-time ISO timestamp")
     p.add_argument("--block-size", type=int, default=None,
                    help="halo-blocked chain windows: bound window-task size "
@@ -68,6 +70,32 @@ def main() -> None:
 
     from graphrole_spark.pipeline import extract_transcript_features
     from graphrole_spark.sources.transcripts import load_transcripts, synthesize_transcripts
+
+    if args.resume:
+        # restart a killed run from its per-generation checkpoints: no
+        # input scan, no recompute of finished generations — the
+        # _lineage.json manifest carries aggs/depth/chain settings
+        if not args.checkpoint:
+            p.error("--resume requires --checkpoint")
+        from graphrole_spark.operators.recursion import RecursiveFeatureExtractor
+
+        with open(os.path.join(args.checkpoint, "_lineage.json")) as fh:
+            if not json.load(fh).get("chain_keys"):
+                p.error("--resume supports chain-mode checkpoints (the shape "
+                        "this CLI writes); edge-mode runs resume via "
+                        "RecursiveFeatureExtractor.resume(spark, dir, edges)")
+        extra = {"max_generations": args.generations} if args.generations else {}
+        t0 = time.time()
+        rfe = RecursiveFeatureExtractor.resume(spark, args.checkpoint, **extra)
+        feats = rfe.extract_features()
+        if "conv_id" in feats.columns:
+            feats = feats.drop("node")
+        feats.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        sec = time.time() - t0
+        print(json.dumps({"rows": n, "seconds": round(sec, 2),
+                          "rows_per_sec": round(n / sec, 1), "resumed": True}))
+        return
 
     if args.synthesize:
         transcripts = synthesize_transcripts(spark, args.synthesize, seed=42)
@@ -100,7 +128,7 @@ def main() -> None:
         feats, rfe = extract_transcript_features(
             transcripts,
             cutoff_ts=args.cutoff,
-            max_generations=args.generations,
+            max_generations=args.generations or 5,
             checkpoint_dir=args.checkpoint,
             chain_block_size=args.block_size,
             model=model,

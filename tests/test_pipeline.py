@@ -128,6 +128,84 @@ def test_checkpoint_resume_chain_blocked(spark, transcripts, tmp_path):
     )
 
 
+def test_resume_manifest_roundtrip_and_continuation(spark, transcripts, tmp_path):
+    """A bare ``resume(spark, dir)`` continues with the fitted run's OWN
+    settings (aggs/depth read from the manifest), and a killed run
+    restarts at the first incomplete generation: checkpoint a
+    2-generation run, mark it unfinished, resume to depth 4 — the result
+    must equal a straight 4-generation fit."""
+    import json as _json
+
+    seeds = chain_seed_features(transcripts, with_attributes=False)
+    ckpt = str(tmp_path / "ckpt_cont")
+    rfe2 = RecursiveFeatureExtractor(
+        seed_frame=seeds, chain_keys=("conv_id", "turn_idx"),
+        max_generations=2, aggs=("sum",), checkpoint_dir=ckpt,
+    )
+    expected2 = rfe2.extract_features().toPandas().set_index("node").sort_index()
+
+    bare = RecursiveFeatureExtractor.resume(spark, ckpt)
+    assert bare.aggs == ["sum"]
+    assert bare.max_generations == 2
+    got2 = bare.extract_features().toPandas().set_index("node").sort_index()
+    pd.testing.assert_frame_equal(
+        got2.sort_index(axis=1), expected2.sort_index(axis=1)
+    )
+
+    # simulate a kill after generation 1 of a deeper run: flip done
+    man_path = os.path.join(ckpt, "_lineage.json")
+    with open(man_path) as fh:
+        manifest = _json.load(fh)
+    manifest["done"] = False
+    with open(man_path, "w") as fh:
+        _json.dump(manifest, fh)
+    resumed = RecursiveFeatureExtractor.resume(spark, ckpt, max_generations=4)
+    straight = RecursiveFeatureExtractor(
+        seed_frame=seeds, chain_keys=("conv_id", "turn_idx"),
+        max_generations=4, aggs=("sum",),
+    )
+    keys = ["conv_id", "turn_idx"]
+    got = resumed.extract_features().toPandas().set_index(
+        "node").drop(columns=keys).sort_index()
+    want = straight.extract_features().toPandas().set_index(
+        "node").drop(columns=keys).sort_index()
+    assert resumed.retained_by_generation() == straight.retained_by_generation()
+    assert np.allclose(
+        got.sort_index(axis=1).values, want.sort_index(axis=1).values
+    )
+
+
+def test_run_pipeline_cli_fit_and_resume(spark, tmp_path, monkeypatch):
+    """The spark-submit entry point's --resume flag reproduces the fit
+    output from the checkpoint directory alone (no --input rescan)."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline_cli",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "run_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out1, out2 = str(tmp_path / "f1"), str(tmp_path / "f2")
+    ckpt = str(tmp_path / "ck")
+    monkeypatch.setattr(sys, "argv", [
+        "run_pipeline.py", "--synthesize", "25", "--output", out1,
+        "--checkpoint", ckpt, "--generations", "3",
+    ])
+    mod.main()
+    monkeypatch.setattr(sys, "argv", [
+        "run_pipeline.py", "--resume", "--checkpoint", ckpt, "--output", out2,
+    ])
+    mod.main()
+    a = spark.read.parquet(out1).toPandas().set_index(
+        ["conv_id", "turn_idx"]).sort_index()
+    b = spark.read.parquet(out2).toPandas().set_index(
+        ["conv_id", "turn_idx"]).sort_index()
+    pd.testing.assert_frame_equal(a.sort_index(axis=1), b.sort_index(axis=1))
+
+
 def test_chain_mode_matches_edges_mode(spark, transcripts):
     """The window-function recursion (chain mode) must produce exactly
     the same features as the generic join-based recursion on the same
