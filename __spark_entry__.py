@@ -942,6 +942,44 @@ def q_streaming_dedup(spark, sf_dir):
     return d1.unionByName(d2)
 
 
+def q_training_shards(spark, sf_dir):
+    """Training-shard sink round trip (sources/shards.py): write the
+    documents table as 8 deterministic manifest-backed shards
+    (md5-bucket assignment, one file per shard), read it back through
+    the manifest validator, and return the per-shard manifest stats —
+    fully determined by the doc_id set, so the row values are stable
+    across runs."""
+    import shutil
+    import tempfile
+
+    from graphrole_spark.functions.text import token_count
+    from graphrole_spark.sources.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count(F.coalesce("text", F.lit(""))).cast("long").alias(
+            "n_tokens"
+        )
+    )
+    out = tempfile.mkdtemp(prefix="graphrole_shards_")
+    try:
+        manifest = write_training_shards(
+            docs, out, n_shards=8, token_col="n_tokens"
+        )
+        read_training_shards(spark, out).count()  # manifest validation pass
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (int(s), v["rows"], v["tokens"], v["checksum"])
+            for s, v in sorted(manifest["shards"].items(), key=lambda kv: int(kv[0]))
+        ],
+        "shard int, rows long, tokens long, checksum long",
+    )
+
+
 def q_streaming_vector_ingest(spark, sf_dir):
     """Streaming embedding ingestion dedup: the embeddings table
     arrives in two micro-batches; each is cosine-near-dup checked
@@ -1265,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         # streaming_vector_ingest: same rationale, embedding side
         "streaming_vector_ingest": q_streaming_vector_ingest,
+        "training_shards": q_training_shards,
     }
 
 
@@ -2304,7 +2343,11 @@ def oracle_sql() -> dict[str, str]:
             FROM out JOIN rk USING (doc_id)
         """,
         # PSI drift: add-0.5 smoothing over a fixed 11-bin denominator
-        # (10 reference-grid bins + the NULL bin), edges from the ref half
+        # (10 reference-grid bins + the NULL bin), edges from the ref
+        # half. The sum runs over the FULL feature x bin grid — under
+        # fixed-denominator smoothing a bin empty on BOTH sides still
+        # contributes when n_ref != n_cur (as here: uneven halves), so
+        # observed-bins-only summation understates drift.
         "feature_drift": """
             WITH base AS (
               SELECT ts, value, CAST(hour(ts) AS DOUBLE) AS hour FROM events),
@@ -2320,17 +2363,28 @@ def oracle_sql() -> dict[str, str]:
             b AS (
               SELECT side, lng.feature,
                      CASE WHEN v IS NULL THEN -1
-                          WHEN (mx - mn) / 10 <= 0 THEN 0
+                          WHEN mn IS NULL THEN 0
+                          WHEN (mx - mn) / 10 <= 0 THEN
+                               (CASE WHEN v = mn THEN 0 ELSE 9 END)
                           ELSE least(9, greatest(0,
                                  CAST(floor((v - mn) / ((mx - mn) / 10))
                                       AS BIGINT)))
                      END AS bin
               FROM lng JOIN edges USING (feature)),
-            c AS (
+            obs AS (
               SELECT feature, bin,
                      sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS rc,
                      sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS cc
               FROM b GROUP BY feature, bin),
+            grid AS (
+              SELECT f.feature, CAST(g.bin AS BIGINT) AS bin
+              FROM (SELECT unnest(['value', 'hour']) AS feature) f,
+                   (SELECT unnest(range(-1, 10)) AS bin) g),
+            c AS (
+              SELECT grid.feature, grid.bin,
+                     coalesce(rc, 0) AS rc, coalesce(cc, 0) AS cc
+              FROM grid LEFT JOIN obs
+                ON grid.feature = obs.feature AND grid.bin = obs.bin),
             t AS (
               SELECT feature, sum(rc) AS n_ref, sum(cc) AS n_cur
               FROM c GROUP BY feature)
@@ -2361,7 +2415,11 @@ def oracle_sql() -> dict[str, str]:
         #   refex_pipeline — multi-generation loop with data-dependent
         #     pruning; its pieces ARE value-checked (log_binning,
         #     refex_gen1/gen2, refex_transform, chain_seeds) and the
-        #     RolX layer's contract via rolx_roles/rolx_multicutoff.
+        #     RolX layer's contract via rolx_roles/rolx_multicutoff;
+        #   training_shards — sink round trip (a write side effect, not
+        #     a query); shard assignment/checksums are md5-deterministic
+        #     and pytest-verified against a hashlib replica
+        #     (tests/test_shards.py).
     }
 
 

@@ -16,19 +16,28 @@ from pyspark.sql import functions as F
 from graphrole_spark.functions.text import token_count
 
 
+def _md5_long(col):
+    """First 8 hex chars of ``md5(col)`` as a long — the engine's ONE
+    portable hash primitive (md5 exists in every engine, so DuckDB
+    oracles reproduce it bit-for-bit). Every deterministic
+    ranking/bucketing expression derives from this single definition:
+    :func:`_md5_uniform`, :func:`pack_documents`'s shard,
+    ``importance._gram_buckets``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _md5_bucket(col, n: int):
+    """``_md5_long(col) mod n`` — the portable bucket assignment."""
+    return F.pmod(_md5_long(col), F.lit(n))
+
+
 def _md5_uniform(id_col, salt: str):
-    """Portable uniform u ∈ [0,1) from md5(id || salt) — the ONE
-    definition of the engine's deterministic ranking hash, shared by
-    :func:`split_assign` and :func:`mix_corpus` (md5 exists in every
-    engine, so DuckDB oracles reproduce exact assignments)."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(16 ** 8))
-    )
+    """Portable uniform u ∈ [0,1) from md5(id || salt) — the
+    deterministic ranking hash shared by :func:`split_assign` and
+    :func:`mix_corpus`."""
+    return _md5_long(
+        F.concat(id_col.cast("string"), F.lit(salt))
+    ).cast("double") / F.lit(float(16 ** 8))
 
 
 def pack_documents(
@@ -72,11 +81,7 @@ def pack_documents(
     n_tok = token_count(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
     # md5-derived shard (not F.hash): portable, so the DuckDB oracle
     # reproduces the exact shard assignment
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"),
-        F.lit(shards),
-    )
+    shard = _md5_bucket(F.col("doc_id").cast("string"), shards)
     sharded = documents.select(
         "doc_id", shard.alias("shard"), n_tok.alias("n_tokens")
     )

@@ -35,7 +35,7 @@ def _gram_buckets(
     """Exploded ``(id, bucket)`` hashed word-n-gram rows.
 
     The bucket hash is the repo's ONE portable hash idiom (md5 hex
-    prefix — see ``corpus._md5_uniform``) so the DuckDB oracle can
+    prefix — ``corpus._md5_bucket``) so the DuckDB oracle can
     reproduce it bit-for-bit; gram text is projected down to the long
     bucket id immediately after the generator, so nothing wider than
     (id, long) ever shuffles."""
@@ -48,13 +48,12 @@ def _gram_buckets(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from .corpus import _md5_bucket
+
     g = documents.select(id_col, F.explode(grams).alias("__gram"))
     return g.select(
         id_col,
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col("__gram")), 1, 8), 16, 10).cast("long"),
-            F.lit(buckets),
-        ).alias("bucket"),
+        _md5_bucket(F.col("__gram"), buckets).alias("bucket"),
     )
 
 

@@ -575,7 +575,10 @@ class RecursiveFeatureExtractor:
 
         Reads ``_lineage.json`` + per-generation parquet, so a killed run
         restarts at the first incomplete generation instead of recomputing
-        from the scan (north_rule resumability).
+        from the scan (north_rule resumability). A FINISHED run resumed
+        with ``max_generations`` larger than the fitted depth is extended
+        deeper from its last checkpoint (same recursion state); with an
+        equal or smaller depth it reproduces the checkpointed output.
         """
         with open(os.path.join(checkpoint_dir, "_lineage.json")) as fh:
             manifest = json.load(fh)
@@ -614,7 +617,13 @@ class RecursiveFeatureExtractor:
         inst._state = spark.read.parquet(
             os.path.join(checkpoint_dir, f"gen={last}", "state")
         )
-        if not manifest.get("done") and manifest["generation_dict"].get(str(last)):
+        # extension applies only to manifests that RECORD their fitted
+        # depth (older ones keep the original done == stop semantics)
+        stored_max = manifest.get("max_generations")
+        extend = stored_max is not None and inst.max_generations > stored_max
+        if manifest["generation_dict"].get(str(last)) and (
+            not manifest.get("done") or extend
+        ):
             for gen in range(last + 1, inst.max_generations):
                 inst.generation_count = gen
                 if not inst._update(inst._next_features(), gen):

@@ -383,7 +383,7 @@ def extract_transcript_features(
             # max_generations-1 keeps results identical (see
             # with_chain_blocks)
             seeds = with_chain_blocks(
-                seeds, chain_block_size, halo=max_generations - 1
+                seeds, chain_block_size, halo=max(0, max_generations - 1)
             )
             blocked = {"chain_block_col": "__blk", "chain_own_col": "__own"}
         rfe = RecursiveFeatureExtractor(

@@ -32,7 +32,11 @@ from typing import Dict, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["compact_partitioned_dir", "compact_store"]
+__all__ = [
+    "compact_partitioned_dir",
+    "compact_store",
+    "recover_interrupted_compaction",
+]
 
 # the bucket-partitioned subdirectories each store kind appends to;
 # "decisions" is deliberately absent — it is partitioned by batch_id
@@ -62,10 +66,26 @@ def _n_files(path: str) -> int:
     return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
 
 
+def recover_interrupted_compaction(path: str) -> bool:
+    """Close the crash window between compaction's two renames: if the
+    live directory is missing but ``<path>.__old__`` exists, the crash
+    happened mid-swap and the old data — complete by construction, it
+    is only renamed away AFTER the rewrite verified — is restored.
+    Returns True when a restore happened. The store readers call this
+    on a missing path so an interrupted compaction can never silently
+    downgrade a probe to an empty store."""
+    old = path + ".__old__"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def compact_partitioned_dir(spark: SparkSession, path: str) -> Dict[str, int]:
     """Rewrite one hive-partitioned parquet directory to one file per
     partition. Returns ``{"files_before", "files_after", "rows"}``;
     a missing/empty directory is a no-op with zeroed stats."""
+    recover_interrupted_compaction(path)
     if not os.path.isdir(path) or _n_files(path) == 0:
         return {"files_before": 0, "files_after": 0, "rows": 0}
     pcols = _partition_cols(path)

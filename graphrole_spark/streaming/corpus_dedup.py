@@ -76,9 +76,16 @@ def _dir(store_dir: str, name: str) -> str:
 def _read_store(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read a store directory; empty frame ONLY for a missing path —
     any other read failure (corrupt footer, transient FS error) must
-    propagate, or dedup silently degrades to admit-everything."""
+    propagate, or dedup silently degrades to admit-everything. A path
+    missing because a compaction crashed mid-swap is restored first
+    (the same admit-everything hazard)."""
     if not os.path.isdir(path):
-        return spark.createDataFrame([], schema)
+        from graphrole_spark.streaming.compaction import (
+            recover_interrupted_compaction,
+        )
+
+        if not recover_interrupted_compaction(path):
+            return spark.createDataFrame([], schema)
     try:
         return spark.read.parquet(path)
     except AnalysisException as exc:

@@ -48,8 +48,16 @@ def _dir(store_dir: str, name: str) -> str:
 
 
 def _read_store(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    # empty frame ONLY for a genuinely missing path; a path missing
+    # because a compaction crashed mid-swap is restored first (else the
+    # next batch silently probes an empty store and admits everything)
     if not os.path.isdir(path):
-        return spark.createDataFrame([], schema)
+        from graphrole_spark.streaming.compaction import (
+            recover_interrupted_compaction,
+        )
+
+        if not recover_interrupted_compaction(path):
+            return spark.createDataFrame([], schema)
     try:
         return spark.read.parquet(path)
     except AnalysisException as exc:

@@ -71,10 +71,26 @@ def main() -> None:
     from graphrole_spark.pipeline import extract_transcript_features
     from graphrole_spark.sources.transcripts import load_transcripts, synthesize_transcripts
 
+    def write_and_report(feats, rfe, t0, **extra_stats) -> None:
+        """Shared epilogue for every mode: write features, optionally
+        save the fitted model, print one JSON stats line."""
+        feats.write.mode("overwrite").parquet(args.output)
+        if args.save_model:
+            if rfe is None:
+                p.error("--save-model needs a run that fits or resumes a "
+                        "model (not --update-delta, which replays one)")
+            rfe.fitted_model().save(args.save_model)
+        n = spark.read.parquet(args.output).count()
+        sec = time.time() - t0
+        print(json.dumps({"rows": n, "seconds": round(sec, 2),
+                          "rows_per_sec": round(n / sec, 1), **extra_stats}))
+
     if args.resume:
         # restart a killed run from its per-generation checkpoints: no
         # input scan, no recompute of finished generations — the
-        # _lineage.json manifest carries aggs/depth/chain settings
+        # _lineage.json manifest carries aggs/depth/chain settings.
+        # --generations HIGHER than the fitted depth extends a finished
+        # run deeper; equal-or-lower reproduces the checkpointed output
         if not args.checkpoint:
             p.error("--resume requires --checkpoint")
         from graphrole_spark.operators.recursion import RecursiveFeatureExtractor
@@ -84,17 +100,16 @@ def main() -> None:
                 p.error("--resume supports chain-mode checkpoints (the shape "
                         "this CLI writes); edge-mode runs resume via "
                         "RecursiveFeatureExtractor.resume(spark, dir, edges)")
-        extra = {"max_generations": args.generations} if args.generations else {}
+        extra = (
+            {"max_generations": args.generations}
+            if args.generations is not None else {}
+        )
         t0 = time.time()
         rfe = RecursiveFeatureExtractor.resume(spark, args.checkpoint, **extra)
         feats = rfe.extract_features()
         if "conv_id" in feats.columns:
             feats = feats.drop("node")
-        feats.write.mode("overwrite").parquet(args.output)
-        n = spark.read.parquet(args.output).count()
-        sec = time.time() - t0
-        print(json.dumps({"rows": n, "seconds": round(sec, 2),
-                          "rows_per_sec": round(n / sec, 1), "resumed": True}))
+        write_and_report(feats, rfe, t0, resumed=True)
         return
 
     if args.synthesize:
@@ -128,18 +143,13 @@ def main() -> None:
         feats, rfe = extract_transcript_features(
             transcripts,
             cutoff_ts=args.cutoff,
-            max_generations=args.generations or 5,
+            max_generations=5 if args.generations is None else args.generations,
             checkpoint_dir=args.checkpoint,
             chain_block_size=args.block_size,
             model=model,
             return_extractor=True,
         )
-    feats.write.mode("overwrite").parquet(args.output)
-    if args.save_model and rfe is not None:
-        rfe.fitted_model().save(args.save_model)
-    n = spark.read.parquet(args.output).count()
-    sec = time.time() - t0
-    print(json.dumps({"rows": n, "seconds": round(sec, 2), "rows_per_sec": round(n / sec, 1)}))
+    write_and_report(feats, rfe, t0)
 
 
 if __name__ == "__main__":

@@ -119,6 +119,24 @@ def test_compact_dedup_store_preserves_rows_and_decisions(spark, tmp_path):
     assert set(got["status"]) == {"near_dup", "new"}
 
 
+def test_interrupted_compaction_recovers_on_probe(spark, tmp_path):
+    """Crash window between compaction's two renames: the live store dir
+    is missing, data sits at <path>.__old__. The next probe must restore
+    it and still catch duplicates — never silently probe an empty store."""
+    store = str(tmp_path / "store")
+    _build(spark, store)
+    content = os.path.join(store, "content")
+    os.rename(content, content + ".__old__")
+
+    probe = spark.createDataFrame(
+        [(8001, _DOCS[0][0][1])], "doc_id long, text string"
+    )  # exact text of doc 1 under a fresh id
+    dec = apply_dedup_delta(spark, probe, store, n_buckets=8, batch_id=9).toPandas()
+    assert dec.loc[0, "status"] == "exact_dup"
+    assert os.path.isdir(content)
+    assert not os.path.isdir(content + ".__old__")
+
+
 def test_compact_then_replay_is_idempotent(spark, tmp_path):
     store = str(tmp_path / "store")
     _build(spark, store)

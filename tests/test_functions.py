@@ -432,6 +432,86 @@ def test_feature_drift_psi(spark):
     assert math.isfinite(an.loc[0, "psi"])
     assert an.loc[0, "n_ref"] == 4 and an.loc[0, "n_cur"] == 10
 
+    # UNEVEN window sizes: under fixed-denominator smoothing the bins
+    # empty on BOTH sides contribute (q-p)ln(q/p) != 0 when
+    # n_ref != n_cur — the PSI must sum the full 11-bin grid, checked
+    # against an independent loop oracle over the grid
+    cur_small = spark.createDataFrame([(0.0,)] * 3, "value double")
+    us = feature_drift(ref, cur_small, ["value"]).toPandas()
+    rc = {0: 5, 9: 5}
+    cc = {0: 3}
+    expected_full = sum(
+        (
+            ((cc.get(b, 0) + 0.5) / (3 + 0.5 * 11))
+            - ((rc.get(b, 0) + 0.5) / (10 + 0.5 * 11))
+        )
+        * math.log(
+            ((cc.get(b, 0) + 0.5) / (3 + 0.5 * 11))
+            / ((rc.get(b, 0) + 0.5) / (10 + 0.5 * 11))
+        )
+        for b in range(-1, 10)
+    )
+    assert us.loc[0, "psi"] == pytest.approx(expected_full, abs=1e-6)
+
+    # constant reference feature: a total shift must still register
+    # (value==mn -> bin 0, anything else -> the top bin)
+    ref_const = spark.createDataFrame([(5.0,)] * 4, "value double")
+    cur_moved = spark.createDataFrame([(900.0,)] * 4, "value double")
+    cm = feature_drift(ref_const, cur_moved, ["value"]).toPandas()
+    assert cm.loc[0, "psi"] > 1.0
+    same_const = feature_drift(ref_const, ref_const, ["value"]).toPandas()
+    assert same_const.loc[0, "psi"] == 0.0
+
+    # empty serving snapshot: one row per feature ALWAYS, n_cur=0 and a
+    # loud PSI — never a silently missing feature
+    cur_empty = spark.createDataFrame([], "value double")
+    em = feature_drift(ref, cur_empty, ["value"]).toPandas()
+    assert len(em) == 1 and em.loc[0, "n_cur"] == 0
+    assert math.isfinite(em.loc[0, "psi"]) and em.loc[0, "psi"] > 0.0
+
+
+def test_feature_drift_quantile_grid(spark):
+    """grid='quantile': identity PSI is 0, a shift registers, and — the
+    reason the option exists — one extreme reference outlier does not
+    blind the monitor the way it collapses an equal-width grid."""
+    from graphrole_spark.functions.drift import feature_drift
+
+    base = [(float(i),) for i in range(100)]
+    ref = spark.createDataFrame(base, "value double")
+    same = feature_drift(ref, ref, ["value"], grid="quantile").toPandas()
+    assert same.loc[0, "psi"] == 0.0
+
+    shifted = spark.createDataFrame(
+        [(float(i) + 60,) for i in range(100)], "value double"
+    )
+    sh = feature_drift(ref, shifted, ["value"], grid="quantile").toPandas()
+    assert sh.loc[0, "psi"] > 0.25  # well past the alert threshold
+
+    # outlier robustness: ref has one huge outlier, cur's bulk shifted
+    # 0..99 -> 200..299 — the width grid lumps both bulks into bin 0 of
+    # [0, 1e9] and reports near-zero; the quantile grid must alert
+    ref_out = spark.createDataFrame(base + [(1e9,)], "value double")
+    cur_shift = spark.createDataFrame(
+        [(float(i) + 200,) for i in range(100)], "value double"
+    )
+    pw = feature_drift(ref_out, cur_shift, ["value"], grid="width").toPandas()
+    pq = feature_drift(ref_out, cur_shift, ["value"], grid="quantile").toPandas()
+    assert pw.loc[0, "psi"] < 0.1      # width grid is blind here
+    assert pq.loc[0, "psi"] > 0.25     # quantile grid alerts
+    assert pq.loc[0, "psi"] > 10 * pw.loc[0, "psi"]
+
+    # super-degenerate reference (all boundaries equal): total shift
+    # still visible, identity still 0
+    ref_const = spark.createDataFrame([(5.0,)] * 50, "value double")
+    cur_moved = spark.createDataFrame([(7.0,)] * 50, "value double")
+    cq = feature_drift(ref_const, cur_moved, ["value"], grid="quantile").toPandas()
+    assert cq.loc[0, "psi"] > 1.0
+    iq = feature_drift(ref_const, ref_const, ["value"], grid="quantile").toPandas()
+    assert iq.loc[0, "psi"] == 0.0
+
+    with pytest.raises(ValueError, match="grid must be"):
+        feature_drift(ref, ref, ["value"], grid="nope")
+
 
 def test_dsir_scores_and_select(spark):
     import math

@@ -174,6 +174,23 @@ def test_resume_manifest_roundtrip_and_continuation(spark, transcripts, tmp_path
         got.sort_index(axis=1).values, want.sort_index(axis=1).values
     )
 
+    # extension of a FINISHED run: the previous resume rewrote the
+    # manifest as done at depth 4; asking for depth 6 must continue
+    # from the last checkpoint and match a straight 6-generation fit
+    extended = RecursiveFeatureExtractor.resume(spark, ckpt, max_generations=6)
+    straight6 = RecursiveFeatureExtractor(
+        seed_frame=seeds, chain_keys=("conv_id", "turn_idx"),
+        max_generations=6, aggs=("sum",),
+    )
+    got6 = extended.extract_features().toPandas().set_index(
+        "node").drop(columns=keys).sort_index()
+    want6 = straight6.extract_features().toPandas().set_index(
+        "node").drop(columns=keys).sort_index()
+    assert extended.retained_by_generation() == straight6.retained_by_generation()
+    assert np.allclose(
+        got6.sort_index(axis=1).values, want6.sort_index(axis=1).values
+    )
+
 
 def test_run_pipeline_cli_fit_and_resume(spark, tmp_path, monkeypatch):
     """The spark-submit entry point's --resume flag reproduces the fit
