@@ -158,6 +158,7 @@ def main() -> None:
         "mix_corpus",
         "decontaminate",
         "corpus_pipeline",
+        "training_shards",
     ]
     queries = entrymod.queries()
     for name in suite:
