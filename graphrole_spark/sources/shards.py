@@ -72,6 +72,12 @@ def write_training_shards(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if "shard" in df.columns:
+        raise ValueError(
+            "input already has a 'shard' column (pack_documents emits one "
+            "for its token-packing shards); rename it first — the sink "
+            "reserves 'shard' for its partition column"
+        )
     key = F.col(key_col).cast("string")
     out = df.withColumn("shard", _md5_bucket(key, n_shards).cast("int"))
     per_shard_aggs = [

@@ -81,6 +81,45 @@ def test_unknown_shard_and_bad_args(spark, docs, tmp_path):
         write_training_shards(docs, str(tmp_path / "x"), n_shards=0)
 
 
+def test_assemble_then_shard_integration(spark, tmp_path):
+    """The production path's terminal stage: assemble_corpus's packed
+    sequences flow into the manifest-backed sink with token accounting
+    intact and a byte-identical read-back."""
+    from graphrole_spark.functions.corpus import assemble_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    srcs = [r[0] for r in docs.select("source").distinct().collect()]
+    asm_raw = assemble_corpus(
+        docs, {s: 1.0 for s in srcs}, total_tokens=2000, max_seq_tokens=128
+    ).persist()
+    # the sink reserves 'shard' and must refuse pack_documents' own
+    # shard column instead of silently clobbering it
+    with pytest.raises(ValueError, match="reserves 'shard'"):
+        write_training_shards(asm_raw, str(tmp_path / "clash"), n_shards=4)
+    asm = asm_raw.withColumnRenamed("shard", "pack_shard")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        asm, path, n_shards=4, token_col="n_tokens"
+    )
+    assert manifest["total_rows"] == asm.count()
+    assert sum(s["tokens"] for s in manifest["shards"].values()) == (
+        asm.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    back = (
+        read_training_shards(spark, path)
+        .drop("shard")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = asm.toPandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        back[sorted(back.columns)], want[sorted(want.columns)]
+    )
+
+
 def test_manifest_matches_md5_rule(spark, docs, tmp_path):
     """Shard membership is reproducible from the manifest parameters
     alone: md5(key)[:8] as int mod n_shards — the documented contract a
