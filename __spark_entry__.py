@@ -557,12 +557,15 @@ def q_egonet(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_groupby_agg(spark, sf_dir):
-    """Plain + DISTINCT aggregates in one groupBy (distinct_agg merged
-    into this slot, window cap): the two countDistinct columns force
-    Spark's expand-based multi-distinct plan alongside the ordinary
-    partial aggregates — both capabilities value-checked in one entry."""
+    """Plain + DISTINCT aggregates AND a broadcast-join aggregate in one
+    tagged slot (distinct_agg merged in round 2, join_agg in round 3 —
+    window cap): the two countDistinct columns force Spark's
+    expand-based multi-distinct plan alongside the ordinary partial
+    aggregates, and the second leg value-checks the broadcast
+    orders×customer join (plan pinned by
+    test_join_agg_broadcasts_dimension)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
+    ga = (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -574,20 +577,23 @@ def q_groupby_agg(spark, sf_dir):
             F.countDistinct("l_suppkey").alias("n_supps"),
             F.countDistinct("l_partkey").alias("n_parts"),
         )
+        .withColumnRenamed("l_returnflag", "key1")
+        .withColumnRenamed("l_linestatus", "key2")
+        .withColumn("tag", F.lit("lineitem_flagstatus"))
     )
-
-
-def q_join_agg(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    return (
+    ja = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.count("*").alias("n_orders"),
+            F.count("*").alias("n_rows"),
             F.round(F.sum("o_totalprice"), 6).alias("total_price"),
         )
+        .withColumnRenamed("c_mktsegment", "key1")
+        .withColumn("tag", F.lit("orders_by_segment"))
     )
+    return ga.unionByName(ja, allowMissingColumns=True)
 
 
 # --------------------------------------------------------------------------
@@ -619,9 +625,9 @@ def q_set_ops(spark, sf_dir):
 
 
 def q_rollup_cube(spark, sf_dir):
-    """ROLLUP and CUBE grouping-set aggregation in one tagged entry
-    (merged to keep both inside the driver's oracle-check window; each
-    leg is its own expand+aggregate plan)."""
+    """ROLLUP, CUBE and PIVOT grouping-set aggregation in one tagged
+    entry (rollup+cube merged in round 2, pivot in round 3 — window
+    cap): each leg is its own expand/pivot+aggregate plan."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     aggs = [
         F.count("*").alias("n_rows"),
@@ -638,17 +644,14 @@ def q_rollup_cube(spark, sf_dir):
         .agg(*aggs)
         .withColumn("tag", F.lit("cube"))
     )
-    return ru.unionByName(cu)
-
-
-def q_pivot(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
+    pv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.round(F.sum("l_quantity"), 6))
         .withColumnsRenamed({"O": "qty_o", "F": "qty_f"})
+        .withColumn("tag", F.lit("pivot"))
     )
+    return ru.unionByName(cu).unionByName(pv, allowMissingColumns=True)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1245,10 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolx_multicutoff": q_rolx_multicutoff,
         # -- relational coverage ---------------------------------------
         "groupby_agg": q_groupby_agg,
-        "join_agg": q_join_agg,
         "set_ops": q_set_ops,
         "rollup_cube": q_rollup_cube,
-        "pivot": q_pivot,
         "daily_counts": q_daily_counts,
         "percentiles": q_percentiles,
         # -- training-data pipeline: text / dedup / similarity ---------
@@ -1274,6 +1275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "dsir_weights": q_dsir_weights,
         "feature_drift": q_feature_drift,
+        "mix_corpus": q_mix_corpus,
+        "decontaminate": q_decontaminate,
         # ---- rows-only tail (no SQL equivalent; rationale inline in
         # ---- oracle_sql()'s trailing comment) ------------------------
         "streaming_state": q_streaming_state,
@@ -1286,13 +1289,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "refex_pipeline": q_refex_pipeline,
-        # mix_corpus IS SQL-expressible (portable md5 + windows) but sits
-        # past the driver's 50-entry adjudication window; exact keep-set
-        # parity is pytest-pinned instead (test_corpus.py::test_mix_*)
-        "mix_corpus": q_mix_corpus,
-        # decontaminate shares mix_corpus's rationale (xxhash64 shingle
-        # membership; pytest parity in test_contamination_flags)
-        "decontaminate": q_decontaminate,
         # corpus_pipeline composes four already-adjudicated operators
         # (clean -> dedup clusters -> mix -> strict pack); end-to-end
         # invariants pytest-pinned in test_assemble_corpus_end_to_end
@@ -1725,19 +1721,20 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN external x ON n.node = x.center
         """,
         "groupby_agg": """
-            SELECT l_returnflag, l_linestatus,
+            SELECT l_returnflag AS key1, l_linestatus AS key2,
                    round(sum(l_quantity), 6) AS sum_qty,
                    round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
                    count(*) AS n_rows,
                    count(DISTINCT l_suppkey) AS n_supps,
-                   count(DISTINCT l_partkey) AS n_parts
+                   count(DISTINCT l_partkey) AS n_parts,
+                   'lineitem_flagstatus' AS tag,
+                   CAST(NULL AS DOUBLE) AS total_price
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
-        """,
-        "join_agg": """
-            SELECT c_mktsegment, count(*) AS n_orders,
-                   round(sum(o_totalprice), 6) AS total_price
+            UNION ALL
+            SELECT c_mktsegment, NULL, NULL, NULL, count(*), NULL, NULL,
+                   'orders_by_segment', round(sum(o_totalprice), 6)
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -1755,19 +1752,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                    round(sum(l_quantity), 6) AS sum_qty,
                    round(avg(l_discount), 6) AS avg_disc,
-                   'rollup' AS tag
+                   'rollup' AS tag,
+                   CAST(NULL AS DOUBLE) AS qty_o, CAST(NULL AS DOUBLE) AS qty_f
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
             UNION ALL
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                    round(sum(l_quantity), 6) AS sum_qty,
                    round(avg(l_discount), 6) AS avg_disc,
-                   'cube' AS tag
+                   'cube' AS tag, NULL, NULL
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        """,
-        "pivot": """
-            SELECT l_returnflag,
-                   round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 6) AS qty_o,
-                   round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 6) AS qty_f
+            UNION ALL
+            SELECT l_returnflag, NULL, NULL, NULL, NULL, 'pivot',
+                   round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 6),
+                   round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 6)
             FROM lineitem GROUP BY l_returnflag
         """,
         # dedup_clusters: same exact all-pairs Jaccard oracle as
@@ -2398,6 +2395,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_cur) AS BIGINT) AS n_cur
             FROM c JOIN t USING (feature)
             GROUP BY c.feature
+        """,
+        # mix_corpus: portable-md5 ranking (same formula as split_sample)
+        # + per-source token-budget cumsum; budgets are the registry
+        # call's weights {src0:.5, src1:.3, src2:.2} × 2000 tokens. The
+        # boundary-crossing doc is kept (prev-cumsum rule), mirroring
+        # functions/corpus.py::mix_corpus.
+        "mix_corpus": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     CAST(CASE WHEN length(regexp_replace(trim(coalesce(text, '')), ' +', ' ', 'g')) = 0 THEN 0
+                          ELSE length(regexp_replace(trim(coalesce(text, '')), ' +', ' ', 'g'))
+                             - length(replace(regexp_replace(trim(coalesce(text, '')), ' +', ' ', 'g'), ' ', ''))
+                             + 1 END AS BIGINT) AS n_tokens,
+                     CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'mix1')), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u,
+                     CASE source WHEN 'src0' THEN 1000.0
+                                 WHEN 'src1' THEN 600.0
+                                 WHEN 'src2' THEN 400.0
+                                 ELSE 0.0 END AS budget
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tokens, budget,
+                     CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       - n_tokens AS prev
+              FROM d)
+            SELECT doc_id, source, n_tokens,
+                   CAST(CASE WHEN prev < budget AND budget > 0 THEN 1 ELSE 0 END
+                        AS INT) AS keep
+            FROM c
+        """,
+        # decontaminate: 13-gram overlap vs the 25 largest-id docs. The
+        # engine probes xxhash64 shingle hashes; the oracle joins the
+        # shingle STRINGS — identical membership barring a 64-bit
+        # collision (same equivalence the green minhash_dedup /
+        # dup_ngrams oracles rely on). Short docs (<13 tokens) hash as
+        # one whole-doc shingle on both sides.
+        "decontaminate": """
+            WITH t AS (SELECT doc_id,
+                              string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ')
+                                AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 13, 0) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 12), ' '))) AS sh
+                  FROM t WHERE len(toks) > 0),
+            mx AS (SELECT max(doc_id) AS m FROM documents),
+            bs AS (SELECT DISTINCT gram
+                   FROM s, mx, unnest(sh) AS u(gram)
+                   WHERE doc_id > m - 25),
+            hits AS (
+              SELECT s.doc_id, count(*) AS n_hits
+              FROM s, unnest(sh) AS u(gram)
+              WHERE gram IN (SELECT gram FROM bs)
+              GROUP BY s.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+                        AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         # Rows-only queries (no oracle_sql entry) and why — one line per
         # registry-tail entry, in tail order:

@@ -125,10 +125,8 @@ def main() -> None:
         "pit_training_set",
         "log_binning",
         "groupby_agg",
-        "join_agg",
         "set_ops",
         "rollup_cube",
-        "pivot",
         "daily_counts",
         "dedup_exact",
         "corpus_clean",

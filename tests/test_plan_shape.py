@@ -87,7 +87,7 @@ def test_join_agg_broadcasts_dimension(spark):
     """Small dimension side must broadcast (no shuffle of the fact)."""
     import __spark_entry__ as e
 
-    plan = _plan(e.queries()["join_agg"](spark, "/root/testdata/sf0.001"))
+    plan = _plan(e.queries()["groupby_agg"](spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan, plan[:4000]
 
 
