@@ -115,10 +115,12 @@ def q_dsir_weights(spark, sf_dir):
 
 
 def q_lag_lead_rank(spark, sf_dir):
-    """lag/lead features + dense_rank/ntile/row_number/top-k-flag merged
-    into one registry slot (window cap): both families partition by
-    user_id, so the plan is ONE exchange with two in-partition sorts
-    (ts asc for lag/lead, value desc for the ranks)."""
+    """lag/lead features + dense_rank/ntile/row_number/top-k-flag +
+    time-range rolling sum merged into one registry slot (window cap;
+    range_window absorbed in round 3): all three families partition by
+    user_id, so the plan is ONE exchange with three in-partition sorts
+    (ts asc for lag/lead, value desc for the ranks, epoch asc for the
+    10-minute RANGE frame)."""
     from graphrole_spark.temporal.ops import lag_lead_features
 
     out = lag_lead_features(
@@ -126,6 +128,11 @@ def q_lag_lead_rank(spark, sf_dir):
         lags=[1, 2], leads=[1],
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("double"))
+        .rangeBetween(-600, 0)
+    )
     rk = F.row_number().over(w)
     return out.select(
         "event_id",
@@ -136,6 +143,7 @@ def q_lag_lead_rank(spark, sf_dir):
         F.ntile(4).over(w).alias("quartile"),
         rk.alias("rk"),
         (rk <= 3).cast("int").alias("in_top3"),
+        F.round(F.sum("value").over(wr), 6).alias("value_10min"),
     )
 
 
@@ -213,36 +221,86 @@ def q_asof_directions(spark, sf_dir):
     return bwd.join(fwd, "event_id").join(near, "event_id").join(tol, "event_id")
 
 
-def q_range_window(spark, sf_dir):
-    events = _events(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp").cast("double"))
-        .rangeBetween(-600, 0)
-    )
-    return events.select(
-        "event_id", F.round(F.sum("value").over(w), 6).alias("value_10min")
-    )
-
-
-def q_hopping_window(spark, sf_dir):
-    """Hopping (sliding) time-window aggregation: 1-hour windows every
-    30 minutes — Spark's F.window (epoch-aligned), per window × type."""
+def q_time_rollups(spark, sf_dir):
+    """daily_counts + hopping_window + percentiles merged into one
+    tagged time-rollup slot (round 3 — window cap): per-day counts,
+    1h/30min hopping-window aggregates (Spark's epoch-aligned
+    F.window), and per-type exact quantiles — three groupBy legs over
+    the same events scan, unioned by tag. Epoch seconds instead of
+    tz-typed timestamps so the value hash is engine-stable."""
     ev = _events(spark, sf_dir)
-    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes")
-    return (
-        ev.groupBy(w.alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("win_value"))
+    nul_d = F.lit(None).cast("double")
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("win_value"))
         .select(
-            # epoch seconds, not a timestamp: tz-typed columns don't
-            # hash stably across engines
-            F.col("w.start").cast("timestamp").cast("double").cast("long")
+            F.col("d").cast("timestamp").cast("double").cast("long")
             .alias("win_start"),
-            "event_type",
-            "n_events",
-            "win_value",
+            "event_type", "n_events", "win_value",
+            nul_d.alias("p50"), nul_d.alias("p90"),
+            F.lit("daily").alias("tag"),
         )
     )
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes")
+    hop = (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("win_value"))
+        .select(
+            F.col("w.start").cast("timestamp").cast("double").cast("long")
+            .alias("win_start"),
+            "event_type", "n_events", "win_value",
+            nul_d.alias("p50"), nul_d.alias("p90"),
+            F.lit("hop_1h_30m").alias("tag"),
+        )
+    )
+    qt = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+        .select(
+            F.lit(None).cast("long").alias("win_start"),
+            "event_type", "n_events", nul_d.alias("win_value"),
+            "p50", "p90", F.lit("quantiles").alias("tag"),
+        )
+    )
+    return daily.unionByName(hop).unionByName(qt)
+
+
+def q_sft_examples(spark, sf_dir):
+    """Supervised-fine-tuning example assembly over the transcript view:
+    one example per 'purchase'-role turn, context = the preceding turns
+    a 16-token budget admits (constant-bound RANGE frame over the
+    per-conversation token cumsum — straddle semantics documented in
+    functions/conversations.py)."""
+    from graphrole_spark.functions.conversations import assemble_sft_examples
+
+    return assemble_sft_examples(
+        _events_as_transcripts(spark, sf_dir),
+        target_roles=("purchase",),
+        max_tokens=16,
+    )
+
+
+def q_turn_integrity(spark, sf_dir):
+    """Per-conversation transcript structural audit (index gaps, ts
+    inversions, role repeats, empty texts) — the ingest gate for the
+    'stable (conv_id, turn_idx) ordering' invariant."""
+    from graphrole_spark.functions.conversations import transcript_integrity
+
+    return transcript_integrity(_events_as_transcripts(spark, sf_dir))
+
+
+def q_conv_dedup(spark, sf_dir):
+    """Conversation-level exact dedup: md5 fingerprint of the ordered
+    (role, text) turn sequence, group sizes, min-conv_id keep flag."""
+    from graphrole_spark.functions.conversations import conversation_duplicates
+
+    return conversation_duplicates(_events_as_transcripts(spark, sf_dir))
 
 
 def q_interval_count(spark, sf_dir):
@@ -666,21 +724,6 @@ def q_dedup_clusters(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
     return dedup_keep(docs, pairs, quality_col="n_chars")
-
-
-def q_daily_counts(spark, sf_dir):
-    ev = _events(spark, sf_dir)
-    return ev.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
-
-
-def q_percentiles(spark, sf_dir):
-    ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-    )
 
 
 # --------------------------------------------------------------------------
@@ -1229,10 +1272,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill": q_backfill,
         "prefix_agg": q_prefix_agg,
         "asof_directions": q_asof_directions,
-        "range_window": q_range_window,
         "interval_count": q_interval_count,
-        "hopping_window": q_hopping_window,
+        "time_rollups": q_time_rollups,
         "streaming_sessions": q_streaming_sessions,
+        "sft_examples": q_sft_examples,
+        "turn_integrity": q_turn_integrity,
+        "conv_dedup": q_conv_dedup,
         # -- graph seeds + ReFeX recursion + RolX ----------------------
         "degree_undirected": q_degree_undirected,
         "degree_directed": q_degree_directed,
@@ -1250,8 +1295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_agg": q_groupby_agg,
         "set_ops": q_set_ops,
         "rollup_cube": q_rollup_cube,
-        "daily_counts": q_daily_counts,
-        "percentiles": q_percentiles,
         # -- training-data pipeline: text / dedup / similarity ---------
         "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
@@ -1332,10 +1375,13 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER r AS quartile,
                    row_number() OVER r AS rk,
                    CAST(CASE WHEN row_number() OVER r <= 3 THEN 1 ELSE 0 END
-                        AS INT) AS in_top3
+                        AS INT) AS in_top3,
+                   round(SUM(value) OVER v, 6) AS value_10min
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-                   r AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+                   r AS (PARTITION BY user_id ORDER BY value DESC, event_id),
+                   v AS (PARTITION BY user_id ORDER BY epoch(ts)
+                         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
         """,
         "backfill": """
             SELECT event_id,
@@ -1373,15 +1419,10 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(acc, 0) * power(2.0, -t), 6) AS decayed_value
             FROM c
         """,
-        "range_window": """
-            SELECT event_id,
-                   round(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
-                         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 6) AS value_10min
-            FROM events
-        """,
-        "hopping_window": """
-            -- each event lands in the two epoch-aligned 30-min-slide
-            -- 1-hour windows covering it
+        "time_rollups": """
+            -- daily + hopping + quantile legs, tagged (merged slot).
+            -- hopping: each event lands in the two epoch-aligned
+            -- 30-min-slide 1-hour windows covering it
             WITH g AS (
               SELECT event_id, event_type, value, epoch(ts) AS es,
                      CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS b
@@ -1390,12 +1431,125 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id, event_type, value, es,
                      unnest([b, b - 1800]) AS win_start
               FROM g)
+            SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS win_value,
+                   CAST(NULL AS DOUBLE) AS p50,
+                   CAST(NULL AS DOUBLE) AS p90,
+                   'daily' AS tag
+            FROM events GROUP BY 1, 2
+            UNION ALL
             SELECT win_start, event_type,
                    count(*) AS n_events,
-                   round(sum(value), 6) AS win_value
+                   round(sum(value), 6) AS win_value,
+                   CAST(NULL AS DOUBLE) AS p50,
+                   CAST(NULL AS DOUBLE) AS p90,
+                   'hop_1h_30m' AS tag
             FROM e
             WHERE es >= win_start AND es < win_start + 3600
             GROUP BY win_start, event_type
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT) AS win_start, event_type,
+                   count(*) AS n_events,
+                   CAST(NULL AS DOUBLE) AS win_value,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   'quantiles' AS tag
+            FROM events GROUP BY event_type
+        """,
+        # sft_examples: same token-count expression as the Spark side
+        # (whitespace-normalized, floor 1), cum strictly increasing, so
+        # the constant-bound RANGE frame reproduces the straddle
+        # semantics exactly; sums CAST to BIGINT (windowed sums are
+        # HUGEINT in DuckDB — the pack_greedy lesson)
+        "sft_examples": """
+            WITH t AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS turn_idx,
+                     event_type AS role,
+                     regexp_replace(trim(coalesce(props, '')), ' +', ' ', 'g')
+                       AS norm
+              FROM events),
+            tok AS (
+              SELECT conv_id, turn_idx, role,
+                     GREATEST(1, CASE WHEN length(norm) = 0 THEN 0
+                       ELSE length(norm) - length(replace(norm, ' ', '')) + 1
+                       END) AS tk
+              FROM t),
+            c AS (
+              SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, tk,
+                     CAST(sum(tk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM tok),
+            f AS (
+              SELECT conv_id, turn_idx, role,
+                     CAST(coalesce(count(*) OVER v, 0) AS BIGINT)
+                       AS n_context_turns,
+                     CAST(coalesce(sum(tk) OVER v, 0) AS BIGINT)
+                       AS context_tokens,
+                     CAST(tk AS BIGINT) AS target_tokens
+              FROM c
+              WINDOW v AS (PARTITION BY conv_id ORDER BY cum
+                           RANGE BETWEEN 16 PRECEDING AND 1 PRECEDING))
+            SELECT conv_id, turn_idx, n_context_turns, context_tokens,
+                   target_tokens,
+                   context_tokens + target_tokens AS example_tokens,
+                   CAST(CASE WHEN context_tokens + target_tokens <= 16
+                        THEN 1 ELSE 0 END AS INT) AS fits_budget
+            FROM f WHERE role = 'purchase'
+        """,
+        "turn_integrity": """
+            WITH t AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     row_number() OVER w - 1 AS idx,
+                     ts, event_type AS role,
+                     coalesce(props, '') AS text
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            l AS (
+              SELECT conv_id,
+                     CASE WHEN lag(idx) OVER w IS NOT NULL
+                           AND idx <> lag(idx) OVER w + 1 THEN 1 ELSE 0 END
+                       AS gap,
+                     CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS inv,
+                     CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS rep,
+                     CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END
+                       AS emp
+              FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY idx))
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(sum(gap) AS BIGINT) AS n_index_gaps,
+                   CAST(sum(inv) AS BIGINT) AS n_ts_inversions,
+                   CAST(sum(rep) AS BIGINT) AS n_role_repeats,
+                   CAST(sum(emp) AS BIGINT) AS n_empty_texts,
+                   CAST(CASE WHEN sum(gap) = 0 AND sum(inv) = 0
+                             AND sum(emp) = 0 THEN 1 ELSE 0 END AS INT)
+                     AS is_valid
+            FROM l GROUP BY conv_id
+        """,
+        # conv_dedup: fingerprint = md5 over the (turn_idx)-ordered
+        # role<US>text sequence, <RS>-joined — injective for these
+        # corpora, identical string built on both engines
+        "conv_dedup": """
+            WITH t AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) - 1 AS idx,
+                     event_type || chr(31) || coalesce(props, '') AS payload
+              FROM events),
+            fp AS (
+              SELECT conv_id,
+                     md5(string_agg(payload, chr(30) ORDER BY idx))
+                       AS conv_fingerprint
+              FROM t GROUP BY conv_id)
+            SELECT conv_id, conv_fingerprint,
+                   count(*) OVER (PARTITION BY conv_fingerprint) AS group_size,
+                   CAST(CASE WHEN conv_id = min(conv_id)
+                          OVER (PARTITION BY conv_fingerprint)
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM fp
         """,
         "interval_count": """
             WITH p AS (SELECT event_id, user_id, ts FROM events
@@ -1806,11 +1960,6 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS INT) AS keep
             FROM assigned
         """,
-        "daily_counts": """
-            SELECT date_trunc('day', ts) AS day, event_type,
-                   count(*) AS n, round(sum(value), 6) AS total
-            FROM events GROUP BY date_trunc('day', ts), event_type
-        """,
         # vocab_coverage: top-500 corpus tokens by frequency (ties on the
         # token string), then each doc's OOV occurrence fraction
         "vocab_coverage": """
@@ -1835,12 +1984,6 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(cov.n_tokens, 0) AS n_tokens,
                    coalesce(cov.oov_frac, 0.0) AS oov_frac
             FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
-        """,
-        "percentiles": """
-            SELECT event_type,
-                   round(quantile_cont(value, 0.5), 6) AS p50,
-                   round(quantile_cont(value, 0.9), 6) AS p90
-            FROM events GROUP BY event_type
         """,
         "media_features": """
             -- fake decoder = sha256(payload bytes); payload = utf-8 text.

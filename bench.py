@@ -106,15 +106,13 @@ def main() -> None:
         "backfill",
         "prefix_agg",
         "asof_directions",
-        "range_window",
         "interval_count",
-        "hopping_window",
+        "time_rollups",
         "streaming_sessions",
         "streaming_state",
         "egonet",
         "lang_guess",
         "vocab_coverage",
-        "percentiles",
         "degree_undirected",
         "degree_directed",
         "chain_seeds",
@@ -127,7 +125,9 @@ def main() -> None:
         "groupby_agg",
         "set_ops",
         "rollup_cube",
-        "daily_counts",
+        "sft_examples",
+        "turn_integrity",
+        "conv_dedup",
         "dedup_exact",
         "corpus_clean",
         "quality",

@@ -1,0 +1,228 @@
+"""Conversation-level operators over multi-turn transcript tables.
+
+The engine's canonical payload is a transcripts table
+``(conv_id, turn_idx, role, text, tool, ts)`` (BASELINE.json
+input_hint). The operators here are the conversation-granularity
+stages an LLM training-data pipeline runs AFTER document-style
+cleaning: assemble supervised-fine-tuning examples under a token
+budget, audit transcript structural integrity, and deduplicate whole
+conversations by content.
+
+All three are pure DataFrame plans — windows and hash aggregates, no
+Python UDFs — and every output column is reproducible in ANSI SQL, so
+each has a DuckDB value oracle in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphrole_spark.functions.text import token_count
+
+# unit separators for the conversation fingerprint: they cannot appear
+# in the synthetic corpora and make (role, text) concatenation
+# injective for ordinary text
+_FIELD_SEP = "\x1f"
+_TURN_SEP = "\x1e"
+
+
+def assemble_sft_examples(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    target_roles: Sequence[str] = ("assistant",),
+    max_tokens: int = 512,
+) -> DataFrame:
+    """One supervised-fine-tuning example per target-role turn: the
+    turn itself plus as much preceding context as a token budget admits.
+
+    The whole assembly is two window passes over ONE hash exchange on
+    ``conv_col`` — no self-join, no per-target rescan:
+
+    1. ``cum`` = running whitespace-token count per conversation in turn
+       order (each turn costs ``max(1, tokens)`` so ``cum`` is strictly
+       increasing and the RANGE frame below never sees ties).
+    2. A constant-bound RANGE frame ordered by ``cum``:
+       ``RANGE BETWEEN max_tokens PRECEDING AND 1 PRECEDING`` counts
+       exactly the prior turns ``j`` with ``cum_i - cum_j <= max_tokens``
+       — i.e. every turn whose *successors up through the target* fit
+       the budget.
+
+    TRUNCATION SEMANTICS (straddle bound, same contract as
+    :func:`graphrole_spark.functions.corpus.pack_documents`): the budget
+    bounds the tokens strictly AFTER each kept context turn, so the
+    OLDEST kept turn may straddle the boundary — an example's total
+    token count is ``< max_tokens + oldest_context_turn_tokens``. The
+    emitted ``fits_budget`` flag marks examples that are fully inside
+    the budget including the target's own tokens; callers needing a
+    hard cap filter on it or drop the oldest context turn.
+
+    Output grain: one row per target turn —
+    ``(conv_col, order_col, n_context_turns, context_tokens,
+    target_tokens, example_tokens, fits_budget)``.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    tok = F.greatest(F.lit(1), token_count(F.col(text_col))).cast("long")
+    w_cum = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = turns.select(
+        conv_col, order_col, role_col, tok.alias("__tok")
+    ).withColumn("__cum", F.sum("__tok").over(w_cum))
+    # same conv_col exchange as w_cum: __cum ordering is a refinement of
+    # the turn ordering, so this adds an in-partition sort only
+    w_ctx = (
+        Window.partitionBy(conv_col)
+        .orderBy("__cum")
+        .rangeBetween(-int(max_tokens), -1)
+    )
+    n_ctx = F.coalesce(F.count("*").over(w_ctx), F.lit(0))
+    ctx_tok = F.coalesce(F.sum("__tok").over(w_ctx), F.lit(0))
+    return (
+        cum.select(
+            conv_col,
+            order_col,
+            role_col,
+            n_ctx.alias("n_context_turns"),
+            ctx_tok.alias("context_tokens"),
+            F.col("__tok").alias("target_tokens"),
+        )
+        .where(F.col(role_col).isin(list(target_roles)))
+        .select(
+            conv_col,
+            order_col,
+            "n_context_turns",
+            "context_tokens",
+            "target_tokens",
+            (F.col("context_tokens") + F.col("target_tokens")).alias(
+                "example_tokens"
+            ),
+            (
+                F.col("context_tokens") + F.col("target_tokens")
+                <= F.lit(max_tokens)
+            )
+            .cast("int")
+            .alias("fits_budget"),
+        )
+    )
+
+
+def transcript_integrity(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation structural audit — the ingest gate that protects
+    the "per-turn text equality under stable (conv_id, turn_idx)
+    ordering" invariant every downstream feature assumes.
+
+    Counts, per conversation in ``order_col`` order: index gaps
+    (``turn_idx`` not contiguous from its minimum), timestamp inversions
+    (``ts`` decreasing between consecutive turns), consecutive
+    same-role turns, and empty/whitespace-only texts. ``is_valid`` = no
+    gaps, no inversions, no empty texts (role repeats are reported but
+    allowed — agent traces legitimately emit consecutive tool turns).
+
+    Plan: one lag window + one hash aggregate, both keyed on
+    ``conv_col`` — a single exchange end to end.
+    """
+    w = Window.partitionBy(conv_col).orderBy("__idx")
+    flagged = turns.select(
+        conv_col,
+        F.col(order_col).alias("__idx"),
+        F.col(ts_col).alias("__ts"),
+        F.col(role_col).alias("__role"),
+        (F.length(F.trim(F.col(text_col))) == 0).cast("int").alias("__empty"),
+    ).select(
+        conv_col,
+        "__empty",
+        F.when(
+            F.lag("__idx").over(w).isNotNull()
+            & (F.col("__idx") != F.lag("__idx").over(w) + 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("__gap"),
+        F.when(F.col("__ts") < F.lag("__ts").over(w), 1)
+        .otherwise(0)
+        .alias("__inv"),
+        F.when(F.col("__role") == F.lag("__role").over(w), 1)
+        .otherwise(0)
+        .alias("__rep"),
+    )
+    agg = flagged.groupBy(conv_col).agg(
+        F.count("*").alias("n_turns"),
+        F.sum("__gap").alias("n_index_gaps"),
+        F.sum("__inv").alias("n_ts_inversions"),
+        F.sum("__rep").alias("n_role_repeats"),
+        F.sum("__empty").alias("n_empty_texts"),
+    )
+    ok = (
+        (F.col("n_index_gaps") == 0)
+        & (F.col("n_ts_inversions") == 0)
+        & (F.col("n_empty_texts") == 0)
+    )
+    return agg.withColumn("is_valid", ok.cast("int"))
+
+
+def conversation_duplicates(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level exact dedup: fingerprint each conversation by
+    the md5 of its ordered ``role<US>text`` turn sequence and group
+    identical conversations — the transcript analogue of
+    :func:`graphrole_spark.functions.text.exact_duplicates` (identical
+    multi-turn sessions re-ingested from overlapping exports survive
+    document-level dedup because no single turn is a whole document).
+
+    Per conversation: ``(conv_col, conv_fingerprint, group_size, keep)``
+    with ``keep`` = 1 on the lexicographically smallest conv_id of each
+    fingerprint group.
+
+    Plan: one hash aggregate on ``conv_col`` builds the fingerprint
+    (``sort_array`` over (turn_idx, payload) structs makes the
+    concatenation order-stable regardless of shuffle order), then one
+    window exchange on the fingerprint ranks the group — two shuffles,
+    both on keys with corpus-wide cardinality (no heavy hitters beyond
+    the duplicate groups themselves).
+    """
+    payload = F.concat(
+        F.col(role_col), F.lit(_FIELD_SEP), F.coalesce(F.col(text_col), F.lit(""))
+    )
+    fp = turns.groupBy(conv_col).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(order_col).alias("i"), payload.alias("p"))
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+                _TURN_SEP,
+            )
+        ).alias("conv_fingerprint")
+    )
+    w = Window.partitionBy("conv_fingerprint")
+    return fp.select(
+        conv_col,
+        "conv_fingerprint",
+        F.count("*").over(w).alias("group_size"),
+        (F.col(conv_col) == F.min(conv_col).over(w)).cast("int").alias("keep"),
+    )

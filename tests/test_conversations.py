@@ -1,0 +1,193 @@
+"""Conversation-level operators: SFT example assembly, transcript
+integrity audit, conversation-level exact dedup
+(graphrole_spark/functions/conversations.py)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrole_spark.functions.conversations import (
+    assemble_sft_examples,
+    conversation_duplicates,
+    transcript_integrity,
+)
+
+TS0 = "2025-01-01 00:00:0{}"
+
+
+def _turns(spark, rows):
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts string"
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+# --------------------------------------------------------------------------
+# assemble_sft_examples
+# --------------------------------------------------------------------------
+
+def _sft_oracle(toks, roles, targets, budget):
+    """Brute-force the documented semantics: context turn j kept iff
+    sum(toks[j+1..i]) <= budget."""
+    out = {}
+    cum = []
+    t = 0
+    for x in toks:
+        t += max(1, x)
+        cum.append(t)
+    for i, r in enumerate(roles):
+        if r not in targets:
+            continue
+        ctx = [j for j in range(i) if cum[i] - cum[j] <= budget]
+        out[i] = (len(ctx), sum(max(1, toks[j]) for j in ctx), max(1, toks[i]))
+    return out
+
+
+def test_sft_examples_handcrafted(spark):
+    # token counts: 3, 2, 4, 1, 2  (whitespace words)
+    rows = [
+        ("c1", 0, "user", "a b c", TS0.format(0)),
+        ("c1", 1, "assistant", "d e", TS0.format(1)),
+        ("c1", 2, "user", "f g h i", TS0.format(2)),
+        ("c1", 3, "assistant", "j", TS0.format(3)),
+        ("c1", 4, "assistant", "k l", TS0.format(4)),
+    ]
+    out = assemble_sft_examples(
+        _turns(spark, rows), max_tokens=6, target_roles=("assistant",)
+    )
+    got = {r["turn_idx"]: r.asDict() for r in out.collect()}
+    assert set(got) == {1, 3, 4}
+    # target 1: ctx j=0 iff cum1-cum0 = 2 <= 6 -> yes
+    assert (got[1]["n_context_turns"], got[1]["context_tokens"]) == (1, 3)
+    assert got[1]["example_tokens"] == 5 and got[1]["fits_budget"] == 1
+    # target 3 (cum = 3,5,9,10): j=0 diff 7 no, j=1 diff 5 yes, j=2 diff 1 yes
+    assert (got[3]["n_context_turns"], got[3]["context_tokens"]) == (2, 6)
+    # straddle: 6 ctx tokens + 1 target = 7 > 6 -> the oldest kept turn
+    # straddles the budget line, flag says so
+    assert got[3]["example_tokens"] == 7 and got[3]["fits_budget"] == 0
+    # target 4 (cum=12): j=2 diff 3, j=3 diff 2 kept; j=1 diff 7 not
+    assert (got[4]["n_context_turns"], got[4]["context_tokens"]) == (2, 5)
+
+
+def test_sft_examples_randomized_parity(spark):
+    rng = random.Random(7)
+    rows, toks, roles = [], {}, {}
+    for c in range(6):
+        n = rng.randint(1, 12)
+        toks[c], roles[c] = [], []
+        for i in range(n):
+            k = rng.randint(0, 5)  # 0 -> empty text, costs 1 via the floor
+            role = rng.choice(["user", "assistant", "tool"])
+            rows.append((f"c{c}", i, role, " ".join("w" * 1 for _ in range(k)), TS0.format(0)))
+            toks[c].append(k)
+            roles[c].append(role)
+    out = assemble_sft_examples(_turns(spark, rows), max_tokens=4,
+                                target_roles=("assistant", "tool"))
+    got = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in out.collect()}
+    want = {}
+    for c in toks:
+        for i, (n_ctx, ctx_tok, tgt) in _sft_oracle(
+            toks[c], roles[c], {"assistant", "tool"}, 4
+        ).items():
+            want[(f"c{c}", i)] = (n_ctx, ctx_tok, tgt)
+    assert set(got) == set(want)
+    for k, (n_ctx, ctx_tok, tgt) in want.items():
+        assert (
+            got[k]["n_context_turns"],
+            got[k]["context_tokens"],
+            got[k]["target_tokens"],
+        ) == (n_ctx, ctx_tok, tgt), k
+
+
+def test_sft_examples_rejects_bad_budget(spark):
+    with pytest.raises(ValueError, match="max_tokens"):
+        assemble_sft_examples(_turns(spark, [("c", 0, "a", "x", TS0.format(0))]),
+                              max_tokens=0)
+
+
+def test_sft_examples_single_exchange(spark):
+    out = assemble_sft_examples(
+        _turns(spark, [("c", 0, "assistant", "x", TS0.format(0))]), max_tokens=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+
+
+# --------------------------------------------------------------------------
+# transcript_integrity
+# --------------------------------------------------------------------------
+
+def test_integrity_flags(spark):
+    rows = [
+        # clean conversation
+        ("ok", 0, "user", "hi", TS0.format(0)),
+        ("ok", 1, "assistant", "hello", TS0.format(1)),
+        # index gap (0 -> 2), ts inversion, role repeat, empty text
+        ("bad", 0, "user", "hi", TS0.format(5)),
+        ("bad", 2, "user", "again", TS0.format(3)),
+        ("bad", 3, "assistant", "  ", TS0.format(4)),
+    ]
+    got = {r["conv_id"]: r.asDict()
+           for r in transcript_integrity(_turns(spark, rows)).collect()}
+    assert got["ok"]["is_valid"] == 1 and got["ok"]["n_turns"] == 2
+    bad = got["bad"]
+    assert bad["n_index_gaps"] == 1
+    assert bad["n_ts_inversions"] == 1
+    assert bad["n_role_repeats"] == 1
+    assert bad["n_empty_texts"] == 1
+    assert bad["is_valid"] == 0
+
+
+def test_integrity_offset_start_is_contiguous(spark):
+    # turn_idx starting at 5 but contiguous: no gaps (gaps are measured
+    # between consecutive turns, not against zero)
+    rows = [("c", 5, "user", "a", TS0.format(0)), ("c", 6, "assistant", "b", TS0.format(1))]
+    row = transcript_integrity(_turns(spark, rows)).collect()[0]
+    assert row["n_index_gaps"] == 0 and row["is_valid"] == 1
+
+
+def test_integrity_single_exchange(spark):
+    out = transcript_integrity(
+        _turns(spark, [("c", 0, "u", "x", TS0.format(0))])
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+
+
+# --------------------------------------------------------------------------
+# conversation_duplicates
+# --------------------------------------------------------------------------
+
+def test_conversation_duplicates(spark):
+    base = [(0, "user", "hi"), (1, "assistant", "hello"), (2, "user", "bye")]
+    rows = []
+    for conv in ["a2", "a1"]:  # identical conversations, a1 is min
+        rows += [(conv, i, r, t, TS0.format(i)) for i, r, t in base]
+    # same texts, one role flipped -> distinct fingerprint
+    rows += [("b1", i, ("tool" if i == 1 else r), t, TS0.format(i))
+             for i, r, t in base]
+    got = {r["conv_id"]: r.asDict()
+           for r in conversation_duplicates(_turns(spark, rows)).collect()}
+    assert got["a1"]["conv_fingerprint"] == got["a2"]["conv_fingerprint"]
+    assert got["b1"]["conv_fingerprint"] != got["a1"]["conv_fingerprint"]
+    assert got["a1"]["group_size"] == 2 and got["b1"]["group_size"] == 1
+    assert (got["a1"]["keep"], got["a2"]["keep"], got["b1"]["keep"]) == (1, 0, 1)
+
+
+def test_conversation_duplicates_order_independent(spark):
+    # fingerprint sorts on turn_idx, so ingest order cannot matter
+    rows_fwd = [("c", 0, "u", "x", TS0.format(0)), ("c", 1, "a", "y", TS0.format(1))]
+    fp_fwd = conversation_duplicates(_turns(spark, rows_fwd)).collect()[0]
+    fp_rev = conversation_duplicates(
+        _turns(spark, list(reversed(rows_fwd)))
+    ).collect()[0]
+    assert fp_fwd["conv_fingerprint"] == fp_rev["conv_fingerprint"]
+
+
+def test_conversation_duplicates_null_text(spark):
+    # NULL text folds to '' (coalesce) instead of nulling the whole turn
+    rows = [("c1", 0, "u", None, TS0.format(0)), ("c2", 0, "u", "", TS0.format(0))]
+    got = conversation_duplicates(_turns(spark, rows)).collect()
+    fps = {r["conv_fingerprint"] for r in got}
+    assert len(fps) == 1 and all(r["group_size"] == 2 for r in got)
