@@ -1529,21 +1529,33 @@ def oracle_sql() -> dict[str, str]:
                      AS is_valid
             FROM l GROUP BY conv_id
         """,
-        # conv_dedup: fingerprint = md5 over the (turn_idx)-ordered
-        # role<US>text sequence, <RS>-joined — injective for these
-        # corpora, identical string built on both engines
+        # conv_dedup: position-aware mergeable multiset fingerprint —
+        # per-turn md5(idx<US>role<US>text), two 32-bit lanes summed +
+        # count + total length, re-hashed; identical integer rendering
+        # on both engines (sums CAST to BIGINT — HUGEINT otherwise)
         "conv_dedup": """
             WITH t AS (
               SELECT CAST(user_id AS VARCHAR) AS conv_id,
-                     row_number() OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) - 1 AS idx,
-                     event_type || chr(31) || coalesce(props, '') AS payload
+                     CAST(row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS VARCHAR)
+                       || chr(31) || event_type
+                       || chr(31) || coalesce(props, '') AS payload
               FROM events),
+            h AS (
+              SELECT conv_id, md5(payload) AS hx,
+                     length(payload) AS ln
+              FROM t),
             fp AS (
               SELECT conv_id,
-                     md5(string_agg(payload, chr(30) ORDER BY idx))
+                     md5(concat_ws('|',
+                       CAST(count(*) AS VARCHAR),
+                       CAST(CAST(sum(CAST(concat('0x', substr(hx, 1, 8))
+                                          AS BIGINT)) AS BIGINT) AS VARCHAR),
+                       CAST(CAST(sum(CAST(concat('0x', substr(hx, 17, 8))
+                                          AS BIGINT)) AS BIGINT) AS VARCHAR),
+                       CAST(CAST(sum(ln) AS BIGINT) AS VARCHAR)))
                        AS conv_fingerprint
-              FROM t GROUP BY conv_id)
+              FROM h GROUP BY conv_id)
             SELECT conv_id, conv_fingerprint,
                    count(*) OVER (PARTITION BY conv_fingerprint) AS group_size,
                    CAST(CASE WHEN conv_id = min(conv_id)

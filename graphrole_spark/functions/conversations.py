@@ -22,11 +22,10 @@ from pyspark.sql import functions as F
 
 from graphrole_spark.functions.text import token_count
 
-# unit separators for the conversation fingerprint: they cannot appear
-# in the synthetic corpora and make (role, text) concatenation
+# unit separator for the conversation fingerprint: it cannot appear in
+# the synthetic corpora and makes (turn_idx, role, text) concatenation
 # injective for ordinary text
 _FIELD_SEP = "\x1f"
-_TURN_SEP = "\x1e"
 
 
 def assemble_sft_examples(
@@ -184,8 +183,8 @@ def conversation_duplicates(
     text_col: str = "text",
 ) -> DataFrame:
     """Conversation-level exact dedup: fingerprint each conversation by
-    the md5 of its ordered ``role<US>text`` turn sequence and group
-    identical conversations — the transcript analogue of
+    its full ``(turn_idx, role, text)`` turn set and group identical
+    conversations — the transcript analogue of
     :func:`graphrole_spark.functions.text.exact_duplicates` (identical
     multi-turn sessions re-ingested from overlapping exports survive
     document-level dedup because no single turn is a whole document).
@@ -194,30 +193,60 @@ def conversation_duplicates(
     with ``keep`` = 1 on the lexicographically smallest conv_id of each
     fingerprint group.
 
-    Plan: one hash aggregate on ``conv_col`` builds the fingerprint
-    (``sort_array`` over (turn_idx, payload) structs makes the
-    concatenation order-stable regardless of shuffle order), then one
-    window exchange on the fingerprint ranks the group — two shuffles,
-    both on keys with corpus-wide cardinality (no heavy hitters beyond
-    the duplicate groups themselves).
+    FINGERPRINT: a position-aware mergeable multiset hash. Each turn
+    hashes to ``md5(turn_idx<US>role<US>text)``; a conversation's
+    fingerprint is the md5 of (turn count, sum of two independent
+    32-bit md5 lanes, total payload length). Because turn position is
+    embedded in each per-turn hash, summation is order-insensitive yet
+    the fingerprint still distinguishes reordered conversations; two
+    conversations collide only by md5-lane accident (~2^-64 per pair —
+    fine for pipeline dedup, not adversarial input).
+
+    Chosen over sorting the turn sequence per group for the plan shape
+    (the 100 TB property, measured 19x at 3M turns in
+    BENCH_CONV_SCALE.jsonl): plain codegen SUM/COUNT aggregates are
+    map-side combined, so only ``(conv_id, 4 longs)`` reaches the
+    exchange — the corpus text bytes NEVER shuffle, and a heavy-tail
+    conversation adds partial-agg work on its input partitions instead
+    of one giant reducer-side array sort. A ``collect_list``+
+    ``sort_array`` variant shuffles every byte and falls back to
+    spill-prone object aggregation.
+
+    Two shuffles total: the tiny per-conversation digest, then the
+    window exchange on the fingerprint ranking each duplicate group.
     """
     payload = F.concat(
-        F.col(role_col), F.lit(_FIELD_SEP), F.coalesce(F.col(text_col), F.lit(""))
+        F.col(order_col).cast("string"),
+        F.lit(_FIELD_SEP),
+        F.col(role_col),
+        F.lit(_FIELD_SEP),
+        F.coalesce(F.col(text_col), F.lit("")),
     )
-    fp = turns.groupBy(conv_col).agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col(order_col).alias("i"), payload.alias("p"))
-                        )
-                    ),
-                    lambda s: s["p"],
-                ),
-                _TURN_SEP,
-            )
-        ).alias("conv_fingerprint")
+    h = F.md5(payload)
+
+    def lane(start: int):
+        return F.conv(F.substring(h, start, 8), 16, 10).cast("long")
+
+    fp = (
+        turns.groupBy(conv_col)
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(lane(1)).alias("__a"),
+            F.sum(lane(17)).alias("__b"),
+            F.sum(F.length(payload)).alias("__len"),
+        )
+        .select(
+            conv_col,
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("__n").cast("string"),
+                    F.col("__a").cast("string"),
+                    F.col("__b").cast("string"),
+                    F.col("__len").cast("string"),
+                )
+            ).alias("conv_fingerprint"),
+        )
     )
     w = Window.partitionBy("conv_fingerprint")
     return fp.select(

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Scale evidence for the conversation-grain operators
+(functions/conversations.py): SFT example assembly, transcript
+integrity audit, conversation-level exact dedup.
+
+Runs each operator at three synthetic-transcript sizes (decade steps in
+conversation count, heavy-tail lengths included) and reports wall time
+and output rows. All three are single-scan window/hash-agg plans keyed
+on conv_id, so near-linear wall growth per decade is the expectation;
+the one data-dependent quantity — the dedup fingerprint group size — is
+reported too. To make conv_dedup's duplicate path do real work, every
+41st conversation is written twice (a replayed-export clone with a
+distinct conv_id), so ~2.4% of conversations form real duplicate
+groups whose clone must be dropped.
+
+The transcripts are synthesized with the same distributed deterministic
+generator the flagship bench uses (sources/transcripts.py), written to
+parquet once per size, so the measured pipeline reads parquet exactly
+like production.
+
+Usage: python scripts/conversation_scale.py [--sizes 10000,100000,1000000]
+Appends one JSON line per size to BENCH_CONV_SCALE.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CLONE_EVERY = 41
+
+
+def synth(spark, n_convs: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from graphrole_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_convs)
+    clones = t.where(
+        F.pmod(F.xxhash64("conv_id"), F.lit(CLONE_EVERY)) == 0
+    ).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_replay")))
+    t.unionByName(clones).write.mode("overwrite").parquet(out_dir)
+
+
+def run(spark, n_convs: int, work_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from graphrole_spark.functions.conversations import (
+        assemble_sft_examples,
+        conversation_duplicates,
+        transcript_integrity,
+    )
+
+    pq = os.path.join(work_dir, f"convs_{n_convs}")
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        synth(spark, n_convs, pq)
+    turns = spark.read.parquet(pq)
+    out: dict = {
+        "n_convs": n_convs,
+        "n_turns": turns.count(),  # also warms the page cache for parity
+    }
+
+    t0 = time.time()
+    sft = assemble_sft_examples(turns, target_roles=("assistant",), max_tokens=256)
+    row = sft.agg(
+        F.count("*").alias("n"), F.sum("fits_budget").alias("n_fit")
+    ).collect()[0]
+    out["sft_sec"] = round(time.time() - t0, 2)
+    out["sft_examples"] = int(row["n"])
+    out["sft_fit_budget"] = int(row["n_fit"])
+
+    t0 = time.time()
+    integ = transcript_integrity(turns)
+    row = integ.agg(
+        F.count("*").alias("n"), F.sum("is_valid").alias("n_valid")
+    ).collect()[0]
+    out["integrity_sec"] = round(time.time() - t0, 2)
+    out["integrity_convs"] = int(row["n"])
+    out["integrity_valid"] = int(row["n_valid"])
+
+    t0 = time.time()
+    dd = conversation_duplicates(turns)
+    row = dd.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("keep") == 0, 1).otherwise(0)).alias("n_dropped"),
+        F.max("group_size").alias("max_group"),
+    ).collect()[0]
+    out["dedup_sec"] = round(time.time() - t0, 2)
+    out["dedup_convs"] = int(row["n"])
+    out["dedup_dropped"] = int(row["n_dropped"])
+    out["dedup_max_group"] = int(row["max_group"])
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="10000,100000,1000000")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--work-dir", default="/tmp/conversation_scale")
+    args = ap.parse_args()
+
+    from graphrole_spark.session import get_spark
+
+    spark = get_spark("conversation_scale", cores=args.cpus)
+    os.makedirs(args.work_dir, exist_ok=True)
+    for n in [int(s) for s in args.sizes.split(",") if s]:
+        r = run(spark, n, args.work_dir)
+        r["cpus"] = args.cpus
+        print(json.dumps(r), flush=True)
+        with open("BENCH_CONV_SCALE.jsonl", "a") as f:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -176,13 +176,37 @@ def test_conversation_duplicates(spark):
 
 
 def test_conversation_duplicates_order_independent(spark):
-    # fingerprint sorts on turn_idx, so ingest order cannot matter
+    # position is embedded in each per-turn hash and the combine is a
+    # sum, so ingest order cannot matter
     rows_fwd = [("c", 0, "u", "x", TS0.format(0)), ("c", 1, "a", "y", TS0.format(1))]
     fp_fwd = conversation_duplicates(_turns(spark, rows_fwd)).collect()[0]
     fp_rev = conversation_duplicates(
         _turns(spark, list(reversed(rows_fwd)))
     ).collect()[0]
     assert fp_fwd["conv_fingerprint"] == fp_rev["conv_fingerprint"]
+
+
+def test_conversation_duplicates_position_sensitive(spark):
+    # swapping two turns' texts (same multiset of texts, different
+    # positions) must change the fingerprint
+    a = [("c", 0, "u", "x", TS0.format(0)), ("c", 1, "u", "y", TS0.format(1))]
+    b = [("c", 0, "u", "y", TS0.format(0)), ("c", 1, "u", "x", TS0.format(1))]
+    fa = conversation_duplicates(_turns(spark, a)).collect()[0]
+    fb = conversation_duplicates(_turns(spark, b)).collect()[0]
+    assert fa["conv_fingerprint"] != fb["conv_fingerprint"]
+
+
+def test_conversation_duplicates_plan_shape(spark):
+    # the 100 TB property: the fingerprint agg is map-side combinable —
+    # no collect_list / object aggregation, text bytes never shuffle
+    # (only the digest agg exchange + the fingerprint window exchange)
+    out = conversation_duplicates(
+        _turns(spark, [("c", 0, "u", "x", TS0.format(0))])
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan, plan[:4000]
+    assert "ObjectHashAggregate" not in plan, plan[:4000]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:4000]
 
 
 def test_conversation_duplicates_null_text(spark):
