@@ -1497,7 +1497,9 @@ def oracle_sql() -> dict[str, str]:
                    target_tokens,
                    context_tokens + target_tokens AS example_tokens,
                    CAST(CASE WHEN context_tokens + target_tokens <= 16
-                        THEN 1 ELSE 0 END AS INT) AS fits_budget
+                        THEN 1 ELSE 0 END AS INT) AS fits_budget,
+                   CAST(floor((context_tokens + target_tokens - 1) / 64.0)
+                        AS INT) AS len_bucket
             FROM f WHERE role = 'purchase'
         """,
         "turn_integrity": """
@@ -1516,7 +1518,8 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS inv,
                      CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS rep,
                      CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END
-                       AS emp
+                       AS emp,
+                     epoch(ts) - epoch(lag(ts) OVER w) AS gap_s
               FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY idx))
             SELECT conv_id,
                    count(*) AS n_turns,
@@ -1524,6 +1527,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(inv) AS BIGINT) AS n_ts_inversions,
                    CAST(sum(rep) AS BIGINT) AS n_role_repeats,
                    CAST(sum(emp) AS BIGINT) AS n_empty_texts,
+                   round(avg(gap_s), 6) AS mean_gap_s,
+                   round(max(gap_s), 6) AS max_gap_s,
                    CAST(CASE WHEN sum(gap) = 0 AND sum(inv) = 0
                              AND sum(emp) = 0 THEN 1 ELSE 0 END AS INT)
                      AS is_valid

@@ -63,7 +63,10 @@ def assemble_sft_examples(
 
     Output grain: one row per target turn —
     ``(conv_col, order_col, n_context_turns, context_tokens,
-    target_tokens, example_tokens, fits_budget)``.
+    target_tokens, example_tokens, fits_budget, len_bucket)``.
+    ``len_bucket`` is the pad-to-64 batching bucket
+    (``floor((example_tokens - 1) / 64)``) so a downstream batcher can
+    group examples of similar padded length without a second pass.
     """
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
@@ -110,6 +113,11 @@ def assemble_sft_examples(
             )
             .cast("int")
             .alias("fits_budget"),
+            F.floor(
+                (F.col("context_tokens") + F.col("target_tokens") - 1) / 64
+            )
+            .cast("int")
+            .alias("len_bucket"),
         )
     )
 
@@ -129,14 +137,17 @@ def transcript_integrity(
     Counts, per conversation in ``order_col`` order: index gaps
     (``turn_idx`` not contiguous from its minimum), timestamp inversions
     (``ts`` decreasing between consecutive turns), consecutive
-    same-role turns, and empty/whitespace-only texts. ``is_valid`` = no
-    gaps, no inversions, no empty texts (role repeats are reported but
-    allowed — agent traces legitimately emit consecutive tool turns).
+    same-role turns, and empty/whitespace-only texts — plus the
+    reply-latency profile (mean/max seconds between consecutive turns;
+    NULL for single-turn conversations). ``is_valid`` = no gaps, no
+    inversions, no empty texts (role repeats are reported but allowed —
+    agent traces legitimately emit consecutive tool turns).
 
     Plan: one lag window + one hash aggregate, both keyed on
     ``conv_col`` — a single exchange end to end.
     """
     w = Window.partitionBy(conv_col).orderBy("__idx")
+    epoch = F.col("__ts").cast("timestamp").cast("double")
     flagged = turns.select(
         conv_col,
         F.col(order_col).alias("__idx"),
@@ -159,6 +170,7 @@ def transcript_integrity(
         F.when(F.col("__role") == F.lag("__role").over(w), 1)
         .otherwise(0)
         .alias("__rep"),
+        (epoch - F.lag(epoch).over(w)).alias("__gap_s"),
     )
     agg = flagged.groupBy(conv_col).agg(
         F.count("*").alias("n_turns"),
@@ -166,6 +178,8 @@ def transcript_integrity(
         F.sum("__inv").alias("n_ts_inversions"),
         F.sum("__rep").alias("n_role_repeats"),
         F.sum("__empty").alias("n_empty_texts"),
+        F.round(F.avg("__gap_s"), 6).alias("mean_gap_s"),
+        F.round(F.max("__gap_s"), 6).alias("max_gap_s"),
     )
     ok = (
         (F.col("n_index_gaps") == 0)

@@ -68,6 +68,8 @@ def test_sft_examples_handcrafted(spark):
     assert got[3]["example_tokens"] == 7 and got[3]["fits_budget"] == 0
     # target 4 (cum=12): j=2 diff 3, j=3 diff 2 kept; j=1 diff 7 not
     assert (got[4]["n_context_turns"], got[4]["context_tokens"]) == (2, 5)
+    # pad-to-64 batching bucket: all examples here are < 64 tokens
+    assert all(g["len_bucket"] == 0 for g in got.values())
 
 
 def test_sft_examples_randomized_parity(spark):
@@ -131,12 +133,23 @@ def test_integrity_flags(spark):
     got = {r["conv_id"]: r.asDict()
            for r in transcript_integrity(_turns(spark, rows)).collect()}
     assert got["ok"]["is_valid"] == 1 and got["ok"]["n_turns"] == 2
+    # reply-latency profile: ok = one 1 s gap
+    assert got["ok"]["mean_gap_s"] == 1.0 and got["ok"]["max_gap_s"] == 1.0
     bad = got["bad"]
     assert bad["n_index_gaps"] == 1
     assert bad["n_ts_inversions"] == 1
     assert bad["n_role_repeats"] == 1
     assert bad["n_empty_texts"] == 1
     assert bad["is_valid"] == 0
+    # gaps: 3-5 = -2 s (inversion), 4-3 = +1 s -> mean -0.5, max 1
+    assert bad["mean_gap_s"] == -0.5 and bad["max_gap_s"] == 1.0
+
+
+def test_integrity_single_turn_gap_null(spark):
+    rows = [("solo", 0, "user", "hi", TS0.format(0))]
+    row = transcript_integrity(_turns(spark, rows)).collect()[0]
+    assert row["mean_gap_s"] is None and row["max_gap_s"] is None
+    assert row["is_valid"] == 1
 
 
 def test_integrity_offset_start_is_contiguous(spark):
