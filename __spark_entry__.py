@@ -922,10 +922,21 @@ def q_quality(spark, sf_dir):
     count (merged from the former token_count entry) + Gopher's
     within-doc n-gram repetition pair — ALL folded into quality's
     single documents scan (one scan + the top-token shuffle; no extra
-    joins), keeping every signal inside the driver's oracle window."""
+    joins), keeping every signal inside the driver's oracle window.
+
+    The input is repartitioned to the session's parallelism before the
+    scan-stage compute: the signals are CPU-dense per row (two sorted
+    gram arrays, line sorts, BPE regexp) and the testdata documents
+    file is ONE 0.6 MB row group, so without the exchange all that
+    work runs on a single core (measured 8-14 s vs 2-3 s at sf0.1).
+    At 100 TB the scan has thousands of row-group splits and a real
+    deployment would drop this; it's the standard small-input /
+    heavy-compute parallelization trade, worth one tiny shuffle."""
     from graphrole_spark.functions.text import quality_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return quality_features(docs, top_ngram=2, dup_ngram=5, bpe=True)
 
 
