@@ -153,7 +153,9 @@ def transcript_integrity(
         F.col(order_col).alias("__idx"),
         F.col(ts_col).alias("__ts"),
         F.col(role_col).alias("__role"),
-        (F.length(F.trim(F.col(text_col))) == 0).cast("int").alias("__empty"),
+        (F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0)
+        .cast("int")
+        .alias("__empty"),
     ).select(
         conv_col,
         "__empty",

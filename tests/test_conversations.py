@@ -152,6 +152,13 @@ def test_integrity_single_turn_gap_null(spark):
     assert row["is_valid"] == 1
 
 
+def test_integrity_null_text_counts_empty(spark):
+    rows = [("c", 0, "user", None, TS0.format(0)),
+            ("c", 1, "assistant", "ok", TS0.format(1))]
+    row = transcript_integrity(_turns(spark, rows)).collect()[0]
+    assert row["n_empty_texts"] == 1 and row["is_valid"] == 0
+
+
 def test_integrity_offset_start_is_contiguous(spark):
     # turn_idx starting at 5 but contiguous: no gaps (gaps are measured
     # between consecutive turns, not against zero)
