@@ -219,8 +219,8 @@ def conversation_duplicates(
     fine for pipeline dedup, not adversarial input).
 
     Chosen over sorting the turn sequence per group for the plan shape
-    (the 100 TB property, measured 19x at 3M turns in
-    BENCH_CONV_SCALE.jsonl): plain codegen SUM/COUNT aggregates are
+    (the 100 TB property, measured 22x at 3.2M turns in
+    BENCH_CONV_SCALE.jsonl / BENCH.md): plain codegen SUM/COUNT aggregates are
     map-side combined, so only ``(conv_id, 4 longs)`` reaches the
     exchange — the corpus text bytes NEVER shuffle, and a heavy-tail
     conversation adds partial-agg work on its input partitions instead
@@ -234,7 +234,7 @@ def conversation_duplicates(
     payload = F.concat(
         F.col(order_col).cast("string"),
         F.lit(_FIELD_SEP),
-        F.col(role_col),
+        F.coalesce(F.col(role_col), F.lit("")),
         F.lit(_FIELD_SEP),
         F.coalesce(F.col(text_col), F.lit("")),
     )
