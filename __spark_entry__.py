@@ -44,13 +44,23 @@ def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain-based oracle query."""
     events = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # deterministic agent-tool column (events has none): first md5 hex
+    # char of the event id -> {search: 0-4, code: 5-8, fetch: 9-a,
+    # no tool: b-f}. Portable — DuckDB oracles repeat the same CASE.
+    hexc = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    tool = (
+        F.when(hexc.isin(*"01234"), "search")
+        .when(hexc.isin(*"5678"), "code")
+        .when(hexc.isin("9", "a"), "fetch")
+        .otherwise("")
+    )
     return events.select(
         "event_id",
         F.col("user_id").cast("string").alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.coalesce(F.col("props"), F.lit("")).alias("text"),
-        F.lit("").alias("tool"),
+        tool.alias("tool"),
         "ts",
     )
 
@@ -1263,6 +1273,18 @@ def q_refex_pipeline(spark, sf_dir):
     return extract_transcript_features(t, max_generations=3)
 
 
+def q_tool_transitions(spark, sf_dir):
+    """Corpus-level Markov transition counts over each conversation's
+    tool-call trajectory (functions/conversations.py::tool_transitions)
+    — which tool follows which across the agent-transcript corpus.
+    SQL-expressible but past the 50-entry driver window; the DuckDB
+    value parity is pytest-pinned (test_tool_transitions_duckdb_parity)
+    and the local replica cross-checks the same lag/group SQL."""
+    from graphrole_spark.functions.conversations import tool_transitions
+
+    return tool_transitions(_events_as_transcripts(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -1354,6 +1376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming_vector_ingest: same rationale, embedding side
         "streaming_vector_ingest": q_streaming_vector_ingest,
         "training_shards": q_training_shards,
+        # tool_transitions: SQL-expressible but past the 50-entry
+        # window (all 50 slots hold oracle-backed entries); DuckDB
+        # value parity pytest-pinned (test_tool_transitions_duckdb_parity)
+        "tool_transitions": q_tool_transitions,
     }
 
 
@@ -1518,11 +1544,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(user_id AS VARCHAR) AS conv_id,
                      row_number() OVER w - 1 AS idx,
                      ts, event_type AS role,
-                     coalesce(props, '') AS text
+                     coalesce(props, '') AS text,
+                     CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                               IN ('0','1','2','3','4') THEN 'search'
+                          WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                               IN ('5','6','7','8') THEN 'code'
+                          WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                               IN ('9','a') THEN 'fetch'
+                          ELSE NULL END AS tool
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             l AS (
-              SELECT conv_id,
+              SELECT conv_id, tool,
                      CASE WHEN lag(idx) OVER w IS NOT NULL
                            AND idx <> lag(idx) OVER w + 1 THEN 1 ELSE 0 END
                        AS gap,
@@ -1530,7 +1563,11 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS rep,
                      CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END
                        AS emp,
-                     epoch(ts) - epoch(lag(ts) OVER w) AS gap_s
+                     epoch(ts) - epoch(lag(ts) OVER w) AS gap_s,
+                     last_value(tool IGNORE NULLS) OVER
+                       (PARTITION BY conv_id ORDER BY idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_tool
               FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY idx))
             SELECT conv_id,
                    count(*) AS n_turns,
@@ -1538,6 +1575,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(inv) AS BIGINT) AS n_ts_inversions,
                    CAST(sum(rep) AS BIGINT) AS n_role_repeats,
                    CAST(sum(emp) AS BIGINT) AS n_empty_texts,
+                   CAST(count(tool) AS BIGINT) AS n_tool_calls,
+                   CAST(count(DISTINCT tool) AS INT) AS n_distinct_tools,
+                   CAST(sum(CASE WHEN tool IS NOT NULL
+                                  AND prev_tool IS NOT NULL
+                                  AND tool <> prev_tool
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_tool_switches,
                    round(avg(gap_s), 6) AS mean_gap_s,
                    round(max(gap_s), 6) AS max_gap_s,
                    CAST(CASE WHEN sum(gap) = 0 AND sum(inv) = 0

@@ -128,6 +128,7 @@ def main() -> None:
         "sft_examples",
         "turn_integrity",
         "conv_dedup",
+        "tool_transitions",
         "dedup_exact",
         "corpus_clean",
         "quality",

@@ -129,6 +129,7 @@ def transcript_integrity(
     role_col: str = "role",
     text_col: str = "text",
     ts_col: str = "ts",
+    tool_col: str = "tool",
 ) -> DataFrame:
     """Per-conversation structural audit — the ingest gate that protects
     the "per-turn text equality under stable (conv_id, turn_idx)
@@ -139,15 +140,29 @@ def transcript_integrity(
     (``ts`` decreasing between consecutive turns), consecutive
     same-role turns, and empty/whitespace-only texts — plus the
     reply-latency profile (mean/max seconds between consecutive turns;
-    NULL for single-turn conversations). ``is_valid`` = no gaps, no
-    inversions, no empty texts (role repeats are reported but allowed —
-    agent traces legitimately emit consecutive tool turns).
+    NULL for single-turn conversations) and the agent tool-usage
+    profile: ``n_tool_calls`` (turns with a non-empty ``tool_col``),
+    ``n_distinct_tools``, and ``n_tool_switches`` — transitions to a
+    *different* tool along the conversation's tool-call subsequence
+    (intervening non-tool turns don't reset the trajectory; a
+    re-invocation of the same tool is not a switch). If ``tool_col`` is
+    absent from the frame the three columns are emitted as zeros.
+    ``is_valid`` = no gaps, no inversions, no empty texts (role repeats
+    are reported but allowed — agent traces legitimately emit
+    consecutive tool turns).
 
-    Plan: one lag window + one hash aggregate, both keyed on
-    ``conv_col`` — a single exchange end to end.
+    Plan: one window pass + one hash aggregate, both keyed on
+    ``conv_col`` — a single exchange end to end. The distinct-tool
+    count is a ``collect_set`` size, not a second distinct aggregate:
+    per-conversation tool sets are bounded by the tool vocabulary (a
+    small enum at any scale), so the sets partial-aggregate map-side
+    and the plan keeps its one exchange.
     """
     w = Window.partitionBy(conv_col).orderBy("__idx")
     epoch = F.col("__ts").cast("timestamp").cast("double")
+    tool_src = (
+        F.col(tool_col) if tool_col in turns.columns else F.lit(None).cast("string")
+    )
     flagged = turns.select(
         conv_col,
         F.col(order_col).alias("__idx"),
@@ -156,9 +171,11 @@ def transcript_integrity(
         (F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0)
         .cast("int")
         .alias("__empty"),
+        F.nullif(F.trim(F.coalesce(tool_src, F.lit(""))), F.lit("")).alias("__tool"),
     ).select(
         conv_col,
         "__empty",
+        "__tool",
         F.when(
             F.lag("__idx").over(w).isNotNull()
             & (F.col("__idx") != F.lag("__idx").over(w) + 1),
@@ -173,6 +190,16 @@ def transcript_integrity(
         .otherwise(0)
         .alias("__rep"),
         (epoch - F.lag(epoch).over(w)).alias("__gap_s"),
+        # previous tool CALL (not previous turn): last non-null __tool
+        # strictly before this row — same (conv, idx) sort as the lags
+        F.last("__tool", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__prev_tool"),
+    )
+    switch = (
+        F.col("__tool").isNotNull()
+        & F.col("__prev_tool").isNotNull()
+        & (F.col("__tool") != F.col("__prev_tool"))
     )
     agg = flagged.groupBy(conv_col).agg(
         F.count("*").alias("n_turns"),
@@ -180,6 +207,11 @@ def transcript_integrity(
         F.sum("__inv").alias("n_ts_inversions"),
         F.sum("__rep").alias("n_role_repeats"),
         F.sum("__empty").alias("n_empty_texts"),
+        F.sum(F.when(F.col("__tool").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tool_calls"),
+        F.size(F.collect_set("__tool")).alias("n_distinct_tools"),
+        F.sum(switch.cast("int")).cast("long").alias("n_tool_switches"),
         F.round(F.avg("__gap_s"), 6).alias("mean_gap_s"),
         F.round(F.max("__gap_s"), 6).alias("max_gap_s"),
     )
@@ -189,6 +221,48 @@ def transcript_integrity(
         & (F.col("n_empty_texts") == 0)
     )
     return agg.withColumn("is_valid", ok.cast("int"))
+
+
+def tool_transitions(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Corpus-level Markov transition counts over each conversation's
+    tool-call trajectory — the agent-behavior profile of a transcript
+    corpus (which tool follows which, and in how many conversations).
+
+    The trajectory is the subsequence of tool-bearing turns in
+    ``order_col`` order; intervening non-tool turns (plain user /
+    assistant text) are skipped, so ``search → code`` counts even when
+    an assistant message sits between the two calls. Self-transitions
+    (``code → code``) are counted — they are the re-invocation signal.
+
+    Output grain: ``(from_tool, to_tool, n_transitions,
+    n_conversations)`` — at most |tool vocabulary|² rows, so the result
+    is driver-safe at any corpus scale.
+
+    Plan: the non-tool filter pushes to the scan, one window exchange
+    on ``conv_col`` builds the lag pairs, and the final aggregate
+    reduces to the tiny (from, to) grain (its countDistinct expands on
+    (from, to, conv) first — bounded by conversations × vocab², still a
+    contraction of the turn-level input).
+    """
+    tool = F.nullif(F.trim(F.coalesce(F.col(tool_col), F.lit(""))), F.lit(""))
+    calls = turns.select(
+        conv_col, F.col(order_col).alias("__idx"), tool.alias("__tool")
+    ).where(F.col("__tool").isNotNull())
+    w = Window.partitionBy(conv_col).orderBy("__idx")
+    pairs = calls.select(
+        conv_col,
+        F.lag("__tool").over(w).alias("from_tool"),
+        F.col("__tool").alias("to_tool"),
+    ).where(F.col("from_tool").isNotNull())
+    return pairs.groupBy("from_tool", "to_tool").agg(
+        F.count("*").alias("n_transitions"),
+        F.countDistinct(conv_col).alias("n_conversations"),
+    )
 
 
 def conversation_duplicates(

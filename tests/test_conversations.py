@@ -235,3 +235,146 @@ def test_conversation_duplicates_null_text(spark):
     got = conversation_duplicates(_turns(spark, rows)).collect()
     fps = {r["conv_fingerprint"] for r in got}
     assert len(fps) == 1 and all(r["group_size"] == 2 for r in got)
+
+
+# --------------------------------------------------------------------------
+# tool-usage profile (transcript_integrity) + tool_transitions
+# --------------------------------------------------------------------------
+
+def _turns_tool(spark, rows):
+    """rows: (conv_id, turn_idx, role, text, tool, ts)."""
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_integrity_tool_profile(spark):
+    # trajectory a: search, (no tool), search, code, (no tool), search
+    #   -> 4 calls, 2 distinct, switches: search->search(no), search->code,
+    #      code->search  = 2 (the intervening plain turns don't reset)
+    rows = [
+        ("a", 0, "user", "q", "search", TS0.format(0)),
+        ("a", 1, "assistant", "t", "", TS0.format(1)),
+        ("a", 2, "user", "q2", "search", TS0.format(2)),
+        ("a", 3, "assistant", "c", "code", TS0.format(3)),
+        ("a", 4, "user", "x", None, TS0.format(4)),
+        ("a", 5, "assistant", "s", "search", TS0.format(5)),
+        # b: no tools at all
+        ("b", 0, "user", "hi", "", TS0.format(0)),
+        ("b", 1, "assistant", "yo", None, TS0.format(1)),
+    ]
+    got = {r["conv_id"]: r.asDict()
+           for r in transcript_integrity(_turns_tool(spark, rows)).collect()}
+    a, b = got["a"], got["b"]
+    assert (a["n_tool_calls"], a["n_distinct_tools"], a["n_tool_switches"]) == (4, 2, 2)
+    assert (b["n_tool_calls"], b["n_distinct_tools"], b["n_tool_switches"]) == (0, 0, 0)
+
+
+def test_integrity_missing_tool_column_is_zeros(spark):
+    # frames without a tool column (document-style ingests) still audit
+    rows = [("c", 0, "user", "hi", TS0.format(0))]
+    row = transcript_integrity(_turns(spark, rows)).collect()[0]
+    assert (row["n_tool_calls"], row["n_distinct_tools"],
+            row["n_tool_switches"]) == (0, 0, 0)
+    assert row["is_valid"] == 1
+
+
+def test_integrity_single_exchange_with_tools(spark):
+    # the tool profile must not add an exchange: collect_set partial-
+    # aggregates map-side and the prev-tool window shares the lag sort
+    out = transcript_integrity(
+        _turns_tool(spark, [("c", 0, "u", "x", "search", TS0.format(0))])
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+
+
+def _transitions_oracle(rows):
+    """Pure-python tool_transitions: (from, to) -> [n, set(convs)]."""
+    from collections import defaultdict
+
+    by_conv = defaultdict(list)
+    for conv, idx, _r, _t, tool, _ts in rows:
+        if tool is not None and tool.strip():
+            by_conv[conv].append((idx, tool.strip()))
+    out = defaultdict(lambda: [0, set()])
+    for conv, calls in by_conv.items():
+        calls.sort()
+        for (_, a), (_, b) in zip(calls, calls[1:]):
+            out[(a, b)][0] += 1
+            out[(a, b)][1].add(conv)
+    return {k: (n, len(cs)) for k, (n, cs) in out.items()}
+
+
+def test_tool_transitions_handcrafted(spark):
+    rows = [
+        ("a", 0, "u", "x", "search", TS0.format(0)),
+        ("a", 1, "u", "x", "", TS0.format(1)),       # skipped
+        ("a", 2, "u", "x", "code", TS0.format(2)),   # search -> code
+        ("a", 3, "u", "x", "code", TS0.format(3)),   # code -> code (self)
+        ("b", 0, "u", "x", "search", TS0.format(0)),
+        ("b", 1, "u", "x", "code", TS0.format(1)),   # search -> code
+    ]
+    from graphrole_spark.functions.conversations import tool_transitions
+
+    got = {(r["from_tool"], r["to_tool"]): (r["n_transitions"], r["n_conversations"])
+           for r in tool_transitions(_turns_tool(spark, rows)).collect()}
+    assert got == {("search", "code"): (2, 2), ("code", "code"): (1, 1)}
+
+
+def test_tool_transitions_random_python_parity(spark):
+    rng = random.Random(7)
+    tools = ["search", "code", "fetch", "", None]
+    rows = []
+    for c in range(40):
+        for i in range(rng.randint(1, 12)):
+            rows.append((f"c{c}", i, "u", "x", rng.choice(tools), TS0.format(i % 10)))
+    from graphrole_spark.functions.conversations import tool_transitions
+
+    got = {(r["from_tool"], r["to_tool"]): (r["n_transitions"], r["n_conversations"])
+           for r in tool_transitions(_turns_tool(spark, rows)).collect()}
+    assert got == _transitions_oracle(rows)
+
+
+def test_tool_transitions_duckdb_parity(spark):
+    """Value parity vs the same lag/group SQL in DuckDB — the tail-entry
+    stand-in for the driver oracle (registry window is full)."""
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(11)
+    tools = ["search", "code", "fetch", ""]
+    rows = [(f"c{c}", i, "u", "x", rng.choice(tools), TS0.format(i % 10))
+            for c in range(30) for i in range(rng.randint(2, 8))]
+    from graphrole_spark.functions.conversations import tool_transitions
+
+    spark_pdf = (
+        tool_transitions(_turns_tool(spark, rows))
+        .orderBy("from_tool", "to_tool")
+        .toPandas()
+    )
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    con = duckdb.connect()
+    con.register("turns", pdf)
+    oracle = con.execute("""
+        WITH calls AS (
+          SELECT conv_id, turn_idx, trim(tool) AS tool
+          FROM turns WHERE tool IS NOT NULL AND length(trim(tool)) > 0),
+        pairs AS (
+          SELECT conv_id,
+                 lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS from_tool,
+                 tool AS to_tool
+          FROM calls)
+        SELECT from_tool, to_tool,
+               count(*) AS n_transitions,
+               count(DISTINCT conv_id) AS n_conversations
+        FROM pairs WHERE from_tool IS NOT NULL
+        GROUP BY from_tool, to_tool ORDER BY from_tool, to_tool
+    """).df()
+    assert spark_pdf.values.tolist() == oracle.values.tolist()
