@@ -1285,6 +1285,38 @@ def q_tool_transitions(spark, sf_dir):
     return tool_transitions(_events_as_transcripts(spark, sf_dir))
 
 
+def q_conv_near_dup(spark, sf_dir):
+    """Fuzzy conversation-level dedup: near-duplicate conversation pairs
+    via MinHash-LSH over turn-content hash sets
+    (functions/conversations.py::conversation_near_duplicates) — the
+    fuzzy twin of conv_dedup (exact). Rows-only by nature: the xxhash64
+    min-hash family has no SQL equivalent; soundness (reported jaccard
+    == python oracle) and planted-clone recall are pytest-pinned
+    (test_conversation_near_duplicates_*)."""
+    from graphrole_spark.functions.conversations import conversation_near_duplicates
+
+    t = _events_as_transcripts(spark, sf_dir)
+    # the events-derived conversations share no turn contents, so plant
+    # deterministic near-clones (the pii_redact injection pattern):
+    # clone ~1/8 of conversations with turn 0's text edited — each clone
+    # is a true near-dup pair (jaccard = (n-1)/(n+1) for an n-turn conv)
+    pick = F.substring(F.md5(F.col("conv_id")), 1, 1).isin("0", "1")
+    clones = t.where(pick).select(
+        F.concat(F.lit("dup_"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(F.col("turn_idx") == 0, F.concat(F.col("text"), F.lit(" EDITED")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "tool",
+        "ts",
+    )
+    corpus = t.select("conv_id", "turn_idx", "role", "text", "tool", "ts").unionByName(
+        clones
+    )
+    return conversation_near_duplicates(corpus, jaccard_threshold=0.5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -1380,6 +1412,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (all 50 slots hold oracle-backed entries); DuckDB
         # value parity pytest-pinned (test_tool_transitions_duckdb_parity)
         "tool_transitions": q_tool_transitions,
+        # conv_near_dup: minhash family (xxhash64) has no SQL twin —
+        # rows-only like minhash's simhash/lsh siblings; python-oracle
+        # soundness + planted-clone recall pytest-pinned
+        "conv_near_dup": q_conv_near_dup,
     }
 
 

@@ -129,6 +129,7 @@ def main() -> None:
         "turn_integrity",
         "conv_dedup",
         "tool_transitions",
+        "conv_near_dup",
         "dedup_exact",
         "corpus_clean",
         "quality",

@@ -265,6 +265,101 @@ def tool_transitions(
     )
 
 
+def conversation_near_duplicates(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int | None = None,
+    jaccard_threshold: float = 0.8,
+    seed: int = 7,
+) -> DataFrame:
+    """Fuzzy conversation-level dedup: near-duplicate conversation
+    PAIRS via MinHash-LSH over each conversation's set of turn-content
+    hashes — catches what :func:`conversation_duplicates` (exact) must
+    miss: re-exports with one edited/regenerated turn, truncated
+    prefixes of the same session, and trailing-turn additions.
+
+    A conversation's "shingle set" is the distinct ``xxhash64`` of each
+    turn's ``role<US>text`` (content identity, deliberately
+    position-free: inserting one turn shifts every later ``turn_idx``,
+    and position-aware hashes would zero the similarity of otherwise
+    identical sessions). Repeated identical turns collapse into one set
+    element — the same distinct-set semantics document shingles have.
+    Jaccard is therefore over distinct turn contents.
+
+    Plan shape (the 100 TB property, mirroring
+    :func:`graphrole_spark.functions.text.minhash_near_duplicates`):
+    the text bytes die inside the scan projection (one string hash per
+    turn); the signature is ``n_hashes`` fused codegen min-aggregates —
+    map-side combined, so only ``(conv_id, n_hashes longs)`` reach the
+    exchange and a heavy-tail conversation costs partial-agg work, not
+    a giant reducer. Banding/candidate-join/verification reuse the
+    document machinery; only *candidate* conversations' hash sets are
+    ever materialized (semi-join), never the corpus's.
+
+    Returns ``(conv_a, conv_b, jaccard)`` with ``conv_a < conv_b`` and
+    ``jaccard >= jaccard_threshold``.
+    """
+    from graphrole_spark.functions.text import bands_for_threshold, minhash_bands
+
+    if bands is None:
+        bands = bands_for_threshold(jaccard_threshold, n_hashes)
+    content = F.concat(
+        F.coalesce(F.col(role_col), F.lit("")),
+        F.lit(_FIELD_SEP),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    th = turns.select(
+        F.col(conv_col).alias("doc_id"),
+        F.xxhash64(content, F.lit(seed)).alias("__h"),
+    )
+    # min() is duplicate-insensitive: no distinct pass before the
+    # signature, the dedup happens implicitly
+    sig = th.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(seed + 1 + i))).alias(f"__m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    banded = minhash_bands(None, n_hashes=n_hashes, bands=bands, seed=seed, sig=sig)
+    a = banded.select(F.col("doc_id").alias("conv_a"), "band", "bhash")
+    b = banded.select(F.col("doc_id").alias("conv_b"), "band", "bhash")
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .where(F.col("conv_a") < F.col("conv_b"))
+        .select("conv_a", "conv_b")
+        .dropDuplicates(["conv_a", "conv_b"])
+    )
+    cand_ids = (
+        cand.select(F.col("conv_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("conv_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        th.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("__h").alias("shh"))
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("conv_a"), F.col("shh").alias("sh_a")),
+            "conv_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("conv_b"), F.col("shh").alias("sh_b")),
+            "conv_b",
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("conv_a", "conv_b", "jaccard")
+    )
+
+
 def conversation_duplicates(
     turns: DataFrame,
     conv_col: str = "conv_id",

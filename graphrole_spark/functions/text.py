@@ -640,6 +640,7 @@ def minhash_bands(
     bands: int = 8,
     seed: int = 7,
     hashed: Optional[DataFrame] = None,
+    sig: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(doc_id, band, bhash) — the LSH band-bucket relation the
     candidate join runs on. Exposed separately so scale runs can audit
@@ -651,27 +652,32 @@ def minhash_bands(
     hashing is the plan's dominant constant, so callers that need both
     the bands and the shingle sets (streaming ingestion dedup) compute
     it once and pass it in; it MUST cover exactly the documents being
-    banded."""
+    banded. ``sig`` goes one step further: a precomputed signature
+    frame (doc_id, __m0..__m{n_hashes-1}) for callers whose "shingles"
+    are not document text at all (conversation-grain near-dup hashes
+    its already-exploded turn rows directly and never builds the array
+    form) — only the banding select runs here."""
     rows = n_hashes // bands
-    if hashed is None:
-        hashed = minhash_shingle_hashes(documents, text_col, shingle_n, seed)
-    # signature via explode + n_hashes fused min-aggregates: same values
-    # as the array-fold form, but whole-stage codegen instead of an
-    # interpreted higher-order function, and map-side partial aggregation
-    # collapses each doc to one row before the shuffle.
-    # explode_OUTER, deliberately: plain explode makes Spark's
-    # InferFiltersFromGenerate rule add a size(shh) > 0 predicate that
-    # re-inlines the whole shingle expression into the scan and
-    # re-evaluates it per row (measured 10 s vs 0.4 s at sf0.1); shh is
-    # never empty here (null text is filtered before the transform), so
-    # outer semantics are identical
-    exploded = hashed.select("doc_id", F.explode_outer("shh").alias("__h"))
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("__h"), F.lit(seed + 1 + i))).alias(f"__m{i}")
-            for i in range(n_hashes)
-        ]
-    )
+    if sig is None:
+        if hashed is None:
+            hashed = minhash_shingle_hashes(documents, text_col, shingle_n, seed)
+        # signature via explode + n_hashes fused min-aggregates: same values
+        # as the array-fold form, but whole-stage codegen instead of an
+        # interpreted higher-order function, and map-side partial aggregation
+        # collapses each doc to one row before the shuffle.
+        # explode_OUTER, deliberately: plain explode makes Spark's
+        # InferFiltersFromGenerate rule add a size(shh) > 0 predicate that
+        # re-inlines the whole shingle expression into the scan and
+        # re-evaluates it per row (measured 10 s vs 0.4 s at sf0.1); shh is
+        # never empty here (null text is filtered before the transform), so
+        # outer semantics are identical
+        exploded = hashed.select("doc_id", F.explode_outer("shh").alias("__h"))
+        sig = exploded.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.col("__h"), F.lit(seed + 1 + i))).alias(f"__m{i}")
+                for i in range(n_hashes)
+            ]
+        )
     # band join carries ONLY (doc_id, band, bhash) — the shingle sets
     # never cross the candidate shuffle; they are re-attached to the far
     # smaller candidate-pair set for exact Jaccard verification

@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Scale evidence for the conversation-grain operators
 (functions/conversations.py): SFT example assembly, transcript
-integrity audit, conversation-level exact dedup.
+integrity audit, conversation-level exact dedup, and MinHash-LSH
+conversation near-dup (the replayed-export clones double as planted
+near-dup pairs — jaccard 1.0 — so the sweep reports recall on them).
 
 Runs each operator at three synthetic-transcript sizes (decade steps in
 conversation count, heavy-tail lengths included) and reports wall time
@@ -53,6 +55,7 @@ def run(spark, n_convs: int, work_dir: str) -> dict:
     from graphrole_spark.functions.conversations import (
         assemble_sft_examples,
         conversation_duplicates,
+        conversation_near_duplicates,
         transcript_integrity,
     )
 
@@ -94,6 +97,24 @@ def run(spark, n_convs: int, work_dir: str) -> dict:
     out["dedup_convs"] = int(row["n"])
     out["dedup_dropped"] = int(row["n_dropped"])
     out["dedup_max_group"] = int(row["max_group"])
+
+    t0 = time.time()
+    nd = conversation_near_duplicates(turns, jaccard_threshold=0.8)
+    planted_found = F.sum(
+        F.when(
+            F.col("conv_b") == F.concat(F.col("conv_a"), F.lit("_replay")), 1
+        ).otherwise(0)
+    )
+    row = nd.agg(F.count("*").alias("n"), planted_found.alias("n_planted")).collect()[0]
+    out["near_dup_sec"] = round(time.time() - t0, 2)
+    out["near_dup_pairs"] = int(row["n"])
+    out["near_dup_planted_found"] = int(row["n_planted"])
+    out["near_dup_planted_total"] = int(
+        turns.where(F.col("conv_id").endswith("_replay"))
+        .select("conv_id")
+        .distinct()
+        .count()
+    )
     return out
 
 

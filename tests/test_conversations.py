@@ -378,3 +378,102 @@ def test_tool_transitions_duckdb_parity(spark):
         GROUP BY from_tool, to_tool ORDER BY from_tool, to_tool
     """).df()
     assert spark_pdf.values.tolist() == oracle.values.tolist()
+
+
+# --------------------------------------------------------------------------
+# conversation_near_duplicates
+# --------------------------------------------------------------------------
+
+def _near_dup_oracle(rows, threshold):
+    """Pure-python Jaccard over distinct (role, text) turn contents."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    sets = defaultdict(set)
+    for conv, _i, role, text, _ts in rows:
+        sets[conv].add((role or "", text or ""))
+    out = {}
+    for a, b in combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= threshold:
+            out[(a, b)] = round(j, 6)
+    return out
+
+
+def _conv_corpus(n_turns=20):
+    base = [("x", i, "user" if i % 2 == 0 else "assistant",
+             f"turn text number {i} alpha beta", TS0.format(i % 10))
+            for i in range(n_turns)]
+    edited = [("y",) + r[1:] for r in base]
+    edited[7] = ("y", 7, edited[7][2], "a regenerated reply, different text",
+                 TS0.format(7 % 10))
+    prefix = [("z",) + r[1:] for r in base[:18]]
+    other = [("w", i, "user", f"completely unrelated subject {i * 31}",
+              TS0.format(i % 10)) for i in range(20)]
+    return base + edited + prefix + other
+
+
+def test_conversation_near_duplicates_planted(spark):
+    from graphrole_spark.functions.conversations import conversation_near_duplicates
+
+    rows = _conv_corpus()
+    got = {(r["conv_a"], r["conv_b"]): r["jaccard"]
+           for r in conversation_near_duplicates(
+               _turns(spark, rows), jaccard_threshold=0.8).collect()}
+    # x/y: 19 shared of 21 distinct contents; x/z: 18 of 20;
+    # y/z: 17 of 21 (prefix minus the edited turn) — all three >= 0.8
+    assert got[("x", "y")] == round(19 / 21, 6)
+    assert got[("x", "z")] == round(18 / 20, 6)
+    assert got[("y", "z")] == round(17 / 21, 6)
+    assert not any("w" in p for p in got)
+
+
+def test_conversation_near_duplicates_python_parity(spark):
+    """Every reported pair's jaccard matches the python oracle, and every
+    planted clone pair is recalled (bands=16 -> r=2, S-curve midpoint
+    0.25: recall at j>=0.8 is 1 - (1-j^2)^16 > 1 - 2e-8)."""
+    from graphrole_spark.functions.conversations import conversation_near_duplicates
+
+    rng = random.Random(13)
+    rows = []
+    for c in range(30):
+        for i in range(rng.randint(3, 15)):
+            rows.append((f"c{c:02d}", i, "user" if i % 2 == 0 else "assistant",
+                         f"conv {c} content {rng.randint(0, 9)} word {i}",
+                         TS0.format(i % 10)))
+    # plant 5 near-clones: copy a conversation, edit its last turn
+    for k in range(5):
+        src = f"c{k:02d}"
+        clone = [(f"d{k:02d}",) + r[1:] for r in rows if r[0] == src]
+        clone[-1] = clone[-1][:3] + ("edited tail turn",) + clone[-1][4:]
+        rows += clone
+    got = {(r["conv_a"], r["conv_b"]): r["jaccard"]
+           for r in conversation_near_duplicates(
+               _turns(spark, rows), jaccard_threshold=0.8, bands=16).collect()}
+    truth = _near_dup_oracle(rows, 0.8)
+    # soundness: every reported pair is a true >=0.8 pair, value-exact
+    for pair, j in got.items():
+        assert truth.get(pair) == j, (pair, j, truth.get(pair))
+    # recall: the planted long-enough clones are all found
+    for k in range(5):
+        pair = (f"c{k:02d}", f"d{k:02d}")
+        if truth.get(pair, 0) >= 0.8:
+            assert pair in got, (pair, truth.get(pair))
+
+
+def test_conversation_near_duplicates_signature_plan(spark):
+    """Text bytes die at the scan: the signature aggregate is a codegen
+    HashAggregate over fused mins (map-side combinable), not an object
+    aggregation of collected texts."""
+    from graphrole_spark.functions.conversations import conversation_near_duplicates
+
+    out = conversation_near_duplicates(
+        _turns(spark, [("c", 0, "u", "x", TS0.format(0))]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan, plan[:4000]
+    # exactly ONE collect_set aggregate — the candidate-only
+    # verification sets (semi-joined), never a corpus-wide text
+    # aggregation (each agg prints 4x: partial+final, node+expression)
+    assert plan.count("collect_set") <= 4, plan[:4000]
+    # the signature min-aggs are codegen'd hash aggregates
+    assert "xxhash64" in plan, plan[:4000]
