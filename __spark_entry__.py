@@ -1317,6 +1317,49 @@ def q_conv_near_dup(spark, sf_dir):
     return conversation_near_duplicates(corpus, jaccard_threshold=0.5)
 
 
+def q_preference_pairs(spark, sf_dir):
+    """DPO/RLHF preference-pair mining
+    (functions/conversations.py::assemble_preference_pairs): group
+    conversations by an order-aware prompt-prefix fingerprint
+    (subtraction algebra: whole-conv lane sums minus the final turn's
+    lanes) and pair each group's best-scored final assistant response
+    against every content-distinct alternative. The events-derived
+    conversations share no prefixes, so plant one regenerated
+    alternative for ~1/8 of conversations (final turns forced to the
+    assistant role so groups are eligible)."""
+    from graphrole_spark.functions.conversations import assemble_preference_pairs
+
+    t = _events_as_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id")
+    mx = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.max("turn_idx").over(w).alias("__mx"),
+    )
+    is_final = F.col("turn_idx") == F.col("__mx")
+    base = mx.select(
+        "conv_id",
+        "turn_idx",
+        F.when(is_final, F.lit("assistant")).otherwise(F.col("role")).alias("role"),
+        "text",
+        "__mx",
+    )
+    pick = F.substring(F.md5(F.col("conv_id")), 1, 1).isin(*"01")
+    alt = base.where(pick).select(
+        F.concat(F.lit("alt_"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(is_final, F.concat(F.lit("regenerated: "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "__mx",
+    )
+    corpus = base.unionByName(alt).drop("__mx")
+    return assemble_preference_pairs(corpus)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -1416,6 +1459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only like minhash's simhash/lsh siblings; python-oracle
         # soundness + planted-clone recall pytest-pinned
         "conv_near_dup": q_conv_near_dup,
+        # preference_pairs: SQL-expressible but past the 50-entry
+        # window (all 50 slots hold oracle-backed entries); full-
+        # semantics DuckDB value parity pytest-pinned
+        # (test_preference_pairs_duckdb_parity)
+        "preference_pairs": q_preference_pairs,
     }
 
 

@@ -130,6 +130,7 @@ def main() -> None:
         "conv_dedup",
         "tool_transitions",
         "conv_near_dup",
+        "preference_pairs",
         "dedup_exact",
         "corpus_clean",
         "quality",

@@ -360,6 +360,140 @@ def conversation_near_duplicates(
     )
 
 
+def assemble_preference_pairs(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    score_col: str | None = None,
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Preference-pair (DPO/RLHF) mining: pair alternative final
+    assistant responses to the SAME conversation prefix.
+
+    A post-training pipeline samples several completions per prompt
+    (or re-ingests the same session from tools that regenerate the
+    last reply); the pairable unit is "conversations whose turns are
+    identical except the final assistant turn". Grouping key = an
+    order-aware fingerprint of the prompt prefix (every turn except
+    the last); within a group the highest-scored response is
+    ``chosen`` and each *content-distinct* other response yields one
+    ``(chosen, rejected)`` row.
+
+    Eligibility: a conversation enters a group only if its final turn
+    (max ``order_col``) has ``role == assistant_role`` and at least
+    one prompt turn precedes it. ``score_col`` is a per-turn column
+    (e.g. a reward-model output); the conversation's score is its
+    final turn's value. When ``score_col`` is None the final
+    response's whitespace token count stands in as a deterministic
+    proxy (documented heuristic — length is NOT a reward model; pass
+    real scores in production).
+
+    Output (one row per rejected alternative):
+    ``(prompt_fp, n_candidates, chosen_conv, rejected_conv,
+    chosen_text, rejected_text, chosen_score, rejected_score,
+    margin)`` with ``margin = chosen_score - rejected_score``. The
+    prompt's text is intentionally NOT materialized here — it is the
+    chosen conversation's turns minus the last, one semi-join away —
+    so corpus text bytes never ride the group shuffle.
+
+    PLAN SHAPE (the 100 TB property, same algebra as
+    :func:`conversation_duplicates`): the prefix fingerprint is
+    derived by SUBTRACTION — one map-side-combinable aggregate
+    computes the whole-conversation lane sums plus ``max_by`` of the
+    final turn's lanes, and prefix lanes = total − final. No second
+    scan, no per-group sort, no ``collect_list``; only
+    ``(conv_id, a-few-longs, final-turn text)`` reach the first
+    exchange, and the pairing is a single window over ``prompt_fp``
+    (chosen carried by ``first(...)`` — no self-join). Two shuffles
+    total. Group sizes are bounded by the per-prompt sample count, so
+    no skew path is needed.
+    """
+    payload = F.concat(
+        F.col(order_col).cast("string"),
+        F.lit(_FIELD_SEP),
+        F.coalesce(F.col(role_col), F.lit("")),
+        F.lit(_FIELD_SEP),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    h = F.md5(payload)
+
+    def lane(start: int):
+        return F.conv(F.substring(h, start, 8), 16, 10).cast("long")
+
+    score = (
+        F.col(score_col).cast("double")
+        if score_col is not None
+        else token_count(F.col(text_col)).cast("double")
+    )
+    final = F.struct(
+        lane(1).alias("a"),
+        lane(17).alias("b"),
+        F.length(payload).alias("len"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("role"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+        score.alias("score"),
+    )
+    agg = turns.groupBy(conv_col).agg(
+        F.count("*").alias("__n"),
+        F.sum(lane(1)).alias("__a"),
+        F.sum(lane(17)).alias("__b"),
+        F.sum(F.length(payload)).alias("__len"),
+        F.max_by(final, F.col(order_col)).alias("__f"),
+    )
+    cand = agg.where(
+        (F.col("__f.role") == assistant_role) & (F.col("__n") >= 2)
+    ).select(
+        F.col(conv_col).alias("conv"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                (F.col("__n") - 1).cast("string"),
+                (F.col("__a") - F.col("__f.a")).cast("string"),
+                (F.col("__b") - F.col("__f.b")).cast("string"),
+                (F.col("__len") - F.col("__f.len")).cast("string"),
+            )
+        ).alias("prompt_fp"),
+        F.md5(F.col("__f.text")).alias("__resp_h"),
+        F.col("__f.text").alias("resp_text"),
+        F.col("__f.score").alias("resp_score"),
+    )
+    # chosen = highest score, ties broken by conv id for determinism;
+    # first(...) over the same ordering carries the chosen row's fields
+    # to every group member — no self-join back on prompt_fp
+    w = Window.partitionBy("prompt_fp").orderBy(
+        F.col("resp_score").desc(), F.col("conv").asc()
+    )
+    wg = Window.partitionBy("prompt_fp")
+    ranked = cand.select(
+        "prompt_fp",
+        "conv",
+        "__resp_h",
+        "resp_text",
+        "resp_score",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(wg).alias("n_candidates"),
+        F.first("conv").over(w).alias("chosen_conv"),
+        F.first("__resp_h").over(w).alias("__chosen_h"),
+        F.first("resp_text").over(w).alias("chosen_text"),
+        F.first("resp_score").over(w).alias("chosen_score"),
+    )
+    return ranked.where(
+        (F.col("__rn") > 1) & (F.col("__resp_h") != F.col("__chosen_h"))
+    ).select(
+        "prompt_fp",
+        "n_candidates",
+        "chosen_conv",
+        F.col("conv").alias("rejected_conv"),
+        "chosen_text",
+        F.col("resp_text").alias("rejected_text"),
+        "chosen_score",
+        F.col("resp_score").alias("rejected_score"),
+        (F.col("chosen_score") - F.col("resp_score")).alias("margin"),
+    )
+
+
 def conversation_duplicates(
     turns: DataFrame,
     conv_col: str = "conv_id",

@@ -49,10 +49,51 @@ def synth(spark, n_convs: int, out_dir: str) -> None:
     t.unionByName(clones).write.mode("overwrite").parquet(out_dir)
 
 
+REGEN_EVERY = 37
+
+
+def synth_prefs(spark, src_pq: str, out_dir: str) -> None:
+    """Preference-mining corpus derived from the base transcripts: every
+    final turn forced to the assistant role (eligibility), and every
+     37th conversation given a regenerated-final-turn alternative with a
+    distinct conv_id — a true preference group of size 2."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    turns = spark.read.parquet(src_pq)
+    w = Window.partitionBy("conv_id")
+    mx = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.max("turn_idx").over(w).alias("__mx"),
+    )
+    is_final = F.col("turn_idx") == F.col("__mx")
+    base = mx.select(
+        "conv_id",
+        "turn_idx",
+        F.when(is_final, F.lit("assistant")).otherwise(F.col("role")).alias("role"),
+        "text",
+        "__mx",
+    )
+    alt = base.where(F.pmod(F.xxhash64("conv_id"), F.lit(REGEN_EVERY)) == 0).select(
+        F.concat(F.col("conv_id"), F.lit("_regen")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(is_final, F.concat(F.lit("regenerated: "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "__mx",
+    )
+    base.unionByName(alt).drop("__mx").write.mode("overwrite").parquet(out_dir)
+
+
 def run(spark, n_convs: int, work_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from graphrole_spark.functions.conversations import (
+        assemble_preference_pairs,
         assemble_sft_examples,
         conversation_duplicates,
         conversation_near_duplicates,
@@ -111,6 +152,32 @@ def run(spark, n_convs: int, work_dir: str) -> dict:
     out["near_dup_planted_found"] = int(row["n_planted"])
     out["near_dup_planted_total"] = int(
         turns.where(F.col("conv_id").endswith("_replay"))
+        .select("conv_id")
+        .distinct()
+        .count()
+    )
+
+    ppq = os.path.join(work_dir, f"prefs_{n_convs}")
+    if not os.path.exists(os.path.join(ppq, "_SUCCESS")):
+        synth_prefs(spark, pq, ppq)
+    pref_turns = spark.read.parquet(ppq)
+    t0 = time.time()
+    pp = assemble_preference_pairs(pref_turns)
+    # the regenerated alternative gains one token ("regenerated:") so it
+    # wins the length-proxy score: a planted pair is recalled iff
+    # chosen == rejected + "_regen"
+    planted = F.sum(
+        F.when(
+            F.col("chosen_conv") == F.concat(F.col("rejected_conv"), F.lit("_regen")),
+            1,
+        ).otherwise(0)
+    )
+    row = pp.agg(F.count("*").alias("n"), planted.alias("n_planted")).collect()[0]
+    out["pref_sec"] = round(time.time() - t0, 2)
+    out["pref_pairs"] = int(row["n"])
+    out["pref_planted_found"] = int(row["n_planted"])
+    out["pref_planted_total"] = int(
+        pref_turns.where(F.col("conv_id").endswith("_regen"))
         .select("conv_id")
         .distinct()
         .count()

@@ -477,3 +477,176 @@ def test_conversation_near_duplicates_signature_plan(spark):
     assert plan.count("collect_set") <= 4, plan[:4000]
     # the signature min-aggs are codegen'd hash aggregates
     assert "xxhash64" in plan, plan[:4000]
+
+
+# --------------------------------------------------------------------------
+# assemble_preference_pairs
+# --------------------------------------------------------------------------
+
+_PREFIX = [
+    (0, "user", "please summarize the report"),
+    (1, "assistant", "which section do you mean"),
+    (2, "user", "the methods section"),
+]
+
+
+def _pref_rows(conv, final_text, final_role="assistant", prefix=None):
+    pre = prefix if prefix is not None else _PREFIX
+    rows = [(conv, i, r, t, TS0.format(i % 10)) for i, r, t in pre]
+    rows.append((conv, len(pre), final_role, final_text, TS0.format(len(pre) % 10)))
+    return rows
+
+
+def test_preference_pairs_handcrafted(spark):
+    from graphrole_spark.functions.conversations import assemble_preference_pairs
+
+    rows = (
+        _pref_rows("p1", "alpha beta gamma")        # 3 tokens -> chosen
+        + _pref_rows("p2", "alpha beta")            # 2 tokens -> rejected
+        + _pref_rows("p3", "alpha")                 # 1 token  -> rejected
+        + _pref_rows("p4", "ignored", final_role="user")   # final not assistant
+        + _pref_rows("p5", "alpha beta gamma")      # same content as chosen
+        + _pref_rows("q1", "lone answer",
+                     prefix=[(0, "user", "a different prompt entirely")])
+    )
+    out = assemble_preference_pairs(_turns(spark, rows))
+    got = {(r["chosen_conv"], r["rejected_conv"]): r.asDict() for r in out.collect()}
+    # p1/p5 tie on score (same text): min conv_id wins -> chosen p1; the
+    # content-identical p5 must NOT appear as a rejected alternative
+    assert set(got) == {("p1", "p2"), ("p1", "p3")}
+    assert got[("p1", "p2")]["margin"] == 1.0
+    assert got[("p1", "p3")]["margin"] == 2.0
+    assert got[("p1", "p2")]["chosen_text"] == "alpha beta gamma"
+    assert got[("p1", "p2")]["rejected_text"] == "alpha beta"
+    # group = p1,p2,p3,p5 (p4 ineligible, q1 a different prompt)
+    assert got[("p1", "p2")]["n_candidates"] == 4
+    # both emitted rows share one prompt fingerprint
+    assert len({v["prompt_fp"] for v in got.values()}) == 1
+
+
+def test_preference_pairs_score_col_and_prefix_sensitivity(spark):
+    from graphrole_spark.functions.conversations import assemble_preference_pairs
+
+    rows = (
+        _pref_rows("a1", "short")                    # reward 9.0 -> chosen
+        + _pref_rows("a2", "much longer response text here")  # reward 1.5
+        # a3: one PROMPT turn edited -> different group, no partner
+        + _pref_rows("a3", "short", prefix=[
+            (0, "user", "please summarize the report"),
+            (1, "assistant", "WHICH section do you mean"),
+            (2, "user", "the methods section"),
+        ])
+    )
+    reward = {"a1": 9.0, "a2": 1.5, "a3": 5.0}
+    scored = [r + (reward[r[0]],) for r in rows]
+    df = spark.createDataFrame(
+        scored,
+        "conv_id string, turn_idx int, role string, text string, "
+        "ts string, reward double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = assemble_preference_pairs(df, score_col="reward")
+    got = {(r["chosen_conv"], r["rejected_conv"]): r.asDict() for r in out.collect()}
+    # explicit reward beats the length proxy: a1 chosen despite shorter text
+    assert set(got) == {("a1", "a2")}
+    assert got[("a1", "a2")]["margin"] == 7.5
+    assert got[("a1", "a2")]["n_candidates"] == 2
+
+
+def test_preference_pairs_duckdb_parity(spark):
+    """Full-semantics value parity vs DuckDB on a randomized corpus —
+    the tail-entry stand-in for the driver oracle (registry window is
+    full). The SQL mirrors the subtraction algebra: prefix lanes =
+    whole-conversation lane sums minus the final turn's lanes."""
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(29)
+    rows = []
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    for g in range(12):
+        pre = [(i, "user" if i % 2 == 0 else "assistant",
+                f"prompt {g} turn {i} {rng.choice(vocab)}")
+               for i in range(rng.randint(1, 4))]
+        for v in range(rng.randint(1, 4)):
+            final_role = "assistant" if rng.random() < 0.8 else "user"
+            final = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 5)))
+            rows += _pref_rows(f"g{g:02d}v{v}", final, final_role=final_role,
+                               prefix=pre)
+    from graphrole_spark.functions.conversations import assemble_preference_pairs
+
+    spark_pdf = (
+        assemble_preference_pairs(_turns(spark, rows))
+        .orderBy("chosen_conv", "rejected_conv")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "ts"])
+    con = duckdb.connect()
+    con.register("turns", pdf)
+    oracle = con.execute("""
+        WITH h AS (
+          SELECT conv_id, turn_idx, role, text,
+                 md5(CAST(turn_idx AS VARCHAR) || chr(31) || coalesce(role, '')
+                     || chr(31) || coalesce(text, '')) AS hx,
+                 length(CAST(turn_idx AS VARCHAR) || chr(31) || coalesce(role, '')
+                        || chr(31) || coalesce(text, '')) AS ln
+          FROM turns),
+        agg AS (
+          SELECT conv_id,
+                 count(*) AS n,
+                 sum(CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT)) AS a,
+                 sum(CAST(concat('0x', substr(hx, 17, 8)) AS BIGINT)) AS b,
+                 sum(ln) AS len,
+                 max_by(hx, turn_idx) AS f_hx,
+                 max_by(ln, turn_idx) AS f_ln,
+                 max_by(role, turn_idx) AS f_role,
+                 max_by(text, turn_idx) AS f_text
+          FROM h GROUP BY conv_id),
+        cand AS (
+          SELECT conv_id AS conv,
+                 md5(concat_ws('|',
+                   CAST(n - 1 AS VARCHAR),
+                   CAST(CAST(a - CAST(concat('0x', substr(f_hx, 1, 8)) AS BIGINT)
+                        AS BIGINT) AS VARCHAR),
+                   CAST(CAST(b - CAST(concat('0x', substr(f_hx, 17, 8)) AS BIGINT)
+                        AS BIGINT) AS VARCHAR),
+                   CAST(CAST(len - f_ln AS BIGINT) AS VARCHAR))) AS prompt_fp,
+                 md5(f_text) AS resp_h,
+                 f_text AS resp_text,
+                 CAST(CASE WHEN length(trim(f_text)) = 0 THEN 0
+                      ELSE length(f_text) - length(replace(f_text, ' ', ''))
+                           + 1 END AS DOUBLE) AS resp_score
+          FROM agg WHERE f_role = 'assistant' AND n >= 2),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER w AS rn,
+                 count(*) OVER (PARTITION BY prompt_fp) AS n_candidates,
+                 first_value(conv) OVER w AS chosen_conv,
+                 first_value(resp_h) OVER w AS chosen_h,
+                 first_value(resp_text) OVER w AS chosen_text,
+                 first_value(resp_score) OVER w AS chosen_score
+          FROM cand
+          WINDOW w AS (PARTITION BY prompt_fp ORDER BY resp_score DESC, conv ASC))
+        SELECT prompt_fp, CAST(n_candidates AS BIGINT) AS n_candidates,
+               chosen_conv, conv AS rejected_conv,
+               chosen_text, resp_text AS rejected_text,
+               chosen_score, resp_score AS rejected_score,
+               chosen_score - resp_score AS margin
+        FROM ranked WHERE rn > 1 AND resp_h <> chosen_h
+        ORDER BY chosen_conv, rejected_conv
+    """).df().reset_index(drop=True)
+    assert len(spark_pdf) == len(oracle) and len(spark_pdf) > 0
+    pd.testing.assert_frame_equal(spark_pdf, oracle, check_dtype=False)
+
+
+def test_preference_pairs_plan_shape(spark):
+    """One map-side-combinable hash aggregate + one window exchange —
+    no collect_list, no self-join back on prompt_fp."""
+    from graphrole_spark.functions.conversations import assemble_preference_pairs
+
+    out = assemble_preference_pairs(
+        _turns(spark, _pref_rows("c", "x") + _pref_rows("d", "y")))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan, plan[:4000]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan[:4000]
+    assert plan.count("Exchange") <= 2, plan[:4000]
