@@ -1360,6 +1360,26 @@ def q_preference_pairs(spark, sf_dir):
     return assemble_preference_pairs(corpus)
 
 
+def q_compact_trajectories(spark, sf_dir):
+    """Agent-trajectory context compaction
+    (functions/conversations.py::compact_trajectories): elide the
+    oldest tool-output turns of each over-budget conversation until it
+    fits the token budget (recent ``keep_last`` turns protected,
+    structure preserved, unfittable conversations flagged). Runs on
+    the events-derived transcripts with their md5-derived tool column;
+    budget chosen so the heavy-tail conversations actually elide."""
+    from graphrole_spark.functions.conversations import compact_trajectories
+
+    # the events texts are ~2-token JSON snippets, so the default
+    # 3-token placeholder could never save anything: use a 1-token one
+    return compact_trajectories(
+        _events_as_transcripts(spark, sf_dir),
+        max_tokens=150,
+        keep_last=2,
+        placeholder="[elided]",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -1464,6 +1484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantics DuckDB value parity pytest-pinned
         # (test_preference_pairs_duckdb_parity)
         "preference_pairs": q_preference_pairs,
+        # compact_trajectories: SQL-expressible but past the 50-entry
+        # window; exact python-oracle parity pytest-pinned
+        # (test_compact_trajectories_python_parity)
+        "compact_trajectories": q_compact_trajectories,
     }
 
 

@@ -131,6 +131,7 @@ def main() -> None:
         "tool_transitions",
         "conv_near_dup",
         "preference_pairs",
+        "compact_trajectories",
         "dedup_exact",
         "corpus_clean",
         "quality",

@@ -500,6 +500,98 @@ def assemble_preference_pairs(
     )
 
 
+def compact_trajectories(
+    turns: DataFrame,
+    max_tokens: int = 2048,
+    keep_last: int = 2,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    placeholder: str = "[tool output elided]",
+) -> DataFrame:
+    """Agent-trajectory context compaction: elide the OLDEST tool-output
+    turns of each over-budget conversation until it fits ``max_tokens``
+    — the standard prep step before packing long agent sessions into a
+    model context (tool outputs dominate trajectory length but stale
+    ones carry little training signal; roles/structure stay intact).
+
+    A turn is *elidable* when its ``tool_col`` is non-empty and it is
+    not among the conversation's last ``keep_last`` turns (recent tool
+    results are the ones the final assistant turns condition on).
+    Eliding replaces the text with ``placeholder`` (whose whitespace
+    token count, usually 3, is the residual cost). Greedy front-first:
+    elidable turns are taken in ``order_col`` order until the running
+    savings cover the overage; already-fitting conversations pass
+    through untouched.
+
+    Output: every input turn as ``(conv_id, turn_idx, role, text,
+    elided, n_tokens, conv_tokens, conv_fits)`` where ``text``/
+    ``n_tokens`` reflect the elision, ``conv_tokens`` is the
+    conversation's post-compaction total and ``conv_fits`` flags
+    whether the budget was reached (a conversation whose non-elidable
+    turns alone exceed the budget cannot fit — flagged, not dropped;
+    chunk or truncate downstream).
+
+    PLAN SHAPE: two window passes over ONE ``conv_col`` partitioning
+    (total/rank bookkeeping, then the savings cumsum over elidable
+    turns) — Spark plans a single exchange and sorts within it; no
+    joins, no collect, text bytes stay in place (the shuffle carries
+    each turn once, unavoidable for a per-turn rewrite keyed on
+    conversation state).
+    """
+    ph_tokens = len([t for t in placeholder.split(" ") if t])
+    w = Window.partitionBy(conv_col)
+    w_ord = w.orderBy(F.col(order_col).asc())
+    w_rev = w.orderBy(F.col(order_col).desc())
+    tok = token_count(F.col(text_col)).cast("long")
+    base = turns.select(
+        conv_col,
+        order_col,
+        role_col,
+        text_col,
+        tok.alias("__tok"),
+        (
+            (F.length(F.trim(F.coalesce(F.col(tool_col), F.lit("")))) > 0)
+            & (F.row_number().over(w_rev) > keep_last)
+        ).alias("__elidable"),
+    )
+    saving = F.when(
+        F.col("__elidable") & (F.col("__tok") > ph_tokens),
+        F.col("__tok") - F.lit(ph_tokens),
+    ).otherwise(F.lit(0))
+    staged = base.select(
+        conv_col,
+        order_col,
+        role_col,
+        text_col,
+        "__tok",
+        saving.alias("__save"),
+        F.sum("__tok").over(w).alias("__total"),
+        F.sum(saving).over(w_ord).alias("__cum_save"),
+    )
+    overage = F.greatest(F.col("__total") - F.lit(max_tokens), F.lit(0))
+    # greedy front-first: elide while the PRIOR turns' savings have not
+    # yet covered the overage (cumsum includes self, so prior = cum - own)
+    elide = (F.col("__save") > 0) & (
+        (F.col("__cum_save") - F.col("__save")) < overage
+    )
+    conv_tokens = F.col("__total") - F.sum(
+        F.when(elide, F.col("__save")).otherwise(F.lit(0))
+    ).over(w)
+    return staged.select(
+        conv_col,
+        order_col,
+        role_col,
+        F.when(elide, F.lit(placeholder)).otherwise(F.col(text_col)).alias(text_col),
+        elide.cast("int").alias("elided"),
+        F.when(elide, F.lit(ph_tokens)).otherwise(F.col("__tok")).alias("n_tokens"),
+        conv_tokens.alias("conv_tokens"),
+        (conv_tokens <= max_tokens).cast("int").alias("conv_fits"),
+    )
+
+
 def conversation_duplicates(
     turns: DataFrame,
     conv_col: str = "conv_id",

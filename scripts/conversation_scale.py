@@ -182,6 +182,19 @@ def run(spark, n_convs: int, work_dir: str) -> dict:
         .distinct()
         .count()
     )
+
+    from graphrole_spark.functions.conversations import compact_trajectories
+
+    t0 = time.time()
+    ct = compact_trajectories(turns, max_tokens=256, keep_last=2)
+    row = ct.agg(
+        F.count("*").alias("n"),
+        F.sum("elided").alias("n_elided"),
+        F.sum(F.when(F.col("conv_fits") == 0, 1).otherwise(0)).alias("unfit_turns"),
+    ).collect()[0]
+    out["compact_sec"] = round(time.time() - t0, 2)
+    out["compact_elided"] = int(row["n_elided"])
+    out["compact_unfit_turns"] = int(row["unfit_turns"])
     return out
 
 

@@ -650,3 +650,129 @@ def test_preference_pairs_plan_shape(spark):
     assert "collect_list" not in plan, plan[:4000]
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan[:4000]
     assert plan.count("Exchange") <= 2, plan[:4000]
+
+
+# --------------------------------------------------------------------------
+# compact_trajectories
+# --------------------------------------------------------------------------
+
+def _turns_tool2(spark, rows):
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    return df
+
+
+def _compact_oracle(rows, budget, keep_last, ph_tokens=3):
+    """Brute-force the documented greedy-front-first semantics."""
+    from collections import defaultdict
+
+    convs = defaultdict(list)
+    for r in rows:
+        convs[r[0]].append(r)
+    out = {}
+    for conv, ts in convs.items():
+        ts = sorted(ts, key=lambda r: r[1])
+        toks = [len([x for x in (r[3] or "").split(" ") if x]) for r in ts]
+        total = sum(toks)
+        n = len(ts)
+        elidable = [
+            (r[4] or "").strip() != "" and i < n - keep_last
+            for i, r in enumerate(ts)
+        ]
+        overage = max(total - budget, 0)
+        saved = 0
+        elided = [False] * n
+        for i in range(n):
+            save = toks[i] - ph_tokens if elidable[i] and toks[i] > ph_tokens else 0
+            if save > 0 and saved < overage:
+                elided[i] = True
+                saved += save
+        conv_tokens = total - saved
+        for i, r in enumerate(ts):
+            out[(conv, r[1])] = (
+                int(elided[i]),
+                ph_tokens if elided[i] else toks[i],
+                conv_tokens,
+                int(conv_tokens <= budget),
+            )
+    return out
+
+
+def test_compact_trajectories_handcrafted(spark):
+    from graphrole_spark.functions.conversations import compact_trajectories
+
+    rows = [
+        ("c", 0, "user", "please run the tests", ""),               # 4
+        ("c", 1, "tool", " ".join(["log"] * 30), "bash"),           # 30, elidable
+        ("c", 2, "assistant", "they fail", ""),                     # 2
+        ("c", 3, "tool", " ".join(["trace"] * 20), "bash"),         # 20, elidable
+        ("c", 4, "tool", "final output ok", "bash"),                # 3, in keep_last
+        ("c", 5, "assistant", "fixed now", ""),                     # 2, in keep_last
+        ("d", 0, "user", "hi there", ""),                           # under budget
+        ("d", 1, "assistant", "hello", ""),
+    ]
+    # c total = 61; budget 40 -> overage 21; eliding turn 1 saves 27 >= 21
+    out = compact_trajectories(
+        _turns_tool2(spark, rows), max_tokens=40, keep_last=2)
+    got = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in out.collect()}
+    assert got[("c", 1)]["elided"] == 1
+    assert got[("c", 1)]["text"] == "[tool output elided]"
+    assert got[("c", 1)]["n_tokens"] == 3
+    # turn 3 NOT elided: turn 1's savings already covered the overage
+    assert got[("c", 3)]["elided"] == 0
+    assert got[("c", 3)]["text"].startswith("trace")
+    # keep_last protects turn 4 even though it's a tool turn
+    assert got[("c", 4)]["elided"] == 0
+    assert got[("c", 0)]["conv_tokens"] == 61 - 27
+    assert got[("c", 0)]["conv_fits"] == 1
+    # d untouched
+    assert got[("d", 0)]["elided"] == 0 and got[("d", 0)]["conv_fits"] == 1
+    assert got[("d", 0)]["text"] == "hi there"
+
+
+def test_compact_trajectories_unfittable_flagged(spark):
+    from graphrole_spark.functions.conversations import compact_trajectories
+
+    rows = [
+        ("c", 0, "user", " ".join(["w"] * 50), ""),     # non-elidable 50
+        ("c", 1, "tool", " ".join(["x"] * 10), "bash"),
+        ("c", 2, "assistant", "done", ""),
+    ]
+    out = compact_trajectories(_turns_tool2(spark, rows), max_tokens=20, keep_last=1)
+    got = {r["turn_idx"]: r.asDict() for r in out.collect()}
+    assert got[1]["elided"] == 1                 # every elidable turn spent
+    assert got[0]["conv_fits"] == 0              # still over budget: flagged
+    assert got[0]["conv_tokens"] == 50 + 3 + 1
+
+
+def test_compact_trajectories_python_parity(spark):
+    from graphrole_spark.functions.conversations import compact_trajectories
+
+    rng = random.Random(17)
+    rows = []
+    for c in range(40):
+        n = rng.randint(2, 12)
+        for i in range(n):
+            is_tool = rng.random() < 0.4
+            nw = rng.randint(1, 40) if is_tool else rng.randint(1, 8)
+            rows.append((f"c{c:02d}", i, "tool" if is_tool else "user",
+                         " ".join(f"w{j}" for j in range(nw)),
+                         "bash" if is_tool else ""))
+    out = compact_trajectories(_turns_tool2(spark, rows), max_tokens=60, keep_last=2)
+    got = {(r["conv_id"], r["turn_idx"]):
+           (r["elided"], r["n_tokens"], r["conv_tokens"], r["conv_fits"])
+           for r in out.collect()}
+    assert got == _compact_oracle(rows, 60, 2)
+
+
+def test_compact_trajectories_plan_shape(spark):
+    """All window passes share the one conv_id partitioning — a single
+    exchange, no joins, no collect."""
+    from graphrole_spark.functions.conversations import compact_trajectories
+
+    out = compact_trajectories(
+        _turns_tool2(spark, [("c", 0, "u", "x", ""), ("c", 1, "t", "y z", "bash")]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:4000]
+    assert plan.count("Exchange") <= 1, plan[:4000]
