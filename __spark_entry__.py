@@ -1360,6 +1360,27 @@ def q_preference_pairs(spark, sf_dir):
     return assemble_preference_pairs(corpus)
 
 
+def q_conv_split(spark, sf_dir):
+    """Leakage-safe conversation-grain train/val/test split
+    (functions/conversations.py::split_conversations): splits are
+    assigned by hashing the duplicate-group fingerprint, never the
+    conversation id, so byte-identical re-exports can never straddle
+    train and test. Plants such re-exports for ~1/8 of conversations —
+    exactly the rows a naive id-hash split scatters."""
+    from graphrole_spark.functions.conversations import split_conversations
+
+    t = _events_as_transcripts(spark, sf_dir)
+    pick = F.substring(F.md5(F.col("conv_id")), 1, 1).isin(*"01")
+    clones = t.where(pick).select(
+        F.concat(F.lit("dup_"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        "text",
+    )
+    corpus = t.select("conv_id", "turn_idx", "role", "text").unionByName(clones)
+    return split_conversations(corpus)
+
+
 def q_compact_trajectories(spark, sf_dir):
     """Agent-trajectory context compaction
     (functions/conversations.py::compact_trajectories): elide the
@@ -1488,6 +1509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; exact python-oracle parity pytest-pinned
         # (test_compact_trajectories_python_parity)
         "compact_trajectories": q_compact_trajectories,
+        # conv_split: SQL-expressible but past the 50-entry window;
+        # full-semantics DuckDB value parity pytest-pinned
+        # (test_split_conversations_duckdb_parity)
+        "conv_split": q_conv_split,
     }
 
 

@@ -132,6 +132,7 @@ def main() -> None:
         "conv_near_dup",
         "preference_pairs",
         "compact_trajectories",
+        "conv_split",
         "dedup_exact",
         "corpus_clean",
         "quality",

@@ -592,6 +592,149 @@ def compact_trajectories(
     )
 
 
+def _conversation_fingerprints(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """(conv_col, conv_fingerprint): the position-aware mergeable
+    multiset hash documented on :func:`conversation_duplicates` — one
+    map-side-combinable aggregate, text bytes never shuffle. Shared by
+    the dedup (adds the group window) and the leakage-safe split
+    (hashes the fingerprint directly, no window needed)."""
+    payload = F.concat(
+        F.col(order_col).cast("string"),
+        F.lit(_FIELD_SEP),
+        F.coalesce(F.col(role_col), F.lit("")),
+        F.lit(_FIELD_SEP),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    h = F.md5(payload)
+
+    def lane(start: int):
+        return F.conv(F.substring(h, start, 8), 16, 10).cast("long")
+
+    return (
+        turns.groupBy(conv_col)
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(lane(1)).alias("__a"),
+            F.sum(lane(17)).alias("__b"),
+            F.sum(F.length(payload)).alias("__len"),
+        )
+        .select(
+            conv_col,
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("__n").cast("string"),
+                    F.col("__a").cast("string"),
+                    F.col("__b").cast("string"),
+                    F.col("__len").cast("string"),
+                )
+            ).alias("conv_fingerprint"),
+        )
+    )
+
+
+def split_conversations(
+    turns: DataFrame,
+    test_frac: float = 0.1,
+    val_frac: float = 0.1,
+    salt: str = "v1",
+    near_dup_pairs: DataFrame | None = None,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Leakage-safe train/val/test split at CONVERSATION grain:
+    ``(conv_id, split_key, split)`` with splits assigned by hashing a
+    duplicate-group key, never the conversation id — so byte-identical
+    re-exports of one session can never straddle train and test (the
+    classic eval-contamination leak that a naive per-id hash split
+    permits), and turns never split apart (the split is per
+    conversation by construction).
+
+    Group key: the order-aware content fingerprint of
+    :func:`conversation_duplicates` (identical conversations → same
+    key → same split, any salt). With ``near_dup_pairs`` — a
+    ``(conv_a, conv_b)`` frame, e.g. from
+    :func:`conversation_near_duplicates` — groups widen to the
+    connected components of (exact-dup ∪ near-dup) edges, so
+    one-edited-turn re-exports co-travel too (transitively).
+
+    Assignment mirrors the document splitter's portable hash: ``u =
+    first-8-hex(md5(key||':'||salt)) / 2^32``; ``u < test_frac`` →
+    test, ``< test_frac + val_frac`` → val, else train. Deterministic
+    across runs/partitionings; re-salting reshuffles every group as a
+    unit.
+
+    PLAN SHAPE: exact mode is ONE map-side-combinable aggregate and a
+    hash projection — no window, no join; pair mode adds the
+    alternating-star CC (``functions/dedup_graph.py``, node-key
+    shuffles bounded by pair count, not corpus size) and one
+    fingerprint-grain join back.
+    """
+    fps = _conversation_fingerprints(turns, conv_col, order_col, role_col, text_col)
+    if near_dup_pairs is None:
+        keyed = fps.select(conv_col, F.col("conv_fingerprint").alias("split_key"))
+    else:
+        from graphrole_spark.functions.dedup_graph import connected_components
+
+        a, b = near_dup_pairs.columns[:2]
+        # exact-dup identity edges (conv -> its fingerprint-group min)
+        # bridge near-dup components across byte-identical re-exports
+        gmin = Window.partitionBy("conv_fingerprint")
+        exact_edges = (
+            fps.select(
+                conv_col, F.min(conv_col).over(gmin).alias("__rep")
+            )
+            .where(F.col(conv_col) != F.col("__rep"))
+            .select(F.col(conv_col).alias("__ea"), F.col("__rep").alias("__eb"))
+        )
+        edges = near_dup_pairs.select(
+            F.col(a).alias("__ea"), F.col(b).alias("__eb")
+        ).unionByName(exact_edges)
+        comp = connected_components(edges, src="__ea", dst="__eb")
+        keyed = (
+            fps.join(
+                comp.select(
+                    F.col("node").alias(conv_col),
+                    F.col("component").alias("__comp"),
+                ),
+                conv_col,
+                "left",
+            )
+            # isolated conversations (no dup of any kind) key on their
+            # own fingerprint; grouped ones on the component rep
+            .select(
+                conv_col,
+                F.coalesce(F.col("__comp"), F.col("conv_fingerprint")).alias(
+                    "split_key"
+                ),
+            )
+        )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("split_key"), F.lit(":" + salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    split = (
+        F.when(u < F.lit(float(test_frac)), F.lit("test"))
+        .when(u < F.lit(float(test_frac + val_frac)), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return keyed.select(conv_col, "split_key", split.alias("split"))
+
+
 def conversation_duplicates(
     turns: DataFrame,
     conv_col: str = "conv_id",
@@ -632,39 +775,7 @@ def conversation_duplicates(
     Two shuffles total: the tiny per-conversation digest, then the
     window exchange on the fingerprint ranking each duplicate group.
     """
-    payload = F.concat(
-        F.col(order_col).cast("string"),
-        F.lit(_FIELD_SEP),
-        F.coalesce(F.col(role_col), F.lit("")),
-        F.lit(_FIELD_SEP),
-        F.coalesce(F.col(text_col), F.lit("")),
-    )
-    h = F.md5(payload)
-
-    def lane(start: int):
-        return F.conv(F.substring(h, start, 8), 16, 10).cast("long")
-
-    fp = (
-        turns.groupBy(conv_col)
-        .agg(
-            F.count("*").alias("__n"),
-            F.sum(lane(1)).alias("__a"),
-            F.sum(lane(17)).alias("__b"),
-            F.sum(F.length(payload)).alias("__len"),
-        )
-        .select(
-            conv_col,
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("__n").cast("string"),
-                    F.col("__a").cast("string"),
-                    F.col("__b").cast("string"),
-                    F.col("__len").cast("string"),
-                )
-            ).alias("conv_fingerprint"),
-        )
-    )
+    fp = _conversation_fingerprints(turns, conv_col, order_col, role_col, text_col)
     w = Window.partitionBy("conv_fingerprint")
     return fp.select(
         conv_col,

@@ -89,7 +89,7 @@ def synth_prefs(spark, src_pq: str, out_dir: str) -> None:
     base.unionByName(alt).drop("__mx").write.mode("overwrite").parquet(out_dir)
 
 
-def run(spark, n_convs: int, work_dir: str) -> dict:
+def run(spark, n_convs: int, work_dir: str, ops: set[str]) -> dict:
     from pyspark.sql import functions as F
 
     from graphrole_spark.functions.conversations import (
@@ -109,92 +109,118 @@ def run(spark, n_convs: int, work_dir: str) -> dict:
         "n_turns": turns.count(),  # also warms the page cache for parity
     }
 
-    t0 = time.time()
-    sft = assemble_sft_examples(turns, target_roles=("assistant",), max_tokens=256)
-    row = sft.agg(
-        F.count("*").alias("n"), F.sum("fits_budget").alias("n_fit")
-    ).collect()[0]
-    out["sft_sec"] = round(time.time() - t0, 2)
-    out["sft_examples"] = int(row["n"])
-    out["sft_fit_budget"] = int(row["n_fit"])
+    if "sft" in ops:
+        t0 = time.time()
+        sft = assemble_sft_examples(turns, target_roles=("assistant",), max_tokens=256)
+        row = sft.agg(
+            F.count("*").alias("n"), F.sum("fits_budget").alias("n_fit")
+        ).collect()[0]
+        out["sft_sec"] = round(time.time() - t0, 2)
+        out["sft_examples"] = int(row["n"])
+        out["sft_fit_budget"] = int(row["n_fit"])
 
-    t0 = time.time()
-    integ = transcript_integrity(turns)
-    row = integ.agg(
-        F.count("*").alias("n"), F.sum("is_valid").alias("n_valid")
-    ).collect()[0]
-    out["integrity_sec"] = round(time.time() - t0, 2)
-    out["integrity_convs"] = int(row["n"])
-    out["integrity_valid"] = int(row["n_valid"])
+    if "integrity" in ops:
+        t0 = time.time()
+        integ = transcript_integrity(turns)
+        row = integ.agg(
+            F.count("*").alias("n"), F.sum("is_valid").alias("n_valid")
+        ).collect()[0]
+        out["integrity_sec"] = round(time.time() - t0, 2)
+        out["integrity_convs"] = int(row["n"])
+        out["integrity_valid"] = int(row["n_valid"])
 
-    t0 = time.time()
-    dd = conversation_duplicates(turns)
-    row = dd.agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("keep") == 0, 1).otherwise(0)).alias("n_dropped"),
-        F.max("group_size").alias("max_group"),
-    ).collect()[0]
-    out["dedup_sec"] = round(time.time() - t0, 2)
-    out["dedup_convs"] = int(row["n"])
-    out["dedup_dropped"] = int(row["n_dropped"])
-    out["dedup_max_group"] = int(row["max_group"])
+    if "dedup" in ops:
+        t0 = time.time()
+        dd = conversation_duplicates(turns)
+        row = dd.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("keep") == 0, 1).otherwise(0)).alias("n_dropped"),
+            F.max("group_size").alias("max_group"),
+        ).collect()[0]
+        out["dedup_sec"] = round(time.time() - t0, 2)
+        out["dedup_convs"] = int(row["n"])
+        out["dedup_dropped"] = int(row["n_dropped"])
+        out["dedup_max_group"] = int(row["max_group"])
 
-    t0 = time.time()
-    nd = conversation_near_duplicates(turns, jaccard_threshold=0.8)
-    planted_found = F.sum(
-        F.when(
-            F.col("conv_b") == F.concat(F.col("conv_a"), F.lit("_replay")), 1
-        ).otherwise(0)
-    )
-    row = nd.agg(F.count("*").alias("n"), planted_found.alias("n_planted")).collect()[0]
-    out["near_dup_sec"] = round(time.time() - t0, 2)
-    out["near_dup_pairs"] = int(row["n"])
-    out["near_dup_planted_found"] = int(row["n_planted"])
-    out["near_dup_planted_total"] = int(
-        turns.where(F.col("conv_id").endswith("_replay"))
-        .select("conv_id")
-        .distinct()
-        .count()
-    )
+    if "near_dup" in ops:
+        t0 = time.time()
+        nd = conversation_near_duplicates(turns, jaccard_threshold=0.8)
+        planted_found = F.sum(
+            F.when(
+                F.col("conv_b") == F.concat(F.col("conv_a"), F.lit("_replay")), 1
+            ).otherwise(0)
+        )
+        row = nd.agg(F.count("*").alias("n"), planted_found.alias("n_planted")).collect()[0]
+        out["near_dup_sec"] = round(time.time() - t0, 2)
+        out["near_dup_pairs"] = int(row["n"])
+        out["near_dup_planted_found"] = int(row["n_planted"])
+        out["near_dup_planted_total"] = int(
+            turns.where(F.col("conv_id").endswith("_replay"))
+            .select("conv_id")
+            .distinct()
+            .count()
+        )
 
-    ppq = os.path.join(work_dir, f"prefs_{n_convs}")
-    if not os.path.exists(os.path.join(ppq, "_SUCCESS")):
-        synth_prefs(spark, pq, ppq)
-    pref_turns = spark.read.parquet(ppq)
-    t0 = time.time()
-    pp = assemble_preference_pairs(pref_turns)
-    # the regenerated alternative gains one token ("regenerated:") so it
-    # wins the length-proxy score: a planted pair is recalled iff
-    # chosen == rejected + "_regen"
-    planted = F.sum(
-        F.when(
-            F.col("chosen_conv") == F.concat(F.col("rejected_conv"), F.lit("_regen")),
-            1,
-        ).otherwise(0)
-    )
-    row = pp.agg(F.count("*").alias("n"), planted.alias("n_planted")).collect()[0]
-    out["pref_sec"] = round(time.time() - t0, 2)
-    out["pref_pairs"] = int(row["n"])
-    out["pref_planted_found"] = int(row["n_planted"])
-    out["pref_planted_total"] = int(
-        pref_turns.where(F.col("conv_id").endswith("_regen"))
-        .select("conv_id")
-        .distinct()
-        .count()
-    )
+    if "pref" in ops:
+        ppq = os.path.join(work_dir, f"prefs_{n_convs}")
+        if not os.path.exists(os.path.join(ppq, "_SUCCESS")):
+            synth_prefs(spark, pq, ppq)
+        pref_turns = spark.read.parquet(ppq)
+        t0 = time.time()
+        pp = assemble_preference_pairs(pref_turns)
+        # the regenerated alternative gains one token ("regenerated:") so it
+        # wins the length-proxy score: a planted pair is recalled iff
+        # chosen == rejected + "_regen"
+        planted = F.sum(
+            F.when(
+                F.col("chosen_conv") == F.concat(F.col("rejected_conv"), F.lit("_regen")),
+                1,
+            ).otherwise(0)
+        )
+        row = pp.agg(F.count("*").alias("n"), planted.alias("n_planted")).collect()[0]
+        out["pref_sec"] = round(time.time() - t0, 2)
+        out["pref_pairs"] = int(row["n"])
+        out["pref_planted_found"] = int(row["n_planted"])
+        out["pref_planted_total"] = int(
+            pref_turns.where(F.col("conv_id").endswith("_regen"))
+            .select("conv_id")
+            .distinct()
+            .count()
+        )
 
-    from graphrole_spark.functions.conversations import compact_trajectories
+    if "compact" in ops:
+        from graphrole_spark.functions.conversations import compact_trajectories
 
-    t0 = time.time()
-    ct = compact_trajectories(turns, max_tokens=256, keep_last=2)
-    row = ct.agg(
-        F.count("*").alias("n"),
-        F.sum("elided").alias("n_elided"),
-        F.sum(F.when(F.col("conv_fits") == 0, 1).otherwise(0)).alias("unfit_turns"),
-    ).collect()[0]
-    out["compact_sec"] = round(time.time() - t0, 2)
-    out["compact_elided"] = int(row["n_elided"])
-    out["compact_unfit_turns"] = int(row["unfit_turns"])
+        # the generator's texts are single tokens, which makes elision a
+        # no-op (nothing to save); give tool turns realistic 40-token
+        # outputs so compaction does real work
+        cpq = os.path.join(work_dir, f"compact_{n_convs}")
+        if not os.path.exists(os.path.join(cpq, "_SUCCESS")):
+            is_tool = F.length(F.trim(F.coalesce(F.col("tool"), F.lit("")))) > 0
+            turns.select(
+                "conv_id",
+                "turn_idx",
+                "role",
+                F.when(
+                    is_tool, F.rtrim(F.repeat(F.concat(F.col("text"), F.lit(" ")), 40))
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+                "tool",
+            ).write.mode("overwrite").parquet(cpq)
+        compact_turns = spark.read.parquet(cpq)
+        t0 = time.time()
+        ct = compact_trajectories(compact_turns, max_tokens=256, keep_last=2)
+        row = ct.agg(
+            F.count("*").alias("n"),
+            F.sum("elided").alias("n_elided"),
+            F.countDistinct(
+                F.when(F.col("conv_fits") == 0, F.col("conv_id"))
+            ).alias("unfit_convs"),
+        ).collect()[0]
+        out["compact_sec"] = round(time.time() - t0, 2)
+        out["compact_elided"] = int(row["n_elided"])
+        out["compact_unfit_convs"] = int(row["unfit_convs"])
     return out
 
 
@@ -203,14 +229,20 @@ def main() -> None:
     ap.add_argument("--sizes", default="10000,100000,1000000")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--work-dir", default="/tmp/conversation_scale")
+    ap.add_argument(
+        "--ops",
+        default="sft,integrity,dedup,near_dup,pref,compact",
+        help="comma list of stages to run (quiet-window remeasure of one op)",
+    )
     args = ap.parse_args()
 
     from graphrole_spark.session import get_spark
 
     spark = get_spark("conversation_scale", cores=args.cpus)
     os.makedirs(args.work_dir, exist_ok=True)
+    ops = {s.strip() for s in args.ops.split(",") if s.strip()}
     for n in [int(s) for s in args.sizes.split(",") if s]:
-        r = run(spark, n, args.work_dir)
+        r = run(spark, n, args.work_dir, ops)
         r["cpus"] = args.cpus
         print(json.dumps(r), flush=True)
         with open("BENCH_CONV_SCALE.jsonl", "a") as f:

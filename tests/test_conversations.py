@@ -776,3 +776,131 @@ def test_compact_trajectories_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:4000]
     assert plan.count("Exchange") <= 1, plan[:4000]
+
+
+# --------------------------------------------------------------------------
+# split_conversations
+# --------------------------------------------------------------------------
+
+def _clone(rows, old, new):
+    return [(new,) + r[1:] for r in rows if r[0] == old]
+
+
+def _rand_corpus(rng, n):
+    rows = []
+    for c in range(n):
+        for i in range(rng.randint(2, 6)):
+            rows.append((f"c{c:03d}", i, "user" if i % 2 == 0 else "assistant",
+                         f"conv {c} turn {i} {rng.randint(0, 99)}",
+                         TS0.format(i % 10)))
+    return rows
+
+
+def test_split_conversations_exact_clones_cotravel(spark):
+    from graphrole_spark.functions.conversations import split_conversations
+
+    rng = random.Random(5)
+    rows = _rand_corpus(rng, 60)
+    # byte-identical re-exports with unrelated ids: a naive id-hash
+    # split would scatter them across splits
+    rows += _clone(rows, "c000", "zz_export_1") + _clone(rows, "c001", "weird.id")
+    for salt in ("v1", "v2", "v3"):
+        got = {r["conv_id"]: (r["split"], r["split_key"])
+               for r in split_conversations(
+                   _turns(spark, rows), salt=salt).collect()}
+        assert got["c000"] == got["zz_export_1"], salt
+        assert got["c001"] == got["weird.id"], salt
+    # every conversation got exactly one row and a valid split
+    assert len(got) == 62
+    assert {s for s, _ in got.values()} <= {"train", "val", "test"}
+    # at default 80/10/10 on 60 groups all three splits are hit for at
+    # least one of the salts above (checked on the last salt is flaky;
+    # assert on union across salts instead)
+    seen = set()
+    for salt in ("v1", "v2", "v3"):
+        seen |= {r["split"] for r in split_conversations(
+            _turns(spark, rows), salt=salt).collect()}
+    assert seen == {"train", "val", "test"}
+
+
+def test_split_conversations_near_dup_groups_cotravel(spark):
+    from graphrole_spark.functions.conversations import split_conversations
+
+    rng = random.Random(6)
+    rows = _rand_corpus(rng, 30)
+    rows += _clone(rows, "c000", "c000_export")  # exact clone, NOT in pairs
+    pairs = spark.createDataFrame(
+        [("c000", "c005"), ("c005", "c011")], "conv_a string, conv_b string"
+    )
+    for salt in ("v1", "v2"):
+        got = {r["conv_id"]: r["split"] for r in split_conversations(
+            _turns(spark, rows), salt=salt, near_dup_pairs=pairs).collect()}
+        # transitive near-dup chain co-travels...
+        assert got["c000"] == got["c005"] == got["c011"], salt
+        # ...and the exact clone is bridged into the same component
+        assert got["c000"] == got["c000_export"], salt
+    assert len(got) == 31
+
+
+def test_split_conversations_duckdb_parity(spark):
+    """Exact-mode value parity (fingerprint, u-hash thresholds) vs
+    DuckDB — the tail-entry stand-in for the driver oracle."""
+    import duckdb
+    import pandas as pd
+
+    from graphrole_spark.functions.conversations import split_conversations
+
+    rng = random.Random(7)
+    rows = _rand_corpus(rng, 50) + []
+    rows += _clone(rows, "c003", "c003_again")
+    spark_pdf = (
+        split_conversations(_turns(spark, rows), test_frac=0.2, val_frac=0.2,
+                            salt="s9")
+        .orderBy("conv_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "ts"])
+    con = duckdb.connect()
+    con.register("turns", pdf)
+    oracle = con.execute("""
+        WITH h AS (
+          SELECT conv_id,
+                 md5(CAST(turn_idx AS VARCHAR) || chr(31) || coalesce(role, '')
+                     || chr(31) || coalesce(text, '')) AS hx,
+                 length(CAST(turn_idx AS VARCHAR) || chr(31) || coalesce(role, '')
+                        || chr(31) || coalesce(text, '')) AS ln
+          FROM turns),
+        fp AS (
+          SELECT conv_id,
+                 md5(concat_ws('|',
+                   CAST(count(*) AS VARCHAR),
+                   CAST(CAST(sum(CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT))
+                        AS BIGINT) AS VARCHAR),
+                   CAST(CAST(sum(CAST(concat('0x', substr(hx, 17, 8)) AS BIGINT))
+                        AS BIGINT) AS VARCHAR),
+                   CAST(CAST(sum(ln) AS BIGINT) AS VARCHAR))) AS split_key
+          FROM h GROUP BY conv_id),
+        u AS (
+          SELECT conv_id, split_key,
+                 CAST(concat('0x', substr(md5(split_key || ':s9'), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS u
+          FROM fp)
+        SELECT conv_id, split_key,
+               CASE WHEN u < 0.2 THEN 'test'
+                    WHEN u < 0.4 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM u ORDER BY conv_id
+    """).df().reset_index(drop=True)
+    assert len(spark_pdf) == len(oracle) == 51
+    pd.testing.assert_frame_equal(spark_pdf, oracle, check_dtype=False)
+
+
+def test_split_conversations_plan_shape(spark):
+    """Exact mode: one aggregate exchange, no window, no join."""
+    from graphrole_spark.functions.conversations import split_conversations
+
+    out = split_conversations(_turns(spark, [("c", 0, "u", "x", TS0.format(0))]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan, plan[:3000]
+    assert plan.count("Exchange") <= 1, plan[:3000]
