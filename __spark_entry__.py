@@ -1360,6 +1360,43 @@ def q_preference_pairs(spark, sf_dir):
     return assemble_preference_pairs(corpus)
 
 
+def q_transcript_pipeline(spark, sf_dir):
+    """End-to-end transcript curation: integrity gate → exact dedup →
+    near-dup cluster keep → leakage-safe split → context compaction →
+    SFT assembly (functions/conversations.py::curate_transcripts) —
+    the conversation twin of corpus_pipeline. Plants one exact
+    re-export and one regenerated-turn near-dup per ~1/8 of
+    conversations so every drop stage does real work."""
+    from graphrole_spark.functions.conversations import curate_transcripts
+
+    t = _events_as_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    pick = F.substring(F.md5(F.col("conv_id")), 1, 1).isin(*"01")
+    exact = t.where(pick).withColumn(
+        "conv_id", F.concat(F.lit("dup_"), F.col("conv_id"))
+    )
+    near = t.where(pick).select(
+        F.concat(F.lit("near_"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(F.col("turn_idx") == 0, F.concat(F.col("text"), F.lit(" EDITED")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "tool",
+        "ts",
+    )
+    corpus = t.unionByName(exact).unionByName(near)
+    # events roles are event types: 'purchase' is the target-role stand-in
+    # (same convention as the sft_examples entry). threshold 0.8: the
+    # planted one-edited-turn clones sit at jaccard (n-1)/(n+1) ≈ 0.98
+    # on these ~100-turn conversations, and 0.8 needs half the bands
+    return curate_transcripts(
+        corpus, compact_max_tokens=150, keep_last=2, sft_max_tokens=64,
+        target_roles=("purchase",), near_dup_threshold=0.8,
+    )
+
+
 def q_conv_split(spark, sf_dir):
     """Leakage-safe conversation-grain train/val/test split
     (functions/conversations.py::split_conversations): splits are
@@ -1513,6 +1550,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-semantics DuckDB value parity pytest-pinned
         # (test_split_conversations_duckdb_parity)
         "conv_split": q_conv_split,
+        # transcript_pipeline composes six already-adjudicated
+        # conversation operators (integrity -> dedup -> near-dup keep ->
+        # split -> compact -> SFT); end-to-end invariants pytest-pinned
+        # in test_curate_transcripts_end_to_end (mirrors corpus_pipeline)
+        "transcript_pipeline": q_transcript_pipeline,
     }
 
 

@@ -133,6 +133,7 @@ def main() -> None:
         "preference_pairs",
         "compact_trajectories",
         "conv_split",
+        "transcript_pipeline",
         "dedup_exact",
         "corpus_clean",
         "quality",

@@ -592,6 +592,139 @@ def compact_trajectories(
     )
 
 
+def curate_transcripts(
+    turns: DataFrame,
+    compact_max_tokens: int = 2048,
+    keep_last: int = 2,
+    sft_max_tokens: int = 512,
+    target_roles: Sequence[str] = ("assistant",),
+    test_frac: float = 0.1,
+    val_frac: float = 0.1,
+    salt: str = "v1",
+    near_dup_threshold: float | None = 0.8,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    checkpoint_turns: bool = True,
+) -> DataFrame:
+    """The full transcript post-training pipeline as one composition —
+    the production path from raw multi-turn agent logs to split-labeled
+    SFT examples (the conversation twin of
+    :func:`graphrole_spark.functions.corpus.assemble_corpus`):
+
+    1. structural integrity gate (:func:`transcript_integrity` —
+       index-gap / ts-inversion / empty-text conversations never enter
+       the corpus);
+    2. exact conversation dedup (:func:`conversation_duplicates`,
+       lexicographically-smallest survivor);
+    3. near-duplicate CLUSTER removal (optional:
+       :func:`conversation_near_duplicates` pairs → alternating-star
+       connected components → one survivor per cluster via
+       :func:`~graphrole_spark.functions.dedup_graph.dedup_keep`);
+    4. leakage-safe split (:func:`split_conversations` — survivors are
+       unique by construction here, so exact-fingerprint grouping
+       suffices);
+    5. context compaction (:func:`compact_trajectories` — stale tool
+       outputs elided to ``compact_max_tokens``);
+    6. SFT example assembly over the COMPACTED turns
+       (:func:`assemble_sft_examples`).
+
+    Every stage is the already-tested operator; this function wires
+    survivorship between them the way ``assemble_corpus`` does: each
+    stage's surviving conv-id set is ``localCheckpoint``-ed (ids ONLY),
+    preventing the recompute-at-fan-out trap (PERF.md log 20) since the
+    dedup machinery would otherwise re-execute once per downstream
+    consumer. With ``checkpoint_turns=True`` (default) the gated TURN
+    sets are additionally materialized at the two fan-out boundaries
+    (post-integrity: 3 consumers; post-dedup: 2 consumers plus the
+    near-dup machinery's own multi-scan) — when the input is a derived
+    view rather than a cheap columnar scan, re-deriving it per consumer
+    dominates wall (measured 20 s → 8 s at sf0.1). At warehouse scale
+    the equivalent move is staging the curated turns to a table between
+    stages; pass ``checkpoint_turns=False`` to keep the pure
+    semi-join-on-ids plan when the input is a pruned parquet scan that
+    is cheaper to repeat than to materialize.
+
+    Output grain: one row per SFT example —
+    ``(conv_col, order_col, split, n_context_turns, context_tokens,
+    target_tokens, example_tokens, fits_budget, len_bucket)``.
+    """
+    ids = lambda df: df.select(conv_col).localCheckpoint()  # noqa: E731
+    stage = (
+        (lambda df: df.localCheckpoint()) if checkpoint_turns else (lambda df: df)
+    )
+
+    integ = transcript_integrity(
+        turns, conv_col, order_col, role_col, text_col, ts_col, tool_col
+    )
+    valid = ids(integ.where(F.col("is_valid") == 1))
+    t_valid = stage(turns.join(valid, conv_col, "left_semi"))
+
+    dd = conversation_duplicates(t_valid, conv_col, order_col, role_col, text_col)
+    uniq = ids(dd.where(F.col("keep") == 1))
+    t_uniq = t_valid.join(uniq, conv_col, "left_semi")
+
+    if near_dup_threshold is not None:
+        from graphrole_spark.functions.dedup_graph import dedup_keep
+
+        pairs = conversation_near_duplicates(
+            t_uniq,
+            conv_col=conv_col,
+            role_col=role_col,
+            text_col=text_col,
+            jaccard_threshold=near_dup_threshold,
+        )
+        kp = dedup_keep(uniq, pairs, id_col=conv_col, src="conv_a", dst="conv_b")
+        uniq = ids(kp.where(F.col("keep") == 1))
+        t_uniq = t_valid.join(uniq, conv_col, "left_semi")
+
+    t_uniq = stage(t_uniq)
+    splits = split_conversations(
+        t_uniq,
+        test_frac=test_frac,
+        val_frac=val_frac,
+        salt=salt,
+        conv_col=conv_col,
+        order_col=order_col,
+        role_col=role_col,
+        text_col=text_col,
+    ).select(conv_col, "split")
+
+    compacted = compact_trajectories(
+        t_uniq,
+        max_tokens=compact_max_tokens,
+        keep_last=keep_last,
+        conv_col=conv_col,
+        order_col=order_col,
+        role_col=role_col,
+        text_col=text_col,
+        tool_col=tool_col,
+    )
+    examples = assemble_sft_examples(
+        compacted,
+        conv_col=conv_col,
+        order_col=order_col,
+        role_col=role_col,
+        text_col=text_col,
+        target_roles=target_roles,
+        max_tokens=sft_max_tokens,
+    )
+    return examples.join(splits, conv_col).select(
+        conv_col,
+        order_col,
+        "split",
+        "n_context_turns",
+        "context_tokens",
+        "target_tokens",
+        "example_tokens",
+        "fits_budget",
+        "len_bucket",
+    )
+
+
 def _conversation_fingerprints(
     turns: DataFrame,
     conv_col: str = "conv_id",

@@ -904,3 +904,98 @@ def test_split_conversations_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan, plan[:3000]
     assert plan.count("Exchange") <= 1, plan[:3000]
+
+
+# --------------------------------------------------------------------------
+# curate_transcripts (end-to-end composition)
+# --------------------------------------------------------------------------
+
+def _turns_full(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def _curate_corpus():
+    import datetime as dt
+
+    ts = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)  # noqa: E731
+    rows = []
+
+    def conv(cid, turns):
+        for i, (role, text, tool) in enumerate(turns):
+            rows.append((cid, i, role, text, tool, ts(i)))
+
+    long_tool = " ".join(["out"] * 40)
+    # a1: healthy, tool-heavy (compaction target)
+    conv("a1", [("user", "run the suite please now", ""),
+                ("tool", long_tool, "bash"),
+                ("assistant", "one test failed", ""),
+                ("tool", long_tool, "bash"),
+                ("assistant", "all green after the fix", "")])
+    # a2: healthy short
+    conv("a2", [("user", "hello there friend", ""),
+                ("assistant", "hi how can i help", "")])
+    # a3: byte-identical re-export of a2 -> exact-dup drop
+    conv("a3", [("user", "hello there friend", ""),
+                ("assistant", "hi how can i help", "")])
+    # a4: near-dup of a1 (one regenerated turn) -> near-dup cluster drop
+    conv("a4", [("user", "run the suite please now", ""),
+                ("tool", long_tool, "bash"),
+                ("assistant", "two tests failed actually", ""),
+                ("tool", long_tool, "bash"),
+                ("assistant", "all green after the fix", "")])
+    # a5: INVALID (empty text) -> integrity drop
+    conv("a5", [("user", "", ""), ("assistant", "reply", "")])
+    # a6: healthy, distinct
+    conv("a6", [("user", "what is the capital of peru", ""),
+                ("assistant", "lima is the capital of peru", "")])
+    return rows
+
+
+def test_curate_transcripts_end_to_end(spark):
+    from graphrole_spark.functions.conversations import curate_transcripts
+
+    out = curate_transcripts(
+        _turns_full(spark, _curate_corpus()),
+        compact_max_tokens=30, keep_last=1, sft_max_tokens=64,
+        near_dup_threshold=0.6,
+    ).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    # a5 invalid, a3 exact clone, a4 near-dup clone (a1 is min id) all gone
+    assert set(by_conv) == {"a1", "a2", "a6"}
+    # one example per assistant turn
+    assert len(by_conv["a1"]) == 2 and len(by_conv["a2"]) == 1
+    # split label is per conversation and consistent across its examples
+    for c, rs in by_conv.items():
+        assert len({r["split"] for r in rs}) == 1
+        assert rs[0]["split"] in ("train", "val", "test")
+    # compaction happened BEFORE assembly: a1's final example counts the
+    # elided placeholder (3 tokens), not the 40-token tool dump
+    final_a1 = max(by_conv["a1"], key=lambda r: r["turn_idx"])
+    assert final_a1["example_tokens"] <= 30 + 40  # straddle bound
+    no_compact = curate_transcripts(
+        _turns_full(spark, _curate_corpus()),
+        compact_max_tokens=10_000, keep_last=1, sft_max_tokens=64,
+        near_dup_threshold=0.6,
+    ).collect()
+    f2 = max((r for r in no_compact if r["conv_id"] == "a1"),
+             key=lambda r: r["turn_idx"])
+    assert final_a1["example_tokens"] < f2["example_tokens"]
+
+
+def test_curate_transcripts_deterministic_and_near_dup_optional(spark):
+    from graphrole_spark.functions.conversations import curate_transcripts
+
+    df = _turns_full(spark, _curate_corpus())
+    a = sorted(map(tuple, curate_transcripts(df).collect()))
+    b = sorted(map(tuple, curate_transcripts(df).collect()))
+    assert a == b
+    # near_dup_threshold=None keeps the near-dup clone a4
+    convs = {r["conv_id"] for r in curate_transcripts(
+        df, near_dup_threshold=None).collect()}
+    assert "a4" in convs and "a3" not in convs
