@@ -1266,6 +1266,26 @@ def q_ivf_topk(spark, sf_dir):
 # driver logic, not single-statement SQL)
 # --------------------------------------------------------------------------
 
+def q_kmeans_cells(spark, sf_dir):
+    """Distributed spherical k-means over the embeddings table
+    (functions/clustering.py::kmeans_fit + kmeans_assign): per-iteration
+    corpus pass with map-side-combined per-cell partial sums; driver
+    traffic = n_cells x (dim+2) doubles. Rows-only by nature (iterative
+    float fixpoint, not single-statement SQL); exact python-oracle
+    parity on the whole fit loop is pytest-pinned
+    (test_kmeans_fit_matches_python_oracle)."""
+    from graphrole_spark.functions.clustering import kmeans_assign, kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = kmeans_fit(emb, n_cells=8, max_iters=6)
+    return (
+        kmeans_assign(emb, model)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("cell")
+    )
+
+
 def q_refex_pipeline(spark, sf_dir):
     from graphrole_spark.pipeline import extract_transcript_features
 
@@ -1517,6 +1537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        # kmeans_cells: distributed Lloyd's loop — iterative float
+        # fixpoint, not SQL; full-fit python-oracle parity pytest-pinned
+        # (tests/test_clustering.py)
+        "kmeans_cells": q_kmeans_cells,
         "refex_pipeline": q_refex_pipeline,
         # corpus_pipeline composes four already-adjudicated operators
         # (clean -> dedup clusters -> mix -> strict pack); end-to-end

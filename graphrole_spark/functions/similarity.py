@@ -153,11 +153,15 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 23,
     train_sample: int = 50_000,
+    train: str = "sample",
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
-    Train: a driver-side k-means over ≤``train_sample`` corpus vectors
-    yields ``n_cells`` centroids (broadcast). Index: one vectorized
+    Train: ``train="sample"`` (default) runs a driver-side k-means over
+    ≤``train_sample`` corpus vectors; ``train="full"`` runs the fully
+    distributed Lloyd's loop (:func:`clustering.kmeans_fit`) over the
+    entire corpus — same quantizer contract, unbounded input. Either
+    way the result is ``n_cells`` centroids (broadcast). Index: one vectorized
     pandas_udf assigns every corpus vector to its nearest cell — the
     inverted lists are just a cell column, so "the index" is a
     hash-partitionable DataFrame, no driver state. Search: each query
@@ -165,19 +169,34 @@ def ivf_topk(
     cell id (queries broadcast), verified with exact cosine. Recall is
     tuned by n_probe/n_cells and tested against brute force.
     """
-    cpdf = corpus.select(id_col, vec_col).limit(train_sample).toPandas()
-    if cpdf.empty:  # empty corpus: nothing to index or return
-        return _empty_topk_frame(
-            corpus.sparkSession,
-            queries.schema[id_col].dataType.simpleString(),
-            corpus.schema[id_col].dataType.simpleString(),
-        )
-    M = np.stack([np.asarray(v, dtype=float) for v in cpdf[vec_col]])
-    nrm = np.linalg.norm(M, axis=1)
-    centroids = _kmeans_centroids(
-        M / np.where(nrm > 0, nrm, 1.0)[:, None], n_cells, seed
-    )
     spark = corpus.sparkSession
+    if train == "full":
+        # Distributed Lloyd's loop over the WHOLE corpus — the unbounded
+        # scale path (model traffic = n_cells × (dim+2) doubles per iter).
+        from .clustering import kmeans_fit
+
+        if corpus.select(id_col).first() is None:
+            return _empty_topk_frame(
+                spark,
+                queries.schema[id_col].dataType.simpleString(),
+                corpus.schema[id_col].dataType.simpleString(),
+            )
+        centroids = kmeans_fit(
+            corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        ).centroids
+    else:
+        cpdf = corpus.select(id_col, vec_col).limit(train_sample).toPandas()
+        if cpdf.empty:  # empty corpus: nothing to index or return
+            return _empty_topk_frame(
+                spark,
+                queries.schema[id_col].dataType.simpleString(),
+                corpus.schema[id_col].dataType.simpleString(),
+            )
+        M = np.stack([np.asarray(v, dtype=float) for v in cpdf[vec_col]])
+        nrm = np.linalg.norm(M, axis=1)
+        centroids = _kmeans_centroids(
+            M / np.where(nrm > 0, nrm, 1.0)[:, None], n_cells, seed
+        )
     b_cent = spark.sparkContext.broadcast(centroids)
 
     from pyspark.sql.functions import pandas_udf
@@ -588,12 +607,21 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = 4,
+    cells: str = "sign",
+    n_cells: int = 16,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: coarse-cluster the
     embedding space, then drop every vector that has a *lower-id*
     neighbor in its own cluster with cosine ≥ ``threshold`` (the
     deterministic keep-the-smallest-id rule; SemDeDup keeps one point
     per intra-cluster duplicate group the same way).
+
+    ``cells`` picks the coarse clustering: ``"sign"`` (default) is the
+    SQL-portable sign-bit stand-in; ``"kmeans"`` fits ``n_cells``
+    centroids with the distributed Lloyd's loop
+    (:func:`clustering.kmeans_fit`) — the real SemDeDup geometry, which
+    groups near-duplicates that straddle a coordinate hyperplane into
+    the same cell (better recall at the same verify cost).
 
     Plan shape (the scale story): one codegen projection computes the
     cell id; candidate pairs come from a *cell-keyed equi-join* —
@@ -606,17 +634,27 @@ def semantic_dedup(
 
     Returns one row per input vector: ``(vec_id, bucket, keep)``.
     """
-    cells = embeddings.select(
+    if cells == "kmeans":
+        from .clustering import kmeans_fit, nearest_cell_udf
+
+        model = kmeans_fit(
+            embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        )
+        nearest = nearest_cell_udf(embeddings.sparkSession, model.centroids)
+        bucket_expr = nearest(F.col(vec_col)).cast("long")
+    else:
+        bucket_expr = sign_bucket(F.col(vec_col), n_bits)
+    pts = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        bucket_expr.alias("bucket"),
         _as_double(F.col(vec_col)).alias("__v"),
     )
-    a = cells.select(
+    a = pts.select(
         F.col("vec_id").alias("__ida"),
         "bucket",
         F.col("__v").alias("__va"),
     )
-    b = cells.select(
+    b = pts.select(
         F.col("vec_id").alias("__idb"),
         "bucket",
         F.col("__v").alias("__vb"),
@@ -629,7 +667,7 @@ def semantic_dedup(
         .distinct()
     )
     return (
-        cells.join(dropped.withColumn("__dup", F.lit(1)), "vec_id", "left")
+        pts.join(dropped.withColumn("__dup", F.lit(1)), "vec_id", "left")
         .select(
             "vec_id",
             "bucket",
