@@ -1266,6 +1266,37 @@ def q_ivf_topk(spark, sf_dir):
 # driver logic, not single-statement SQL)
 # --------------------------------------------------------------------------
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText/CCNet-style model-based quality gate: closed-form
+    hashed-unigram Naive Bayes (functions/classifier.py) fit on a
+    deterministically labeled split of the documents table (md5-derived
+    label + planted class-revealing tokens — the pii_redact injection
+    pattern), then scored over the same corpus. SQL-expressible but
+    past the 50-entry window; full fit+score DuckDB value parity is
+    pytest-pinned (test_nb_duckdb_parity)."""
+    from graphrole_spark.functions.classifier import (
+        nb_quality_fit,
+        nb_quality_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lbl = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(*"01234567")
+    labeled = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(lbl, "quintessential wellspring").otherwise("clickbait junkfeed"),
+        ).alias("text"),
+        lbl.alias("label"),
+    )
+    model = nb_quality_fit(labeled, buckets=2048)
+    return (
+        nb_quality_score(labeled, model, buckets=2048)
+        .orderBy("doc_id")
+    )
+
+
 def q_kmeans_cells(spark, sf_dir):
     """Distributed spherical k-means over the embeddings table
     (functions/clustering.py::kmeans_fit + kmeans_assign): per-iteration
@@ -1541,6 +1572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixpoint, not SQL; full-fit python-oracle parity pytest-pinned
         # (tests/test_clustering.py)
         "kmeans_cells": q_kmeans_cells,
+        # quality_classifier: SQL-expressible but past the 50-entry
+        # window; full fit+score DuckDB value parity pytest-pinned
+        # (test_nb_duckdb_parity)
+        "quality_classifier": q_quality_classifier,
         "refex_pipeline": q_refex_pipeline,
         # corpus_pipeline composes four already-adjudicated operators
         # (clean -> dedup clusters -> mix -> strict pack); end-to-end
