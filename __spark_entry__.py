@@ -1266,6 +1266,25 @@ def q_ivf_topk(spark, sf_dir):
 # driver logic, not single-statement SQL)
 # --------------------------------------------------------------------------
 
+def q_diversify(spark, sf_dir):
+    """D4-style diversification (functions/corpus.py::diversify_corpus):
+    distributed k-means over the embeddings table + in-cell SemDeDup
+    with the same fitted model + equal per-cell token budgets via
+    mix_corpus. Composition of three adjudicated operators; per-cell
+    budget/dedup/determinism invariants pytest-pinned
+    (test_diversify_corpus_*). Rows-only: the k-means fixpoint places
+    the cells."""
+    from graphrole_spark.functions.corpus import diversify_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return diversify_corpus(
+        docs, emb, total_tokens=20_000, n_cells=8, dedup_threshold=0.95
+    ).orderBy("doc_id")
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText/CCNet-style model-based quality gate: closed-form
     hashed-unigram Naive Bayes (functions/classifier.py) fit on a
@@ -1576,6 +1595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; full fit+score DuckDB value parity pytest-pinned
         # (test_nb_duckdb_parity)
         "quality_classifier": q_quality_classifier,
+        # diversify: D4 composition over the k-means fixpoint (not SQL);
+        # budget/dedup invariants pytest-pinned (test_diversify_corpus_*)
+        "diversify": q_diversify,
         "refex_pipeline": q_refex_pipeline,
         # corpus_pipeline composes four already-adjudicated operators
         # (clean -> dedup clusters -> mix -> strict pack); end-to-end

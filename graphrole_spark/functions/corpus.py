@@ -347,3 +347,92 @@ def assemble_corpus(
         selected, max_seq_tokens, text_col=text_col, shards=shards,
         boundary="strict",
     )
+
+
+def diversify_corpus(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    total_tokens: int,
+    n_cells: int = 16,
+    dedup_threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    salt: str = "div1",
+) -> DataFrame:
+    """D4-style embedding-space diversification (Tirumala et al. 2023,
+    "D4: Improving LLM Pretraining via Document De-Duplication and
+    Diversification"): cluster the corpus in embedding space, optionally
+    drop SemDeDup near-duplicates, then spread a token budget EQUALLY
+    across the clusters so no dense region of the space dominates the
+    training mixture.
+
+    1. one distributed spherical k-means fit over ``embeddings``
+       (:func:`~graphrole_spark.functions.clustering.kmeans_fit`);
+    2. if ``dedup_threshold`` is set, in-cell SemDeDup with the SAME
+       fitted model (:func:`~graphrole_spark.functions.similarity.
+       semantic_dedup` — no refit), lower-id survivor keeps;
+    3. :func:`mix_corpus` with the cell id as the source and equal
+       weights — per-cell token budget ``total_tokens / n_cells``,
+       deterministic md5 ranking inside each cell, ≤ one-document
+       overshoot per cell.
+
+    Documents are keyed to vectors by ``id_col`` = the embedding
+    table's id (inner join — a document without an embedding cannot be
+    placed in the space and is dropped; count them upstream if that
+    matters). Returns ``(doc_id, cell, n_tokens, dup_drop, keep)`` —
+    ``dup_drop`` marks semantic duplicates (never kept), ``keep`` the
+    budgeted selection among survivors.
+    """
+    from .clustering import kmeans_assign, kmeans_fit
+    from .similarity import semantic_dedup
+
+    model = kmeans_fit(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    cells = kmeans_assign(embeddings, model, vec_col=vec_col).select(
+        F.col(id_col).alias("doc_id"), F.col("cell").cast("long").alias("cell")
+    )
+    if dedup_threshold is not None:
+        dd = semantic_dedup(
+            embeddings,
+            dedup_threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            cells="kmeans",
+            model=model,
+        ).select(F.col("vec_id").alias("doc_id"), F.col("keep").alias("__dk"))
+        cells = cells.join(dd, "doc_id").withColumn(
+            "dup_drop", ~F.col("__dk")
+        ).drop("__dk")
+    else:
+        cells = cells.withColumn("dup_drop", F.lit(False))
+
+    placed = documents.select("doc_id", text_col).join(cells, "doc_id")
+    survivors = placed.where(~F.col("dup_drop"))
+    mixed = mix_corpus(
+        survivors,
+        {c: 1.0 for c in range(len(model.centroids))},
+        total_tokens,
+        text_col=text_col,
+        source_col="cell",
+        salt=salt,
+    ).select("doc_id", (F.col("keep") == 1).alias("__mk"))
+    from .text import token_count
+
+    return (
+        placed.select(
+            "doc_id",
+            "cell",
+            F.coalesce(token_count(F.col(text_col)), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            "dup_drop",
+        )
+        .join(mixed.select("doc_id", "__mk"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "cell",
+            "n_tokens",
+            "dup_drop",
+            F.coalesce("__mk", F.lit(False)).alias("keep"),
+        )
+    )

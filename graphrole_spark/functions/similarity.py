@@ -609,6 +609,7 @@ def semantic_dedup(
     n_bits: int = 4,
     cells: str = "sign",
     n_cells: int = 16,
+    model=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: coarse-cluster the
     embedding space, then drop every vector that has a *lower-id*
@@ -637,9 +638,10 @@ def semantic_dedup(
     if cells == "kmeans":
         from .clustering import kmeans_fit, nearest_cell_udf
 
-        model = kmeans_fit(
-            embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
-        )
+        if model is None:  # a caller with a fitted model skips the refit
+            model = kmeans_fit(
+                embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+            )
         nearest = nearest_cell_udf(embeddings.sparkSession, model.centroids)
         bucket_expr = nearest(F.col(vec_col)).cast("long")
     else:

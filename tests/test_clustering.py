@@ -152,3 +152,68 @@ def test_ivf_topk_full_train_recall(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert ivf_topk(empty, queries, k=5, train="full").count() == 0
+
+
+def test_diversify_corpus_budgets_dedup_and_determinism(spark):
+    """D4 composition: planted semantic duplicates are dropped before
+    budgeting; each cell's kept tokens respect the per-cell budget with
+    <= one-doc overshoot; deterministic across partitionings."""
+    from graphrole_spark.functions.corpus import diversify_corpus
+
+    rng = np.random.default_rng(23)
+    # three direction clusters, 30 docs each; doc i has ~20 tokens
+    M = np.concatenate(
+        [
+            rng.normal(loc=c, scale=1.0, size=(30, 6))
+            for c in ([4, 0, 0, 0, 0, 0], [0, 4, 0, 0, 0, 0], [0, 0, 4, 0, 0, 0])
+        ]
+    ).astype(np.float32)
+    M[10] = M[5] * 1.5  # planted in-cluster semantic duplicate
+    emb = _emb(spark, M).withColumnRenamed("vec_id", "doc_id")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(len(M))],
+        "doc_id long, text string",
+    )
+
+    out = diversify_corpus(
+        docs, emb, total_tokens=300, n_cells=3, dedup_threshold=0.95,
+        id_col="doc_id",
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == len(M)
+    assert rows[10].dup_drop and not rows[10].keep  # dup dropped pre-budget
+    assert not rows[5].dup_drop
+    # per-cell budget: 100 tokens = 5 docs, boundary doc kept -> <= 6
+    import collections
+
+    kept = collections.Counter(r.cell for r in rows.values() if r.keep)
+    assert set(kept) == {0, 1, 2}
+    for c, n in kept.items():
+        assert 5 <= n <= 6, (c, n)
+        tok = sum(r.n_tokens for r in rows.values() if r.keep and r.cell == c)
+        assert tok < 100 + 20  # budget + one doc
+
+    out2 = diversify_corpus(
+        docs.repartition(13), emb.repartition(7), total_tokens=300,
+        n_cells=3, dedup_threshold=0.95, id_col="doc_id",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_diversify_corpus_no_dedup_and_missing_embeddings(spark):
+    from graphrole_spark.functions.corpus import diversify_corpus
+
+    rng = np.random.default_rng(31)
+    M = rng.normal(size=(20, 4)).astype(np.float32)
+    emb = _emb(spark, M).withColumnRenamed("vec_id", "doc_id")
+    # doc 99 has no embedding -> dropped (inner join, documented)
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in list(range(20)) + [99]],
+        "doc_id long, text string",
+    )
+    out = diversify_corpus(docs, emb, total_tokens=1000, n_cells=4)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == set(range(20))
+    got = out.collect()
+    assert all(not r.dup_drop for r in got)  # dedup off
+    assert all(r.keep for r in got)  # budget ample -> everything kept
