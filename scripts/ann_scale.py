@@ -74,9 +74,35 @@ def run(spark, n: int, work_dir: str) -> dict:
     return out
 
 
+def run_kmeans(spark, n: int, work_dir: str, n_cells: int = 64) -> dict:
+    """Distributed k-means scale point: fixed-iteration fit + one assign
+    pass — the near-linear claim is sec/iteration vs corpus size (model
+    traffic is n_cells×(dim+2) doubles per iteration at every size)."""
+    from graphrole_spark.functions.clustering import kmeans_assign, kmeans_fit
+
+    pq = os.path.join(work_dir, f"emb_{n}")
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        synth_embeddings(spark, n, pq)
+    emb = spark.read.parquet(pq)
+    out: dict = {"op": "kmeans_fit", "n_vectors": n, "dim": DIM, "n_cells": n_cells}
+    t0 = time.time()
+    model = kmeans_fit(emb, n_cells=n_cells, id_col="vec_id", max_iters=5, tol=0.0)
+    out["fit_sec"] = round(time.time() - t0, 2)
+    out["iters"] = model.iters_run
+    out["sec_per_iter"] = round(out["fit_sec"] / max(model.iters_run, 1), 2)
+    out["mean_sim"] = round(model.mean_sim, 4)
+    t0 = time.time()
+    kmeans_assign(emb, model, vec_col="embedding").agg(
+        {"cell": "max"}
+    ).collect()
+    out["assign_sec"] = round(time.time() - t0, 2)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,50000,500000")
+    ap.add_argument("--kmeans-sizes", default="")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--work-dir", default="/tmp/ann_scale")
     args = ap.parse_args()
@@ -85,6 +111,14 @@ def main() -> None:
 
     spark = get_spark("ann_scale", cores=args.cpus)
     os.makedirs(args.work_dir, exist_ok=True)
+    if args.kmeans_sizes:
+        for n in [int(s) for s in args.kmeans_sizes.split(",")]:
+            r = run_kmeans(spark, n, args.work_dir)
+            r["cpus"] = args.cpus
+            print(json.dumps(r), flush=True)
+            with open("BENCH_ANN_SCALE.jsonl", "a") as f:
+                f.write(json.dumps(r) + "\n")
+        return
     for n in [int(s) for s in args.sizes.split(",")]:
         r = run(spark, n, args.work_dir)
         r["cpus"] = args.cpus
