@@ -1266,6 +1266,24 @@ def q_ivf_topk(spark, sf_dir):
 # driver logic, not single-statement SQL)
 # --------------------------------------------------------------------------
 
+def q_bpe_tokenizer(spark, sf_dir):
+    """BPE tokenizer fit + encode (functions/tokenizer.py): one corpus
+    word-frequency pass -> exact driver merge loop over the bounded
+    vocab (the binning/MDL histogram->driver pattern) -> distributed
+    Arrow encode. Rows-only: the merge sequence is an iterative argmax
+    fixpoint; full merge-list parity vs a naive full-recount reference
+    trainer is pytest-pinned (test_bpe_fit_matches_naive_reference)."""
+    from graphrole_spark.functions.tokenizer import bpe_encode, bpe_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_fit(docs, n_merges=64, min_freq=2)
+    return (
+        bpe_encode(docs, merges)
+        .select("doc_id", "n_bpe_tokens", F.slice("bpe_tokens", 1, 8).alias("head_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 def q_diversify(spark, sf_dir):
     """D4-style diversification (functions/corpus.py::diversify_corpus):
     distributed k-means over the embeddings table + in-cell SemDeDup
@@ -1598,6 +1616,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # diversify: D4 composition over the k-means fixpoint (not SQL);
         # budget/dedup invariants pytest-pinned (test_diversify_corpus_*)
         "diversify": q_diversify,
+        # bpe_tokenizer: iterative merge-argmax fixpoint (not SQL);
+        # merge-list parity vs an independent reference trainer
+        # pytest-pinned (tests/test_tokenizer.py)
+        "bpe_tokenizer": q_bpe_tokenizer,
         "refex_pipeline": q_refex_pipeline,
         # corpus_pipeline composes four already-adjudicated operators
         # (clean -> dedup clusters -> mix -> strict pack); end-to-end

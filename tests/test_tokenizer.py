@@ -1,0 +1,143 @@
+"""BPE tokenizer (functions/tokenizer.py): merge-list parity against a
+naive full-recount reference trainer on randomized corpora, handcrafted
+merge/encode goldens, greedy rank-order apply semantics, determinism
+across partitionings, and encode edge rules."""
+
+import random
+from collections import Counter
+
+import pytest
+
+
+END = "</w>"
+
+
+def _naive_fit(word_counts, n_merges):
+    """Independent reference trainer: FULL pair recount every merge
+    (no inverted index, no incremental bookkeeping), same tie-break
+    (max count, then lexicographically smallest pair)."""
+    vocab = {w: (list(w) + [END], c) for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, c in vocab.values():
+            for p in zip(syms, syms[1:]):
+                pc[p] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        pair = best[0]
+        merges.append(pair)
+        joined = pair[0] + pair[1]
+        for w, (syms, c) in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if (
+                    j + 1 < len(syms)
+                    and syms[j] == pair[0]
+                    and syms[j + 1] == pair[1]
+                ):
+                    out.append(joined)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            vocab[w] = (out, c)
+    return merges
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_fit_matches_naive_reference_randomized(spark):
+    from graphrole_spark.functions.tokenizer import bpe_fit
+
+    rng = random.Random(41)
+    alphabet = "abcde"
+    texts = []
+    for _ in range(120):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 10))
+        ]
+        texts.append(" ".join(words))
+    df = _docs(spark, texts)
+
+    got = bpe_fit(df, n_merges=40, min_freq=1)
+    wc = Counter(w for t in texts for w in t.split())
+    want = _naive_fit(wc, 40)
+    assert got == want
+    # determinism across partitionings
+    assert bpe_fit(df.repartition(17), n_merges=40, min_freq=1) == got
+
+
+def test_bpe_fit_handcrafted_and_overlap(spark):
+    from graphrole_spark.functions.tokenizer import bpe_fit
+
+    # 'aaaa' x3: overlapping-pair bookkeeping — (a,a) fires 9 times
+    # counted left-to-right as 2 per word... classic Sennrich counts 3
+    # non-overlap-aware pairs per word = 9; either way (a,a) wins first
+    df = _docs(spark, ["aaaa aaaa aaaa", "ab ab"])
+    merges = bpe_fit(df, n_merges=3, min_freq=1)
+    assert merges[0] == ("a", "a")
+    wc = Counter(["aaaa"] * 3 + ["ab"] * 2)
+    assert merges == _naive_fit(wc, 3)
+
+
+def test_bpe_fit_min_freq_and_early_stop(spark):
+    from graphrole_spark.functions.tokenizer import bpe_fit
+
+    # every word unique -> min_freq=2 empties the table -> no merges
+    df = _docs(spark, ["abc", "def", "ghi"])
+    assert bpe_fit(df, n_merges=10, min_freq=2) == []
+    # with min_freq=1 each pair occurs once -> early stop (no pair >= 2)
+    assert bpe_fit(df, n_merges=10, min_freq=1) == []
+
+
+def test_bpe_encode_greedy_rank_order(spark):
+    from graphrole_spark.functions.tokenizer import bpe_encode
+
+    # rank 0 (b,c) beats the later (a,b) even though (a,b) comes first
+    # in the word — the canonical lowest-rank-first apply
+    df = _docs(spark, ["abc"])
+    merges = [("b", "c"), ("a", "bc")]
+    out = bpe_encode(df, merges).collect()[0]
+    assert out.bpe_tokens == ["abc", END] or out.bpe_tokens == ["abc" + END]
+    # step-by-step: abc -> a,bc -> abc ; </w> never merged (no rule)
+    assert out.n_bpe_tokens == 2
+    assert out.bpe_tokens == ["abc", END]
+
+
+def test_bpe_fit_encode_round_trip_compresses(spark):
+    from graphrole_spark.functions.tokenizer import bpe_encode, bpe_fit
+
+    texts = ["the cat sat on the mat", "the cat ate the rat"] * 5
+    df = _docs(spark, texts)
+    merges = bpe_fit(df, n_merges=30, min_freq=1)
+    enc = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    # 'the' repeats 4x/doc-pair: must end fully merged incl. </w>
+    assert "the" + END in enc[0].bpe_tokens
+    # char-level baseline: 0 merges
+    base = {r.doc_id: r.n_bpe_tokens for r in bpe_encode(df, []).collect()}
+    assert all(enc[i].n_bpe_tokens < base[i] for i in enc)
+    # concatenating tokens reconstructs the words (lossless)
+    joined = "".join(enc[0].bpe_tokens).replace(END, " ").strip()
+    assert joined == texts[0].replace(" ", " ")
+
+
+def test_bpe_encode_null_empty_and_unseen(spark):
+    from graphrole_spark.functions.tokenizer import bpe_encode
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "zq")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bpe_encode(df, [("a", "b")]).collect()}
+    assert out[0].n_bpe_tokens == 0 and out[0].bpe_tokens == []
+    assert out[1].n_bpe_tokens == 0
+    # unseen word falls back to chars + </w>
+    assert out[2].bpe_tokens == ["z", "q", END]
