@@ -13,11 +13,14 @@ DataFrame dataflow at any corpus size:
   repo's one portable md5 hash idiom, so DuckDB oracles replicate it
   bit-for-bit), one groupBy(bucket) with conditional sums for the two
   classes, add-one smoothing → a ≤``buckets``-row weight table plus a
-  1-row prior. Two shuffles of (long, long) rows, zero driver state.
+  prior row and a default row for never-trained buckets. Two shuffles
+  of (long, long) rows, zero driver state. Rows with a NULL label are
+  EXCLUDED (an unlabeled row is not negative evidence).
 * **score** — explode the target corpus the same way, broadcast-join
   the weight table, one groupBy(doc) sum. ``score = prior +
-  Σ_grams ln p(b|pos)/p(b|neg)``; ``predicted = score > 0`` is exactly
-  the MAP decision.
+  Σ_grams ln p(b|pos)/p(b|neg)`` with never-trained buckets taking the
+  smoothed default ``ln((N+B)/(P+B))``; ``predicted = score > 0`` is
+  exactly the MAP decision of add-one-smoothed multinomial NB.
 
 The unsupervised sibling is ``importance.dsir_scores`` (log-ratio of
 target-vs-raw multinomials, no labels); this operator is the
@@ -34,6 +37,7 @@ from .importance import _gram_buckets
 __all__ = ["nb_quality_fit", "nb_quality_score"]
 
 PRIOR_BUCKET = -1  # the model row that carries ln P(pos)/P(neg)
+DEFAULT_BUCKET = -2  # the model row for buckets never seen in training
 
 
 def nb_quality_fit(
@@ -46,16 +50,19 @@ def nb_quality_fit(
 ) -> DataFrame:
     """Fit the classifier on documents with a boolean ``label_col``
     (true = the class to keep). Returns the whole model as ONE
-    DataFrame ``(bucket, log_ratio)`` of at most ``buckets + 1`` rows —
+    DataFrame ``(bucket, log_ratio)`` of at most ``buckets + 2`` rows —
     writable to parquet, broadcastable at score time; the ``bucket =
     -1`` row carries the class-prior log odds (add-one smoothed, so a
-    single-class training set stays finite).
+    single-class training set stays finite) and the ``bucket = -2`` row
+    the smoothed weight of a bucket with zero training occurrences,
+    ``ln((N+B)/(P+B))`` — true NB, every gram is evidence.
 
     Documents shorter than ``n`` tokens still count toward the prior
-    (they are evidence about class frequency, just not about grams).
+    (they are evidence about class frequency, just not about grams);
+    NULL-labeled rows are dropped entirely.
     """
     lbl = F.col(label_col).cast("boolean")
-    docs = labeled.select(
+    docs = labeled.where(lbl.isNotNull()).select(
         F.col(id_col).alias("__id"), lbl.alias("__y"), F.col(text_col)
     )
     grams = _gram_buckets(docs, text_col, n, buckets, id_col="__id").join(
@@ -82,7 +89,14 @@ def nb_quality_fit(
             - F.log(F.sum(F.when(F.col("__y"), 0).otherwise(1)) + 1.0)
         ).alias("log_ratio")
     ).select(F.lit(PRIOR_BUCKET).cast("long").alias("bucket"), "log_ratio")
-    return weights.unionByName(prior)
+    default = totals.select(
+        F.lit(DEFAULT_BUCKET).cast("long").alias("bucket"),
+        (
+            F.log(F.lit(1.0) / (F.col("P") + buckets))
+            - F.log(F.lit(1.0) / (F.col("N") + buckets))
+        ).alias("log_ratio"),
+    )
+    return weights.unionByName(prior).unionByName(default)
 
 
 def nb_quality_score(
@@ -99,19 +113,23 @@ def nb_quality_score(
     ≤``buckets``-row weight table, one groupBy(doc) sum.
 
     Returns ``(id_col, n_grams, nb_score, predicted)``; a gram whose
-    bucket never appeared in training contributes 0 (both class
-    likelihoods equally smoothed — the fit emits no row, the left join
-    coalesces to 0), and an empty document scores the prior alone.
+    bucket never appeared in training takes the model's smoothed
+    default weight (the ``bucket = -2`` row), and an empty document
+    scores the prior alone.
     """
     prior_row = model.where(F.col("bucket") == PRIOR_BUCKET).select("log_ratio")
-    weights = model.where(F.col("bucket") != PRIOR_BUCKET)
+    default_row = model.where(F.col("bucket") == DEFAULT_BUCKET).select(
+        F.col("log_ratio").alias("__d")
+    )
+    weights = model.where(F.col("bucket") >= 0)
     g = _gram_buckets(documents, text_col, n, buckets, id_col)
     evidence = (
         g.join(F.broadcast(weights), "bucket", "left")
+        .crossJoin(F.broadcast(default_row))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum(F.coalesce("log_ratio", F.lit(0.0))).alias("__e"),
+            F.sum(F.coalesce("log_ratio", F.col("__d"))).alias("__e"),
         )
     )
     return (

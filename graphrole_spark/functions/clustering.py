@@ -167,7 +167,11 @@ def kmeans_fit(
 
 def nearest_cell_udf(spark, centroids: np.ndarray):
     """Vectorized cell assignment against broadcast centroids —
-    reusable by any caller that already holds a fitted model."""
+    reusable by any caller that already holds a fitted model (the IVF
+    index and kmeans_assign share this kernel, so tie-breaking and
+    zero-norm handling stay bit-identical). The broadcast's lifetime is
+    tied to the returned UDF: Spark's ContextCleaner reclaims it when
+    the plan holding the UDF is garbage-collected driver-side."""
     from pyspark.sql.functions import pandas_udf
 
     b_cent = spark.sparkContext.broadcast(np.asarray(centroids, dtype=float))

@@ -210,7 +210,7 @@ def stratified_sample(
 
 def mix_corpus(
     documents: DataFrame,
-    weights: dict,
+    weights,
     total_tokens: int,
     text_col: str = "text",
     source_col: str = "source",
@@ -235,16 +235,25 @@ def mix_corpus(
     it — source skew is bounded by the largest single source, the same
     partitioning a per-source bucketed layout would use at scale.
 
+    ``weights`` is either a ``{source: weight}`` dict, or an ``int`` k
+    meaning "k equally weighted sources" (budget = total/k for EVERY
+    source value) — the dict form builds a per-source CASE chain, so a
+    caller with thousands of uniform strata (e.g. ``diversify_corpus``
+    cells) must use the int form to keep the expression O(1)-deep.
+
     Returns ``(doc_id, source, n_tokens, keep)``.
     """
     from .text import token_count
 
-    wsum = float(sum(weights.values())) or 1.0
-    budget = F.lit(0.0)
-    for src, wt in weights.items():
-        budget = F.when(
-            F.col(source_col) == src, F.lit(total_tokens * float(wt) / wsum)
-        ).otherwise(budget)
+    if isinstance(weights, int):
+        budget = F.lit(float(total_tokens) / max(weights, 1))
+    else:
+        wsum = float(sum(weights.values())) or 1.0
+        budget = F.lit(0.0)
+        for src, wt in weights.items():
+            budget = F.when(
+                F.col(source_col) == src, F.lit(total_tokens * float(wt) / wsum)
+            ).otherwise(budget)
 
     u = _md5_uniform(F.col("doc_id"), salt)
     # NOTE: partition by the POST-rename name — source_col no longer
@@ -377,10 +386,10 @@ def diversify_corpus(
        deterministic md5 ranking inside each cell, ≤ one-document
        overshoot per cell.
 
-    Documents are keyed to vectors by ``id_col`` = the embedding
-    table's id (inner join — a document without an embedding cannot be
-    placed in the space and is dropped; count them upstream if that
-    matters). Returns ``(doc_id, cell, n_tokens, dup_drop, keep)`` —
+    Documents are keyed to vectors by ``id_col`` — the SAME column
+    name in both tables (inner join — a document without an embedding
+    cannot be placed in the space and is dropped; count them upstream
+    if that matters). Returns ``(doc_id, cell, n_tokens, dup_drop, keep)`` —
     ``dup_drop`` marks semantic duplicates (never kept), ``keep`` the
     budgeted selection among survivors.
     """
@@ -405,24 +414,31 @@ def diversify_corpus(
         ).drop("__dk")
     else:
         cells = cells.withColumn("dup_drop", F.lit(False))
+    # materialize the (id, cell, dup_drop) placement ONCE: it feeds both
+    # the mix_corpus branch and the output join, and its lineage holds
+    # the assignment UDF + the dedup self-join — the expensive subtrees.
+    # Three longs + a bool per row.
+    cells = cells.localCheckpoint()
 
-    placed = documents.select("doc_id", text_col).join(cells, "doc_id")
+    placed = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).join(cells, "doc_id")
     survivors = placed.where(~F.col("dup_drop"))
     mixed = mix_corpus(
         survivors,
-        {c: 1.0 for c in range(len(model.centroids))},
+        len(model.centroids),  # int = uniform budget, O(1) expression
         total_tokens,
-        text_col=text_col,
+        text_col="__text",
         source_col="cell",
         salt=salt,
-    ).select("doc_id", (F.col("keep") == 1).alias("__mk"))
+    ).select("doc_id", "n_tokens", (F.col("keep") == 1).alias("__mk"))
     from .text import token_count
 
     return (
         placed.select(
             "doc_id",
             "cell",
-            F.coalesce(token_count(F.col(text_col)), F.lit(0))
+            F.coalesce(token_count(F.col("__text")), F.lit(0))
             .cast("long")
             .alias("n_tokens"),
             "dup_drop",

@@ -201,14 +201,11 @@ def ivf_topk(
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("int")
-    def nearest_cell(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype="int32")
-        V = np.stack([np.asarray(v, dtype=float) for v in vecs])
-        n = np.linalg.norm(V, axis=1)
-        Vn = V / np.where(n > 0, n, 1.0)[:, None]
-        return pd.Series(np.argmax(Vn @ b_cent.value.T, axis=1).astype("int32"))
+    # one assignment kernel for IVF indexing and kmeans_assign — keeps
+    # tie-breaking and zero-norm handling bit-identical everywhere
+    from .clustering import nearest_cell_udf
+
+    nearest_cell = nearest_cell_udf(spark, centroids)
 
     @pandas_udf("array<int>")
     def probe_cells(vecs: pd.Series) -> pd.Series:
@@ -643,14 +640,25 @@ def semantic_dedup(
                 embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
             )
         nearest = nearest_cell_udf(embeddings.sparkSession, model.centroids)
-        bucket_expr = nearest(F.col(vec_col)).cast("long")
+        # materialize (id, cell) ONCE: pts feeds three plan branches
+        # (both join sides + the final keep join), and uncached each
+        # branch would re-run the Python-worker assignment pass — in
+        # sign mode the recompute is a cheap codegen projection, here
+        # it is the most expensive stage. Two longs per row.
+        bucket_df = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            nearest(F.col(vec_col)).cast("long").alias("bucket"),
+        ).localCheckpoint()
+        pts = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        ).join(bucket_df, "vec_id")
     else:
-        bucket_expr = sign_bucket(F.col(vec_col), n_bits)
-    pts = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        bucket_expr.alias("bucket"),
-        _as_double(F.col(vec_col)).alias("__v"),
-    )
+        pts = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
     a = pts.select(
         F.col("vec_id").alias("__ida"),
         "bucket",

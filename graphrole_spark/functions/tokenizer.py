@@ -23,31 +23,37 @@ apply), because BPE training state IS a histogram:
   canonical BPE apply) with a per-batch word→tokens memo (Zipf makes
   the memo hit rate ~99%), partition-preserving, no shuffle.
 
-Word boundary: whitespace pre-tokenization (the repo's ``tokens``
-rule) + the classic ``</w>`` end-of-word marker, so merges never cross
-words and encode(word) is a pure function.
+Word boundary: ASCII-whitespace pre-tokenization — the SAME explicit
+character class ``[ \\t\\n\\r\\f\\x0b]+`` on both sides (Java regex in
+the fit's JVM split, ``re`` in the encode's Arrow pass), because the
+space-only ``tokens`` rule and Python's ``str.split()`` disagree on
+newlines/tabs and a fit/encode mismatch would learn merges the encoder
+never fires — plus the classic ``</w>`` end-of-word marker, so merges
+never cross words and encode(word) is a pure function.
 """
 
 from __future__ import annotations
 
+import re
 from collections import Counter, defaultdict
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
-
 __all__ = ["bpe_fit", "bpe_encode", "END_WORD"]
 
 END_WORD = "</w>"
+# one segmentation rule for fit (Java regex) and encode (python re)
+_WS = r"[ \t\n\r\f\x0b]+"
+_WS_RE = re.compile(_WS)  # \t \n \r \f \x0b mean the same chars in re and Java regex
 
 
 def _word_counts(
     documents: DataFrame, text_col: str, min_freq: int, max_vocab_words: int
 ) -> list[tuple[str, int]]:
     t = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.filter(tokens(t), lambda x: x != F.lit(""))
+    toks = F.filter(F.split(t, _WS), lambda x: x != F.lit(""))
     wc = (
         documents.select(F.explode(toks).alias("word"))
         .groupBy("word")
@@ -178,7 +184,7 @@ def bpe_encode(
                 continue
             out_toks = []
             for text in pdf[text_col]:
-                words = [w for w in (text or "").split() if w]
+                words = [w for w in _WS_RE.split(text or "") if w]
                 doc = []
                 for w in words:
                     hit = memo.get(w)

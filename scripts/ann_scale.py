@@ -101,7 +101,8 @@ def run_kmeans(spark, n: int, work_dir: str, n_cells: int = 64) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sizes", default="5000,50000,500000")
+    ap.add_argument("--sizes", default=None)  # default sweep only when
+    # no other mode was requested — an explicit --sizes always runs
     ap.add_argument("--kmeans-sizes", default="")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--work-dir", default="/tmp/ann_scale")
@@ -118,6 +119,9 @@ def main() -> None:
             print(json.dumps(r), flush=True)
             with open("BENCH_ANN_SCALE.jsonl", "a") as f:
                 f.write(json.dumps(r) + "\n")
+    elif args.sizes is None:
+        args.sizes = "5000,50000,500000"
+    if not args.sizes:
         return
     for n in [int(s) for s in args.sizes.split(",")]:
         r = run(spark, n, args.work_dir)

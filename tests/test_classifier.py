@@ -21,7 +21,8 @@ def _md5_bucket(s: str, buckets: int) -> int:
 
 def _py_fit_score(train, score_docs, n, buckets):
     """Pure-python replica: hashed-gram NB with add-one smoothing on
-    grams AND prior; unknown buckets contribute 0."""
+    grams AND prior; never-trained buckets take the smoothed default
+    ln((N+B)/(P+B))."""
     pc, nc = {}, {}
     n_pos = n_neg = 0
     for _id, text, y in train:
@@ -42,6 +43,7 @@ def _py_fit_score(train, score_docs, n, buckets):
         - math.log((nc.get(b, 0) + 1.0) / (N + buckets))
         for b in seen
     }
+    default = math.log(1.0 / (P + buckets)) - math.log(1.0 / (N + buckets))
     out = {}
     for _id, text, _y in score_docs:
         toks = [t for t in (text or "").split() if t]
@@ -49,7 +51,7 @@ def _py_fit_score(train, score_docs, n, buckets):
             _md5_bucket(" ".join(toks[i : i + n]), buckets)
             for i in range(max(len(toks) - n + 1, 0))
         ]
-        s = prior + sum(w.get(b, 0.0) for b in gs)
+        s = prior + sum(w.get(b, default) for b in gs)
         out[_id] = (len(gs), round(s, 6), s > 0)
     return out
 
@@ -141,13 +143,16 @@ def test_nb_duckdb_parity(spark):
                - ln((nc + 1.0) / ((SELECT sum(nc) FROM counts) + {B}))
                    AS log_ratio
           FROM counts),
+        dflt AS (
+          SELECT ln(1.0 / ((SELECT sum(pc) FROM counts) + {B}))
+               - ln(1.0 / ((SELECT sum(nc) FROM counts) + {B})) AS d),
         prior AS (
           SELECT ln(sum(CASE WHEN label THEN 1 ELSE 0 END) + 1.0)
                - ln(sum(CASE WHEN label THEN 0 ELSE 1 END) + 1.0) AS p
           FROM docs),
         evidence AS (
           SELECT g.doc_id, count(*) AS n_grams,
-                 sum(coalesce(w.log_ratio, 0.0)) AS e
+                 sum(coalesce(w.log_ratio, (SELECT d FROM dflt))) AS e
           FROM grams g LEFT JOIN weights w USING (bucket)
           GROUP BY g.doc_id)
         SELECT d.doc_id,
@@ -196,7 +201,7 @@ def test_nb_separates_planted_classes_and_neutral_rules(spark):
     assert out[103].nb_score == pytest.approx(0.0, abs=1e-9)
     assert out[103].n_grams == 0
     # model artifact stays bounded: <= buckets + 1 rows
-    assert model.count() <= 4096 + 1
+    assert model.count() <= 4096 + 2
 
 
 def test_nb_bigram_mode_and_single_class_guard(spark):
@@ -213,3 +218,18 @@ def test_nb_bigram_mode_and_single_class_guard(spark):
     assert all(r.nb_score == r.nb_score for r in out)  # no NaN
     # bigram gram count: 3 tokens -> 2 bigrams
     assert {r.doc_id: r.n_grams for r in out} == {0: 2, 1: 2}
+
+
+def test_nb_null_labels_are_excluded_not_negative(spark):
+    from graphrole_spark.functions.classifier import nb_quality_fit
+
+    base = [(0, "alpha beta", True), (1, "gamma delta", False)]
+    with_null = base + [(2, "alpha alpha alpha", None)]
+    m1 = nb_quality_fit(_docs(spark, base), buckets=64)
+    m2 = nb_quality_fit(
+        spark.createDataFrame(
+            with_null, "doc_id long, text string, label boolean"
+        ),
+        buckets=64,
+    )
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))

@@ -217,3 +217,20 @@ def test_diversify_corpus_no_dedup_and_missing_embeddings(spark):
     got = out.collect()
     assert all(not r.dup_drop for r in got)  # dedup off
     assert all(r.keep for r in got)  # budget ample -> everything kept
+
+
+def test_diversify_corpus_custom_id_col(spark):
+    """id_col threads through BOTH tables (review finding: the documents
+    side was hardcoded to doc_id)."""
+    from graphrole_spark.functions.corpus import diversify_corpus
+
+    rng = np.random.default_rng(43)
+    M = rng.normal(size=(12, 4)).astype(np.float32)
+    emb = _emb(spark, M)  # keyed vec_id
+    docs = spark.createDataFrame(
+        [(i, "x y z") for i in range(12)], "vec_id long, text string"
+    )
+    out = diversify_corpus(
+        docs, emb, total_tokens=1000, n_cells=2, id_col="vec_id"
+    )
+    assert out.count() == 12 and all(r.keep for r in out.collect())

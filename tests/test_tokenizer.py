@@ -141,3 +141,19 @@ def test_bpe_encode_null_empty_and_unseen(spark):
     assert out[1].n_bpe_tokens == 0
     # unseen word falls back to chars + </w>
     assert out[2].bpe_tokens == ["z", "q", END]
+
+
+def test_bpe_fit_and_encode_agree_on_newlines_and_tabs(spark):
+    """Fit and encode share one segmentation rule: a corpus whose words
+    are separated by \\n and \\t learns the same merges as the
+    space-separated twin, and encode fires them."""
+    from graphrole_spark.functions.tokenizer import bpe_encode, bpe_fit
+
+    ws = _docs(spark, ["the\ncat\tthe cat", "the\tcat"])
+    sp = _docs(spark, ["the cat the cat", "the cat"])
+    m_ws = bpe_fit(ws, n_merges=10, min_freq=1)
+    m_sp = bpe_fit(sp, n_merges=10, min_freq=1)
+    assert m_ws == m_sp and m_ws  # identical, non-empty
+    enc = bpe_encode(ws, m_ws).orderBy("doc_id").collect()
+    assert "the" + END in enc[0].bpe_tokens  # merges fire across \n/\t words
+    assert enc[1].bpe_tokens == ["the" + END, "cat" + END]
