@@ -1298,8 +1298,11 @@ def q_diversify(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumnRenamed(
         "vec_id", "doc_id"
     )
+    # n_cells sized so the in-cell all-pairs verify stays ~(n/cells)^2/2
+    # x cells pairs; 8 cells at 50k vectors would be ~156M cosines
     return diversify_corpus(
-        docs, emb, total_tokens=20_000, n_cells=8, dedup_threshold=0.95
+        docs, emb, total_tokens=20_000, n_cells=32, dedup_threshold=0.95,
+        max_iters=6,
     ).orderBy("doc_id")
 
 
@@ -1316,7 +1319,12 @@ def q_quality_classifier(spark, sf_dir):
         nb_quality_score,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # sf documents parquet is a single row group (unsplittable) and the
+    # two gram explodes are CPU-dense: repartition ahead of the scans,
+    # the same documented trade as the quality entry
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     lbl = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(*"01234567")
     labeled = docs.select(
         "doc_id",

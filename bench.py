@@ -163,6 +163,10 @@ def main() -> None:
         "decontaminate",
         "corpus_pipeline",
         "training_shards",
+        "kmeans_cells",
+        "quality_classifier",
+        "diversify",
+        "bpe_tokenizer",
     ]
     queries = entrymod.queries()
     for name in suite:

@@ -96,7 +96,11 @@ def nb_quality_fit(
             - F.log(F.lit(1.0) / (F.col("N") + buckets))
         ).alias("log_ratio"),
     )
-    return weights.unionByName(prior).unionByName(default)
+    # materialize the model eagerly (a fit IS an action): score-time
+    # consumers slice it into three branches (weights / prior / default)
+    # and an unmaterialized model would re-run the whole training
+    # explode+groupBy lineage once per branch. ≤ buckets+2 rows.
+    return weights.unionByName(prior).unionByName(default).localCheckpoint()
 
 
 def nb_quality_score(

@@ -368,6 +368,7 @@ def diversify_corpus(
     id_col: str = "doc_id",
     vec_col: str = "embedding",
     salt: str = "div1",
+    max_iters: int = 12,
 ) -> DataFrame:
     """D4-style embedding-space diversification (Tirumala et al. 2023,
     "D4: Improving LLM Pretraining via Document De-Duplication and
@@ -396,7 +397,13 @@ def diversify_corpus(
     from .clustering import kmeans_assign, kmeans_fit
     from .similarity import semantic_dedup
 
-    model = kmeans_fit(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    model = kmeans_fit(
+        embeddings,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_iters=max_iters,
+    )
     cells = kmeans_assign(embeddings, model, vec_col=vec_col).select(
         F.col(id_col).alias("doc_id"), F.col("cell").cast("long").alias("cell")
     )
