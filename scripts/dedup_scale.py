@@ -278,6 +278,69 @@ def dsir_stress(spark, n: int, work_dir: str) -> dict:
     }
 
 
+def bpe_stress(spark, n: int, work_dir: str) -> dict:
+    """BPE trainer scale evidence: the corpus-size-dependent work is one
+    word-frequency pass (the merge loop runs on the bounded vocab), so
+    fit wall should track the corpus while merges stay constant-cost;
+    encode is one partition-preserving Arrow pass."""
+    from pyspark.sql import functions as F
+
+    from graphrole_spark.functions.tokenizer import bpe_encode, bpe_fit
+
+    pq = os.path.join(work_dir, f"linedocs_{n}")
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        lines_stress(spark, n, work_dir)  # synthesizes the corpus
+    docs = spark.read.parquet(pq)
+
+    t0 = time.time()
+    merges = bpe_fit(docs, n_merges=200, min_freq=2, max_vocab_words=100_000)
+    fit_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    tot = bpe_encode(docs, merges).agg(
+        F.sum("n_bpe_tokens").alias("t")
+    ).collect()[0]["t"]
+    return {
+        "bpe_docs": n,
+        "bpe_fit_sec": fit_sec,
+        "bpe_encode_sec": round(time.time() - t0, 2),
+        "bpe_merges": len(merges),
+        "bpe_total_tokens": int(tot),
+    }
+
+
+def nb_stress(spark, n: int, work_dir: str) -> dict:
+    """NB quality-classifier scale evidence: fit = one gram explode +
+    conditional-sum groupBy, score = one explode + broadcast join —
+    the same physical plan family as the DSIR sweep."""
+    from pyspark.sql import functions as F
+
+    from graphrole_spark.functions.classifier import (
+        nb_quality_fit,
+        nb_quality_score,
+    )
+
+    pq = os.path.join(work_dir, f"linedocs_{n}")
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        lines_stress(spark, n, work_dir)
+    docs = spark.read.parquet(pq).withColumn(
+        "label", F.col("doc_id") % 3 == 0
+    )
+    t0 = time.time()
+    model = nb_quality_fit(docs)
+    fit_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    agg = nb_quality_score(docs, model).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("predicted").cast("int")).alias("pos"),
+    ).collect()[0]
+    return {
+        "nb_docs": n,
+        "nb_fit_sec": fit_sec,
+        "nb_score_sec": round(time.time() - t0, 2),
+        "nb_predicted_pos": int(agg["pos"]),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,50000,500000")
@@ -289,6 +352,10 @@ def main() -> None:
                     help="doc counts for the cross-doc line-dedup stress")
     ap.add_argument("--dsir-sizes", default="",
                     help="doc counts for the DSIR scoring stress")
+    ap.add_argument("--bpe-sizes", default="",
+                    help="doc counts for the BPE trainer stress")
+    ap.add_argument("--nb-sizes", default="",
+                    help="doc counts for the NB classifier stress")
     ap.add_argument("--ingest-batch", type=int, default=5000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--work-dir", default="/tmp/dedup_scale")
@@ -314,6 +381,10 @@ def main() -> None:
         record(lines_stress(spark, n, args.work_dir))
     for n in [int(s) for s in args.dsir_sizes.split(",") if s]:
         record(dsir_stress(spark, n, args.work_dir))
+    for n in [int(s) for s in args.bpe_sizes.split(",") if s]:
+        record(bpe_stress(spark, n, args.work_dir))
+    for n in [int(s) for s in args.nb_sizes.split(",") if s]:
+        record(nb_stress(spark, n, args.work_dir))
 
 
 if __name__ == "__main__":
