@@ -234,3 +234,24 @@ def test_diversify_corpus_custom_id_col(spark):
         docs, emb, total_tokens=1000, n_cells=2, id_col="vec_id"
     )
     assert out.count() == 12 and all(r.keep for r in out.collect())
+
+
+def test_kmeans_fit_parity_randomized_configs(spark):
+    """Whole-fit parity vs the python oracle across random shapes,
+    cluster counts and id spaces — the broadened version of the single
+    fixture above (dims, k, n, and non-contiguous ids all vary)."""
+    from graphrole_spark.functions.clustering import kmeans_assign, kmeans_fit
+
+    for seed, n, d, k in [(1, 25, 3, 2), (2, 60, 5, 4), (3, 40, 8, 7)]:
+        rng = np.random.default_rng(seed)
+        M = rng.normal(size=(n, d)).astype(np.float32)
+        ids = np.arange(n) * 13 + 7  # non-contiguous ids
+        df = _emb(spark, M, ids).repartition(5)
+        model = kmeans_fit(df, n_cells=k, max_iters=8)
+        cent_o, assign_o = _oracle_fit(ids, M, k, max_iters=8)
+        assert np.allclose(model.centroids, cent_o, atol=1e-9), (seed, k)
+        got = {
+            r.vec_id: r.cell
+            for r in kmeans_assign(df, model).select("vec_id", "cell").collect()
+        }
+        assert got == {int(i): int(a) for i, a in zip(ids, assign_o)}, seed
