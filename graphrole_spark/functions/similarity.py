@@ -621,8 +621,10 @@ def semantic_dedup(
     groups near-duplicates that straddle a coordinate hyperplane into
     the same cell (better recall at the same verify cost).
 
-    Plan shape (the scale story): one codegen projection computes the
-    cell id; candidate pairs come from a *cell-keyed equi-join* —
+    Plan shape (the scale story): the cell id is one codegen
+    projection (sign mode) or one Arrow assignment pass materialized
+    into an (id, cell) checkpoint (kmeans mode — it feeds three plan
+    branches); candidate pairs come from a *cell-keyed equi-join* —
     never an all-pairs cross join — so the shuffle is hash-partitioned
     on the cell key and each task only scores its own cell's pairs.
     The cosine is exact (double-cast JVM higher-order fold), so unlike
