@@ -1129,13 +1129,30 @@ def q_simhash_dedup(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_cosine_topk(spark, sf_dir):
-    from graphrole_spark.functions.similarity import brute_force_topk
+    """Exact cosine top-k PLUS DPR-style hard-negative mining, one
+    tagged frame: kind='topk' rows are the brute-force top-5 per query;
+    each query's rank-1 neighbor is then taken as its labeled positive
+    and kind='hardneg' rows are the top-5 mined negatives under a 0.3
+    cosine ceiling (self + positive excluded, nothing more similar than
+    the ceiling — the guard against unlabeled true positives). The
+    ceiling sits ≥4.9e-4 from every rounded sim at sf0.001/0.01/0.1,
+    so float noise cannot flip an oracle decision."""
+    from graphrole_spark.functions.similarity import (
+        brute_force_topk,
+        hard_negatives,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.orderBy("vec_id").limit(5)
-    return brute_force_topk(emb, queries, k=5).select(
-        "query_id", "neighbor_id", "rank"
+    topk = brute_force_topk(emb, queries, k=5)
+    pos = topk.where(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("pos_id")
     )
+    hn = hard_negatives(emb, pos, k=5, sim_ceiling=0.3)
+    tag = lambda df, kind: df.select(  # noqa: E731
+        F.lit(kind).alias("kind"), "query_id", "neighbor_id", "rank"
+    )
+    return tag(topk, "topk").unionByName(tag(hn, "hardneg"))
 
 
 def q_cosine_dedup(spark, sf_dir):
@@ -1259,6 +1276,20 @@ def q_ivf_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.orderBy("vec_id").limit(5)
     return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: per-subspace codebooks, ADC lookup-table
+    scan over m_sub-byte codes, exact re-rank of the top refine*k
+    candidates — the memory-scale ANN path (the codes index is ~64×
+    smaller than the raw vectors). Rows-only: seeded k-means codebooks;
+    recall + rank/value parity vs brute force is pytest-pinned
+    (test_pq_recall_vs_brute_force)."""
+    from graphrole_spark.functions.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(5)
+    return pq_topk(emb, queries, k=5, m_sub=8, n_codes=64, refine=4)
 
 
 # --------------------------------------------------------------------------
@@ -1613,6 +1644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        # pq_topk: product-quantization ADC — seeded k-means codebooks
+        # (hash-family-like, not SQL); brute-force recall/value parity
+        # pytest-pinned (test_pq_recall_vs_brute_force)
+        "pq_topk": q_pq_topk,
         # kmeans_cells: distributed Lloyd's loop — iterative float
         # fixpoint, not SQL; full-fit python-oracle parity pytest-pinned
         # (tests/test_clustering.py)
@@ -2610,13 +2645,27 @@ def oracle_sql() -> dict[str, str]:
                                                   e.embedding::DOUBLE[]))), 9)
                        AS cosine_sim
               FROM embeddings e CROSS JOIN q
-              WHERE e.vec_id <> q.query_id)
-            SELECT query_id, neighbor_id, rank FROM (
-              SELECT query_id, neighbor_id,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cosine_sim DESC, neighbor_id) AS rank
-              FROM scored)
-            WHERE rank <= 5
+              WHERE e.vec_id <> q.query_id),
+            topk AS (
+              SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_sim DESC, neighbor_id) AS rank
+                FROM scored)
+              WHERE rank <= 5),
+            pos AS (SELECT query_id, neighbor_id AS pos_id
+                    FROM topk WHERE rank = 1),
+            hn AS (
+              SELECT query_id, neighbor_id, rank FROM (
+                SELECT s.query_id, s.neighbor_id,
+                       row_number() OVER (PARTITION BY s.query_id
+                                          ORDER BY s.cosine_sim DESC, s.neighbor_id) AS rank
+                FROM scored s JOIN pos p ON s.query_id = p.query_id
+                WHERE s.neighbor_id <> p.pos_id AND s.cosine_sim <= 0.3)
+              WHERE rank <= 5)
+            SELECT 'topk' AS kind, query_id, neighbor_id, rank FROM topk
+            UNION ALL
+            SELECT 'hardneg' AS kind, query_id, neighbor_id, rank FROM hn
         """,
         "cosine_dedup": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -86,6 +86,29 @@ def brute_force_topk(
         f"query_id {qid_type}, neighbor_id {id_type}, cosine_sim double"
     )
 
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        _bf_batch_scorer(Qn, qids, k, id_col, vec_col), schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+    )
+
+
+def _bf_batch_scorer(Qn, qids, k, id_col, vec_col, exclude=None, ceiling=None):
+    """Shared exact-cosine batch kernel: one BLAS matmul per Arrow
+    batch, per-batch local top-k per query. ``exclude`` maps a query id
+    to a numpy array of corpus ids masked out BEFORE ranking (hard
+    negatives: the labeled positives); ``ceiling`` drops candidates
+    with rounded cosine above it (guards against mining unlabeled true
+    positives as negatives). With both None this is bit-identical to
+    the original brute_force_topk kernel (self-match always excluded)."""
+    exclude = exclude or {}
+
     def score(batches):
         for pdf in batches:
             if pdf.empty:
@@ -99,6 +122,11 @@ def brute_force_topk(
             for j, qid in enumerate(qids):
                 s = S[:, j]
                 keep = nids != qid  # exclude self-match
+                excl = exclude.get(qid)
+                if excl is not None and len(excl):
+                    keep &= ~np.isin(nids, excl)
+                if ceiling is not None:
+                    keep &= s <= ceiling
                 order = np.lexsort((nids[keep], -s[keep]))[:k]
                 frames.append(
                     pd.DataFrame(
@@ -112,14 +140,86 @@ def brute_force_topk(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    return score
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    sim_ceiling: float | None = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "query_id",
+    pos_col: str = "pos_id",
+) -> DataFrame:
+    """Mine hard negatives for retrieval/reranker training (DPR/ANCE
+    style): for every query in ``positives``, the ``k`` corpus items
+    most similar to the query that are NOT the query itself, NOT one of
+    its labeled positives, and (when ``sim_ceiling`` is set) not MORE
+    similar than the ceiling — the standard guard against promoting
+    unlabeled true positives / near-duplicates into negatives.
+
+    Scale contract mirrors :func:`brute_force_topk`: the query side
+    (the labeled pairs) is the bounded side — its vectors and exclusion
+    sets broadcast — while the corpus side is one distributed scan with
+    a single BLAS matmul per Arrow batch and per-batch local top-k, so
+    the shuffle is ``partitions × queries × k``. When the query side is
+    also unbounded, generate candidates with :func:`pq_topk` /
+    :func:`ivf_topk` per query partition instead of the exact scan.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank) — same shape and
+    tie-breaking (rounded-to-9 sims, then neighbor id) as the other
+    top-k entry points. Raises ValueError if a query id in
+    ``positives`` has no vector in the corpus.
+    """
+    spark = corpus.sparkSession
+    qid_type = positives.schema[query_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    pos_pdf = positives.select(query_col, pos_col).toPandas()
+    if pos_pdf.empty:
+        return _empty_topk_frame(spark, qid_type, id_type)
+    want = sorted({q.item() if hasattr(q, "item") else q
+                   for q in pos_pdf[query_col]})
+    qvec = (
+        corpus.where(F.col(id_col).isin(want))
+        .select(id_col, vec_col)
+        .toPandas()
+    )
+    if len(qvec) < len(want):
+        have = set(qvec[id_col].tolist())
+        missing = [q for q in want if q not in have]
+        raise ValueError(f"query ids missing from corpus: {missing[:5]}")
+    qvec = qvec.set_index(id_col).loc[want].reset_index()
+    Q = np.stack([np.asarray(v, dtype=float) for v in qvec[vec_col]])
+    qn = np.linalg.norm(Q, axis=1)
+    Qn = Q / np.where(qn > 0, qn, 1.0)[:, None]
+    qids = qvec[id_col].to_numpy()
+    exclude = {
+        qid: grp[pos_col].to_numpy()
+        for qid, grp in pos_pdf.groupby(query_col, sort=False)
+    }
+
+    out_schema = (
+        f"query_id {qid_type}, neighbor_id {id_type}, cosine_sim double"
+    )
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        _bf_batch_scorer(
+            Qn, qids, k, id_col, vec_col,
+            exclude=exclude, ceiling=sim_ceiling,
+        ),
+        schema=out_schema,
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine_sim", 4).alias("cosine_sim"), "rank",
+        )
     )
 
 
@@ -246,6 +346,238 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+    )
+
+
+# -- Product quantization (PQ) ANN ----------------------------------------
+
+def _kmeans_l2(M: "np.ndarray", n_codes: int, seed: int, iters: int = 10):
+    """Small deterministic Lloyd L2 k-means — the PQ sub-codebook
+    trainer (subvectors are NOT unit-norm, so euclidean, unlike the
+    cosine quantizer in :func:`_kmeans_centroids`)."""
+    rng = np.random.RandomState(seed)
+    n = len(M)
+    n_codes = max(1, min(n_codes, n))
+    cent = M[rng.choice(n, size=n_codes, replace=False)].copy()
+    dim = M.shape[1]
+    for _ in range(iters):
+        d = -2.0 * (M @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        # bincount-based update: O(n·dim), not O(n·n_codes) mask scans
+        counts = np.bincount(assign, minlength=n_codes)
+        sums = np.empty((n_codes, dim))
+        for j in range(dim):
+            sums[:, j] = np.bincount(assign, weights=M[:, j], minlength=n_codes)
+        nonzero = counts > 0
+        cent[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return cent
+
+
+def pq_train(
+    sample: "np.ndarray", m_sub: int = 8, n_codes: int = 256, seed: int = 23
+) -> "np.ndarray":
+    """Train PQ codebooks on a (normalized) sample matrix: split the
+    dimension into ``m_sub`` subspaces (zero-padded to a multiple) and
+    run an independent L2 k-means per subspace. Returns an array of
+    shape (m_sub, n_codes_eff, sub_dim)."""
+    n, dim = sample.shape
+    m_sub = max(1, min(m_sub, dim))
+    sub = -(-dim // m_sub)  # ceil
+    pad = m_sub * sub - dim
+    if pad:
+        sample = np.hstack([sample, np.zeros((n, pad))])
+    n_codes_eff = max(1, min(n_codes, n))
+    # FAISS-style train cap: ~50 points per centroid is plenty; Lloyd
+    # on the full 50k sample costs 10x the encode scan otherwise
+    cap = max(50 * n_codes_eff, 4096)
+    if n > cap:
+        idx = np.random.RandomState(seed).choice(n, size=cap, replace=False)
+        sample = sample[idx]
+    return np.stack([
+        _kmeans_l2(sample[:, j * sub:(j + 1) * sub], n_codes_eff, seed + j)
+        for j in range(m_sub)
+    ])
+
+
+def _pad_normalized(V: "np.ndarray", dim_padded: int) -> "np.ndarray":
+    nrm = np.linalg.norm(V, axis=1)
+    Vn = V / np.where(nrm > 0, nrm, 1.0)[:, None]
+    pad = dim_padded - Vn.shape[1]
+    if pad > 0:
+        Vn = np.hstack([Vn, np.zeros((len(Vn), pad))])
+    return Vn
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector as ``m_sub`` small codes — ONE
+    vectorized scan, no shuffle. The output (id, codes array<smallint>)
+    is the reusable compact index: a 64-dim float32 vector (256 B)
+    becomes m_sub bytes, so a 10^9-vector corpus index fits in cluster
+    memory where the raw vectors cannot; write it once, search many."""
+    spark = corpus.sparkSession
+    m_sub, _, sub = codebooks.shape
+    dim_padded = m_sub * sub
+    b_books = spark.sparkContext.broadcast(codebooks)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def encode(batches):
+        books = b_books.value
+        sq = (books * books).sum(axis=2)  # (m, n_codes)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            Vn = _pad_normalized(V, dim_padded)
+            Vs = Vn.reshape(len(Vn), m_sub, sub)
+            codes = np.empty((len(Vn), m_sub), dtype=np.int16)
+            for j in range(m_sub):
+                d = -2.0 * (Vs[:, j] @ books[j].T) + sq[j][None, :]
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {"__id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"__id {id_type}, codes array<smallint>"
+    ).withColumnRenamed("__id", id_col)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_sub: int = 8,
+    n_codes: int = 256,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 23,
+    train_sample: int = 50_000,
+    codebooks: "np.ndarray | None" = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization with exact
+    re-ranking — the memory-scale ANN path (FAISS-IVFPQ's ADC idea
+    re-expressed as DataFrame ops). Pass ``codebooks`` (from
+    :func:`pq_train`) and ``codes`` (from :func:`pq_encode`, possibly
+    read back from parquet) to skip training/encoding — the
+    encode-once / search-many serving shape.
+
+    Train: per-subspace L2 codebooks on a bounded (≤ ``train_sample``)
+    normalized sample (driver numpy, seeded). Encode:
+    :func:`pq_encode` — one scan, m_sub codes per vector. Search:
+    asymmetric distance computation — each query broadcasts an
+    (m_sub × n_codes) lookup table of subvector dot products; scoring a
+    corpus code is m_sub table lookups summed, so the scan never
+    touches a float vector. The top ``refine``·k ADC candidates per
+    query are then re-ranked with exact cosine via a (broadcast-sized)
+    semi-join back to the raw vectors, restoring the exact tie-break
+    contract (rounded-to-9 sims, then neighbor id) of the other top-k
+    entry points. Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    spark = corpus.sparkSession
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    if qpdf.empty:
+        return _empty_topk_frame(spark, qid_type, id_type)
+    if codebooks is None:
+        spdf = corpus.select(vec_col).limit(train_sample).toPandas()
+        if spdf.empty:
+            return _empty_topk_frame(spark, qid_type, id_type)
+        S = np.stack([np.asarray(v, dtype=float) for v in spdf[vec_col]])
+        sn = np.linalg.norm(S, axis=1)
+        books = pq_train(
+            S / np.where(sn > 0, sn, 1.0)[:, None], m_sub, n_codes, seed
+        )
+    else:
+        books = codebooks
+    m_eff, _, sub = books.shape
+    dim_padded = m_eff * sub
+
+    Q = np.stack([np.asarray(v, dtype=float) for v in qpdf[vec_col]])
+    Qn = _pad_normalized(Q, dim_padded)
+    # per-query ADC lookup tables: lut[q, j, c] = q_sub[j] · book[j][c]
+    lut = np.einsum("qjs,jcs->qjc", Qn.reshape(len(Qn), m_eff, sub), books)
+    qids = qpdf[id_col].to_numpy()
+    b_lut = spark.sparkContext.broadcast(lut)
+    cand_k = max(k * refine, k)
+
+    codes_df = (
+        codes
+        if codes is not None
+        else pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    )
+
+    def adc(batches):
+        lut_ = b_lut.value
+        j_idx = np.arange(m_eff)[None, :]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack([np.asarray(c) for c in pdf["codes"]])
+            nids = pdf[id_col].to_numpy()
+            frames = []
+            for qi, qid in enumerate(qids):
+                s = np.round(lut_[qi][j_idx, codes].sum(axis=1), 9)
+                keep = nids != qid
+                order = np.lexsort((nids[keep], -s[keep]))[:cand_k]
+                frames.append(pd.DataFrame({
+                    "query_id": qid,
+                    "neighbor_id": nids[keep][order],
+                    "adc": s[keep][order],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = codes_df.mapInPandas(
+        adc, schema=f"query_id {qid_type}, neighbor_id {id_type}, adc double"
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    cand = (
+        cand.withColumn("r", F.row_number().over(w_adc))
+        .where(F.col("r") <= cand_k)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-rank: candidates are tiny (queries × refine·k) — join
+    # the raw vectors back on the broadcast candidate list
+    qv = spark.createDataFrame(
+        [(q.item() if hasattr(q, "item") else q, [float(x) for x in v])
+         for q, v in zip(qids, Qn[:, : Q.shape[1]])],
+        schema=f"query_id {qid_type}, qv array<double>",
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    # zero-norm guard: brute force scores a zero vector 0.0, a raw
+    # division would yield NaN (which Spark sorts ABOVE every real sim)
+    nrm_prod = l2_norm(F.col("qv")) * l2_norm(F.col("cv"))
+    exact = F.when(
+        nrm_prod > 0, F.round(dot(F.col("qv"), F.col("cv")) / nrm_prod, 9)
+    ).otherwise(F.lit(0.0))
+    scored = (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", exact.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cosine_sim", 4).alias("cosine_sim"), "rank",
+        )
     )
 
 

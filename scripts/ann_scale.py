@@ -99,11 +99,62 @@ def run_kmeans(spark, n: int, work_dir: str, n_cells: int = 64) -> dict:
     return out
 
 
+def run_pq(spark, n: int, work_dir: str, k: int = 10, n_queries: int = 16) -> dict:
+    """PQ scale point: end-to-end pq_topk (train on ≤50k sample → encode
+    scan → ADC scan → exact re-rank) vs the brute-force exact scan on
+    the same queries — wall time and recall@k. Both plans are single
+    corpus scans, so the claim is near-linear wall growth with the PQ
+    scan touching only m_sub-byte codes instead of dim-float vectors."""
+    from pyspark.sql import functions as F
+
+    from graphrole_spark.functions.similarity import brute_force_topk, pq_topk
+
+    import numpy as np
+
+    from graphrole_spark.functions.similarity import pq_encode, pq_train
+
+    pq_dir = os.path.join(work_dir, f"emb_{n}")
+    if not os.path.exists(os.path.join(pq_dir, "_SUCCESS")):
+        synth_embeddings(spark, n, pq_dir)
+    emb = spark.read.parquet(pq_dir)
+    queries = emb.where(F.col("vec_id") % (n // n_queries) == 0)
+    out: dict = {"op": "pq_topk", "n_vectors": n, "dim": DIM, "k": k,
+                 "n_queries": n_queries}
+
+    # build phase (once per corpus): train codebooks, encode, persist
+    t0 = time.time()
+    spdf = emb.select("embedding").limit(50_000).toPandas()
+    S = np.stack([np.asarray(v, dtype=float) for v in spdf["embedding"]])
+    S /= np.where(np.linalg.norm(S, axis=1) > 0,
+                  np.linalg.norm(S, axis=1), 1.0)[:, None]
+    books = pq_train(S, m_sub=8, n_codes=256)
+    out["train_sec"] = round(time.time() - t0, 2)
+    codes_dir = os.path.join(work_dir, f"pq_codes_{n}")
+    t0 = time.time()
+    pq_encode(emb, books).write.mode("overwrite").parquet(codes_dir)
+    out["encode_sec"] = round(time.time() - t0, 2)
+
+    # serve phase (per query batch): ADC over codes + exact re-rank
+    codes = spark.read.parquet(codes_dir)
+    t0 = time.time()
+    approx = pq_topk(emb, queries, k=k, refine=4,
+                     codebooks=books, codes=codes)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    out["search_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    exact = brute_force_topk(emb, queries, k=k)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    out["bf_sec"] = round(time.time() - t0, 2)
+    out["recall"] = round(len(a & e) / max(len(e), 1), 4)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default=None)  # default sweep only when
     # no other mode was requested — an explicit --sizes always runs
     ap.add_argument("--kmeans-sizes", default="")
+    ap.add_argument("--pq-sizes", default="")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--work-dir", default="/tmp/ann_scale")
     args = ap.parse_args()
@@ -119,6 +170,17 @@ def main() -> None:
             print(json.dumps(r), flush=True)
             with open("BENCH_ANN_SCALE.jsonl", "a") as f:
                 f.write(json.dumps(r) + "\n")
+    if args.pq_sizes:
+        for n in [int(s) for s in args.pq_sizes.split(",")]:
+            r = run_pq(spark, n, args.work_dir)
+            r["cpus"] = args.cpus
+            print(json.dumps(r), flush=True)
+            with open("BENCH_ANN_SCALE.jsonl", "a") as f:
+                f.write(json.dumps(r) + "\n")
+        if args.sizes is None:
+            return
+    if args.kmeans_sizes and args.sizes is None:
+        return
     elif args.sizes is None:
         args.sizes = "5000,50000,500000"
     if not args.sizes:

@@ -121,6 +121,78 @@ def test_ivf_recall_vs_brute_force(spark):
         again.sort_values("rank").neighbor_id.tolist()
 
 
+def test_pq_recall_vs_brute_force(spark):
+    from graphrole_spark.functions.similarity import pq_topk
+
+    emb = _clustered_embeddings(spark)
+    queries = emb.where(F.col("vec_id") == 0)
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    approx = pq_topk(emb, queries, k=5, m_sub=4, n_codes=16, refine=4).toPandas()
+    inter = set(exact.neighbor_id) & set(approx.neighbor_id)
+    # 4 subspaces × 16 codes on a tight cluster: ADC keeps the block,
+    # exact re-rank restores the true order inside it
+    assert len(inter) >= 4
+    # the refined ranks agree with brute force on the intersection
+    e_rank = exact.set_index("neighbor_id")["cosine_sim"]
+    a_rank = approx.set_index("neighbor_id")["cosine_sim"]
+    for nid in inter:
+        assert abs(e_rank[nid] - a_rank[nid]) < 1e-6
+    again = pq_topk(emb, queries, k=5, m_sub=4, n_codes=16, refine=4).toPandas()
+    assert approx.sort_values("rank").neighbor_id.tolist() == \
+        again.sort_values("rank").neighbor_id.tolist()
+
+
+def test_pq_encode_shape_and_empty(spark):
+    from graphrole_spark.functions.similarity import pq_encode, pq_topk, pq_train
+
+    emb = _clustered_embeddings(spark)
+    sample = np.stack(
+        [np.asarray(v, dtype=float) for v in emb.toPandas()["embedding"]]
+    )
+    nrm = np.linalg.norm(sample, axis=1)
+    books = pq_train(sample / nrm[:, None], m_sub=4, n_codes=8)
+    assert books.shape == (4, 8, 4)  # 16-dim → 4 subspaces of 4
+    codes = pq_encode(emb, books).toPandas()
+    assert len(codes) == 40
+    assert all(len(c) == 4 for c in codes["codes"])
+    assert all(0 <= int(x) < 8 for c in codes["codes"] for x in c)
+    # empty query side → empty frame with the contract schema
+    out = pq_topk(emb, emb.where(F.col("vec_id") < 0), k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+
+
+def test_hard_negatives_excludes_positives_and_ceiling(spark):
+    from graphrole_spark.functions.similarity import hard_negatives
+
+    emb = _clustered_embeddings(spark)
+    pos = spark.createDataFrame(
+        [(0, 1), (0, 2), (25, 26)], "query_id long, pos_id long"
+    )
+    out = hard_negatives(emb, pos, k=5, sim_ceiling=None).toPandas()
+    got0 = out[out.query_id == 0]
+    assert len(got0) == 5
+    assert not {0, 1, 2} & set(got0.neighbor_id)  # self + positives gone
+    # numpy oracle: exact cosine, drop {self, positives}, top-5
+    pdf = emb.toPandas()
+    M = np.stack([np.asarray(v, dtype=float) for v in pdf["embedding"]])
+    Mn = M / np.linalg.norm(M, axis=1)[:, None]
+    s = np.round(Mn @ Mn[0], 9)
+    ids = pdf["vec_id"].to_numpy()
+    keep = ~np.isin(ids, [0, 1, 2])
+    order = np.lexsort((ids[keep], -s[keep]))[:5]
+    assert got0.sort_values("rank").neighbor_id.tolist() == \
+        ids[keep][order].tolist()
+    # a ceiling below the cluster's internal sims forces far negatives
+    capped = hard_negatives(emb, pos, k=5, sim_ceiling=0.5).toPandas()
+    cap0 = capped[capped.query_id == 0]
+    assert (cap0.cosine_sim <= 0.5 + 1e-9).all()
+    # missing query vector is an error, not a silent drop
+    bad = spark.createDataFrame([(999, 1)], "query_id long, pos_id long")
+    with pytest.raises(ValueError, match="missing"):
+        hard_negatives(emb, bad, k=2)
+
+
 def test_embedding_near_duplicates(spark):
     from graphrole_spark.functions.similarity import embedding_near_duplicates
 
