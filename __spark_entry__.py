@@ -1315,6 +1315,26 @@ def q_bpe_tokenizer(spark, sf_dir):
     )
 
 
+def q_tokenize_pack(spark, sf_dir):
+    """Pre-training materialization (functions/tokenizer.py::
+    tokenize_pack): BPE fit -> Arrow encode -> deterministic token->id
+    vocab -> concat-and-chunk into fixed-length id sequences with
+    per-document span metadata (document-grain array slices shuffle,
+    never one row per token; two exchanges). Rows-only: downstream of
+    the BPE merge fixpoint; exact concat-chunk parity vs a pure-python
+    oracle and lossless text reconstruction are pytest-pinned
+    (test_pack_token_ids_matches_python_oracle_randomized,
+    test_tokenize_pack_end_to_end_lossless)."""
+    from graphrole_spark.functions.tokenizer import tokenize_pack
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = tokenize_pack(docs, max_len=512, n_merges=64, shards=8)
+    return packed.select(
+        "shard", "seq_id", "n_tokens", "n_docs",
+        F.element_at("input_ids", 1).alias("first_id"),
+    ).orderBy("shard", "seq_id")
+
+
 def q_diversify(spark, sf_dir):
     """D4-style diversification (functions/corpus.py::diversify_corpus):
     distributed k-means over the embeddings table + in-cell SemDeDup
@@ -1663,6 +1683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge-list parity vs an independent reference trainer
         # pytest-pinned (tests/test_tokenizer.py)
         "bpe_tokenizer": q_bpe_tokenizer,
+        # tokenize_pack: downstream of the same fixpoint; concat-chunk
+        # python-oracle parity + lossless reconstruction pytest-pinned
+        "tokenize_pack": q_tokenize_pack,
         "refex_pipeline": q_refex_pipeline,
         # corpus_pipeline composes four already-adjudicated operators
         # (clean -> dedup clusters -> mix -> strict pack); end-to-end

@@ -38,10 +38,18 @@ import re
 from collections import Counter, defaultdict
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_fit", "bpe_encode", "END_WORD"]
+__all__ = [
+    "bpe_fit",
+    "bpe_encode",
+    "build_token_vocab",
+    "encode_ids",
+    "pack_token_ids",
+    "tokenize_pack",
+    "END_WORD",
+]
 
 END_WORD = "</w>"
 # one segmentation rule for fit (Java regex) and encode (python re)
@@ -201,3 +209,203 @@ def bpe_encode(
             )
 
     return documents.select(id_col, text_col).mapInPandas(encode, schema=schema)
+
+
+def build_token_vocab(encoded: DataFrame, token_col: str = "bpe_tokens") -> DataFrame:
+    """Token → contiguous id table from an encoded corpus: distinct
+    exploded tokens (map-side-combinable — only vocab-sized partials
+    reach the exchange), ids assigned by ascending token order so the
+    mapping is deterministic across runs and partitionings. The final
+    ranking window runs on ONE partition but over vocab-sized rows
+    (base alphabet + ≤ one symbol per merge), not corpus-sized rows —
+    the same bounded-summary shape as the binning driver loop.
+    Returns ``(token string, token_id int)``."""
+    toks = encoded.select(F.explode(token_col).alias("token")).distinct()
+    w = Window.orderBy("token")
+    return toks.select(
+        "token", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    )
+
+
+def encode_ids(
+    encoded: DataFrame,
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    token_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Map token-string arrays to ``input_ids`` int arrays with a
+    broadcast vocab dict: one partition-preserving Arrow pass, no
+    shuffle. Tokens absent from the vocab map to -1 (callers building
+    the vocab from the same corpus never see one). Returns
+    ``(id_col, n_tokens long, input_ids array<int>)``."""
+    import numpy as np
+
+    spark = encoded.sparkSession
+    id_type = encoded.schema[id_col].dataType.simpleString()
+    b_vocab = spark.sparkContext.broadcast(vocab)
+    schema = f"{id_col} {id_type}, n_tokens long, input_ids array<int>"
+
+    def to_ids(batches):
+        v = b_vocab.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = [
+                np.fromiter(
+                    (v.get(t, -1) for t in toks), dtype=np.int32, count=len(toks)
+                )
+                for toks in pdf[token_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": [len(a) for a in ids],
+                    "input_ids": ids,
+                }
+            )
+
+    return encoded.select(id_col, token_col).mapInPandas(to_ids, schema=schema)
+
+
+def pack_token_ids(
+    tokens: DataFrame,
+    max_len: int,
+    id_col: str = "doc_id",
+    ids_col: str = "input_ids",
+    shards: int = 64,
+    pad_id: int | None = None,
+    drop_last: bool = False,
+) -> DataFrame:
+    """Concat-and-chunk token arrays into fixed-length training
+    sequences (the GPT-style pre-training materialization): documents
+    are md5-sharded and ``id_col``-ordered (the same deterministic
+    layout as :func:`~graphrole_spark.functions.corpus.pack_documents`),
+    their token streams concatenated per shard and cut every
+    ``max_len`` tokens, documents straddling a cut split across the two
+    sequences.
+
+    Scale shape: each document contributes at most
+    ``ceil(n/max_len)+1`` *array slices* — the shuffle moves
+    document-grain rows carrying bounded arrays, never one row per
+    token; assembly is a single ``collect_list`` + ``array_sort`` +
+    ``flatten`` of ≤ ``max_len`` tokens per group, all JVM-side (the
+    only Python in the pipeline is the Arrow encode pass upstream).
+    Two exchanges total: the shard window and the (shard, seq) group.
+
+    Returns ``(shard, seq_id, input_ids array<int>, n_tokens, n_docs,
+    doc_spans array<struct<doc_id, start, len>>)`` — ``doc_spans``
+    gives each document's slice inside the sequence so trainers can
+    build block-diagonal attention masks. Only the tail sequence of a
+    shard can be short; ``pad_id`` right-pads it to ``max_len`` (and is
+    excluded from ``n_tokens``), ``drop_last=True`` drops it instead.
+    """
+    from graphrole_spark.functions.corpus import _md5_bucket
+
+    if max_len <= 0:
+        raise ValueError("max_len must be positive")
+    L = F.lit(max_len)
+    n = F.size(ids_col)
+    sharded = tokens.select(
+        F.col(id_col).alias("doc_id"),
+        _md5_bucket(F.col(id_col).cast("string"), shards).alias("shard"),
+        F.col(ids_col).alias("__ids"),
+        n.cast("long").alias("__n"),
+    ).where(F.col("__n") > 0)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    off = (F.sum("__n").over(w) - F.col("__n")).alias("__off")
+    placed = sharded.select("doc_id", "shard", "__ids", "__n", off)
+    # sequences this document touches: floor(off/L) .. floor((off+n-1)/L)
+    s0 = F.floor(F.col("__off") / L)
+    s1 = F.floor((F.col("__off") + F.col("__n") - 1) / L)
+    seq = F.explode(F.sequence(s0, s1)).alias("seq_id")
+    sliced = placed.select("doc_id", "shard", "__ids", "__n", "__off", seq)
+    seq_start = F.col("seq_id") * L  # global offset where this sequence begins
+    cut_lo = F.greatest(seq_start, F.col("__off"))
+    cut_hi = F.least(seq_start + L, F.col("__off") + F.col("__n"))
+    slice_len = (cut_hi - cut_lo).cast("int")
+    slice_from = (cut_lo - F.col("__off")).cast("int")  # 0-based within doc
+    pos = (cut_lo - seq_start).cast("int")  # 0-based within sequence
+    pieces = sliced.select(
+        "shard",
+        "seq_id",
+        F.struct(
+            pos.alias("pos"),
+            F.col("doc_id").alias("doc_id"),
+            F.slice("__ids", slice_from + 1, slice_len).alias("ids"),
+        ).alias("piece"),
+    )
+    # positions within a sequence are distinct, so the struct sort (by
+    # leading field `pos`) is a total order
+    assembled = (
+        pieces.groupBy("shard", "seq_id")
+        .agg(F.array_sort(F.collect_list("piece")).alias("__pieces"))
+        .select(
+            "shard",
+            "seq_id",
+            F.flatten(F.transform("__pieces", lambda p: p["ids"])).alias(
+                "input_ids"
+            ),
+            F.transform(
+                "__pieces",
+                lambda p: F.struct(
+                    p["doc_id"].alias("doc_id"),
+                    p["pos"].alias("start"),
+                    F.size(p["ids"]).alias("len"),
+                ),
+            ).alias("doc_spans"),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            "input_ids",
+            F.size("input_ids").cast("long").alias("n_tokens"),
+            F.size("doc_spans").cast("long").alias("n_docs"),
+            "doc_spans",
+        )
+    )
+    if drop_last:
+        assembled = assembled.where(F.col("n_tokens") == max_len)
+    elif pad_id is not None:
+        short = F.col("n_tokens") < max_len
+        padded = F.concat(
+            "input_ids",
+            F.array_repeat(F.lit(pad_id).cast("int"), (L - F.col("n_tokens")).cast("int")),
+        )
+        assembled = assembled.withColumn(
+            "input_ids", F.when(short, padded).otherwise(F.col("input_ids"))
+        )
+    return assembled
+
+
+def tokenize_pack(
+    documents: DataFrame,
+    max_len: int,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 200,
+    shards: int = 64,
+    pad_id: int | None = None,
+    drop_last: bool = False,
+) -> DataFrame:
+    """End-to-end pre-training materialization: learn (or take) a BPE
+    merge list, encode every document, build the deterministic token→id
+    vocab, and concat-and-chunk the id streams into ``max_len``-token
+    training sequences with per-document span metadata. One corpus pass
+    to fit (skipped when ``merges`` is given), one Arrow encode pass,
+    one vocab aggregate, two exchanges to pack."""
+    if merges is None:
+        merges = bpe_fit(documents, n_merges=n_merges, text_col=text_col)
+    encoded = bpe_encode(documents, merges, text_col=text_col, id_col=id_col)
+    vocab = {
+        r["token"]: r["token_id"] for r in build_token_vocab(encoded).collect()
+    }
+    with_ids = encode_ids(encoded, vocab, id_col=id_col)
+    return pack_token_ids(
+        with_ids,
+        max_len,
+        id_col=id_col,
+        shards=shards,
+        pad_id=pad_id,
+        drop_last=drop_last,
+    )
