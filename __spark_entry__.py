@@ -969,6 +969,20 @@ def q_mix_corpus(spark, sf_dir):
     return mix_corpus(docs, weights, total_tokens=2_000)
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-smoothed source mixing (functions/corpus.py::
+    temperature_mix): mT5/XLM-R alpha-sampling — per-source token
+    shares p_s^alpha renormalized into mix_corpus budgets. One tiny
+    per-source aggregate + the same single-window mixing pass as
+    mix_corpus (whose DuckDB oracle adjudicates the window math);
+    the alpha-weight arithmetic is pytest-pinned
+    (test_temperature_weights_alpha_extremes_and_order)."""
+    from graphrole_spark.functions.corpus import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mix(docs, total_tokens=2_000, alpha=0.5)
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """End-to-end corpus build: quality gate → near-dup cluster keep →
     source-weighted mix → strict packing (functions/corpus.py::
@@ -1687,6 +1701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # python-oracle parity + lossless reconstruction pytest-pinned
         "tokenize_pack": q_tokenize_pack,
         "refex_pipeline": q_refex_pipeline,
+        # temperature_mix: SQL-expressible but past the 50-entry window;
+        # window math adjudicated via mix_corpus's oracle, alpha-weight
+        # arithmetic pytest-pinned (test_temperature_weights_*)
+        "temperature_mix": q_temperature_mix,
         # corpus_pipeline composes four already-adjudicated operators
         # (clean -> dedup clusters -> mix -> strict pack); end-to-end
         # invariants pytest-pinned in test_assemble_corpus_end_to_end

@@ -283,6 +283,67 @@ def mix_corpus(
     )
 
 
+def temperature_weights(
+    documents: DataFrame,
+    alpha: float,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Temperature-smoothed source weights — the mT5/XLM-R multilingual
+    sampling rule (Xue et al. 2021 §3.1): with p_s a source's share of
+    corpus tokens, sample with q_s ∝ p_s^alpha. ``alpha=1`` keeps the
+    natural proportions, ``alpha=0`` is uniform, the usual 0.2–0.7
+    range upsamples low-resource sources without letting them dominate.
+
+    One map-side-combinable aggregate (only #sources rows reach the
+    driver); the returned ``{source: q_s}`` dict (sums to 1) feeds
+    :func:`mix_corpus`'s ``weights``. NULL sources are excluded —
+    they'd be dropped by ``mix_corpus`` anyway."""
+    from .text import token_count
+
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = (
+        documents.where(F.col(source_col).isNotNull())
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.sum(
+                F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("long")
+            ).alias("n_tokens")
+        )
+        .collect()
+    )
+    total = float(sum(r.n_tokens for r in counts)) or 1.0
+    smoothed = {r.source: (r.n_tokens / total) ** alpha for r in counts}
+    z = sum(smoothed.values()) or 1.0
+    return {s: q / z for s, q in smoothed.items()}
+
+
+def temperature_mix(
+    documents: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    source_col: str = "source",
+    salt: str = "mix1",
+) -> DataFrame:
+    """:func:`mix_corpus` with temperature-derived budgets: one tiny
+    per-source aggregate computes the α-smoothed weights, then the
+    single-window mixing pass applies them. Returns ``mix_corpus``'s
+    ``(doc_id, source, n_tokens, keep)``."""
+    weights = temperature_weights(
+        documents, alpha, text_col=text_col, source_col=source_col
+    )
+    return mix_corpus(
+        documents,
+        weights,
+        total_tokens,
+        text_col=text_col,
+        source_col=source_col,
+        salt=salt,
+    )
+
+
 def assemble_corpus(
     documents: DataFrame,
     weights: dict,

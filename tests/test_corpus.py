@@ -317,3 +317,64 @@ def test_mix_corpus_custom_source_col(spark):
         docs, {"a": 1.0}, total_tokens=100, source_col="origin"
     ).toPandas().set_index("doc_id")
     assert out.loc[1, "keep"] == 1 and out.loc[2, "keep"] == 0
+
+
+def test_temperature_weights_alpha_extremes_and_order(spark):
+    from graphrole_spark.functions.corpus import temperature_weights
+
+    # web 10 docs x 10 tok = 100; code 5 x 10 = 50; papers 1 x 10 = 10
+    rows = (
+        [(i, "web", "w " * 10) for i in range(10)]
+        + [(100 + i, "code", "w " * 10) for i in range(5)]
+        + [(200, "papers", "w " * 10), (201, None, "w " * 10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    w1 = temperature_weights(docs, alpha=1.0)
+    assert set(w1) == {"web", "code", "papers"}  # NULL source excluded
+    assert abs(sum(w1.values()) - 1.0) < 1e-12
+    # alpha=1 reproduces the natural token shares
+    assert abs(w1["web"] - 100 / 160) < 1e-12
+    assert abs(w1["papers"] - 10 / 160) < 1e-12
+
+    w0 = temperature_weights(docs, alpha=0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in w0.values())
+
+    # 0 < alpha < 1 upsamples the rare source, never past uniform,
+    # and preserves the size order
+    wh = temperature_weights(docs, alpha=0.5)
+    assert w1["papers"] < wh["papers"] < 1 / 3
+    assert wh["web"] > wh["code"] > wh["papers"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_weights(docs, alpha=-0.1)
+
+
+def test_temperature_mix_budgets_follow_smoothed_weights(spark):
+    from graphrole_spark.functions.corpus import (
+        temperature_mix,
+        temperature_weights,
+    )
+
+    rows = (
+        [(i, "web", "w " * 10) for i in range(40)]      # 400 tokens
+        + [(100 + i, "code", "w " * 10) for i in range(4)]  # 40 tokens
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    total = 200
+    out = temperature_mix(docs, total_tokens=total, alpha=0.5).toPandas()
+    w = temperature_weights(docs, alpha=0.5)
+    kept = out[out["keep"] == 1].groupby("source")["n_tokens"].sum()
+    max_doc = out["n_tokens"].max()
+    for src, q in w.items():
+        budget = total * q
+        got = kept.get(src, 0)
+        # within one boundary doc of the smoothed budget, capped by the
+        # source's own size
+        avail = out[out["source"] == src]["n_tokens"].sum()
+        assert got <= min(budget + max_doc, avail)
+        assert got >= min(budget - max_doc, avail) - 1e-9
+    # code's kept share exceeds its natural 40/440 share (upsampled)
+    assert kept["code"] / kept.sum() > 40 / 440
