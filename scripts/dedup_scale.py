@@ -308,6 +308,40 @@ def bpe_stress(spark, n: int, work_dir: str) -> dict:
     }
 
 
+def pack_stress(spark, n: int, work_dir: str, merges=[]) -> dict:
+    """Tokenize-and-pack scale evidence: a FIXED merge list (fit once on
+    the smallest corpus, passed in) so the sweep isolates the
+    corpus-size-dependent stages — Arrow encode, vocab aggregate, and
+    the concat-and-chunk pack (document-grain array-slice shuffle). Wall
+    should track the corpus linearly; sequences = ceil(tokens/max_len)
+    per shard."""
+    from pyspark.sql import functions as F
+
+    from graphrole_spark.functions.tokenizer import bpe_fit, tokenize_pack
+
+    pq = os.path.join(work_dir, f"linedocs_{n}")
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        lines_stress(spark, n, work_dir)
+    docs = spark.read.parquet(pq)
+    if not merges:
+        merges.extend(bpe_fit(docs, n_merges=200, min_freq=2))
+
+    t0 = time.time()
+    packed = tokenize_pack(docs, max_len=2048, merges=list(merges), shards=64)
+    agg = packed.agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum((F.col("n_tokens") == 2048).cast("int")).alias("n_full"),
+    ).collect()[0]
+    return {
+        "pack_docs": n,
+        "pack_sec": round(time.time() - t0, 2),
+        "pack_seqs": int(agg["n_seqs"]),
+        "pack_tokens": int(agg["n_tokens"]),
+        "pack_full_seqs": int(agg["n_full"]),
+    }
+
+
 def nb_stress(spark, n: int, work_dir: str) -> dict:
     """NB quality-classifier scale evidence: fit = one gram explode +
     conditional-sum groupBy, score = one explode + broadcast join —
@@ -356,6 +390,8 @@ def main() -> None:
                     help="doc counts for the BPE trainer stress")
     ap.add_argument("--nb-sizes", default="",
                     help="doc counts for the NB classifier stress")
+    ap.add_argument("--pack-sizes", default="",
+                    help="doc counts for the tokenize-and-pack stress")
     ap.add_argument("--ingest-batch", type=int, default=5000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--work-dir", default="/tmp/dedup_scale")
@@ -385,6 +421,9 @@ def main() -> None:
         record(bpe_stress(spark, n, args.work_dir))
     for n in [int(s) for s in args.nb_sizes.split(",") if s]:
         record(nb_stress(spark, n, args.work_dir))
+    pack_merges: list = []
+    for n in [int(s) for s in args.pack_sizes.split(",") if s]:
+        record(pack_stress(spark, n, args.work_dir, merges=pack_merges))
 
 
 if __name__ == "__main__":

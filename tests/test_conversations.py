@@ -999,3 +999,136 @@ def test_curate_transcripts_deterministic_and_near_dup_optional(spark):
     convs = {r["conv_id"] for r in curate_transcripts(
         df, near_dup_threshold=None).collect()}
     assert "a4" in convs and "a3" not in convs
+
+
+# --------------------------------------------------------------------------
+# detect_loops
+# --------------------------------------------------------------------------
+
+def test_detect_loops_handcrafted(spark):
+    from graphrole_spark.functions.conversations import detect_loops
+
+    rows = (
+        # c_loop: 4 identical tool calls in a row (turns 1-4), then text
+        [("c_loop", 0, "user", "do it", "", TS0.format(0))]
+        + [("c_loop", i, "assistant", "run x", "search", TS0.format(i))
+           for i in range(1, 5)]
+        + [("c_loop", 5, "assistant", "done", "", TS0.format(5))]
+        # c_retry: only a 2-run (benign retry, below min_run=3)
+        + [("c_retry", 0, "assistant", "r", "code", TS0.format(0)),
+           ("c_retry", 1, "assistant", "r", "code", TS0.format(1)),
+           ("c_retry", 2, "user", "ok", "", TS0.format(2))]
+        # c_gap: identical turns NOT adjacent -> no loop
+        + [("c_gap", 0, "user", "hi", "", TS0.format(0)),
+           ("c_gap", 1, "assistant", "a", "", TS0.format(1)),
+           ("c_gap", 2, "user", "hi", "", TS0.format(2)),
+           ("c_gap", 3, "assistant", "b", "", TS0.format(3)),
+           ("c_gap", 4, "user", "hi", "", TS0.format(4))]
+    )
+    got = {r.conv_id: r for r in detect_loops(_turns_tool(spark, rows)).collect()}
+    assert set(got) == {"c_loop", "c_retry", "c_gap"}
+    lo = got["c_loop"]
+    assert (lo.n_turns, lo.n_loop_runs, lo.max_run_len, lo.looped_turns) == (6, 1, 4, 4)
+    assert lo.first_loop_turn == 1 and lo.has_loop == 1
+    assert abs(lo.loop_frac - 4 / 6) < 1e-6  # column is round(·, 6)
+    re_ = got["c_retry"]
+    assert (re_.n_loop_runs, re_.max_run_len, re_.has_loop) == (0, 2, 0)
+    assert re_.first_loop_turn is None and re_.looped_turns == 0
+    ga = got["c_gap"]
+    assert (ga.n_loop_runs, ga.max_run_len, ga.has_loop) == (0, 1, 0)
+
+    # run-level drill-down
+    runs = detect_loops(_turns_tool(spark, rows), runs=True).collect()
+    assert len(runs) == 1
+    r = runs[0]
+    assert (r.conv_id, r.start_turn, r.end_turn, r.run_len) == ("c_loop", 1, 4, 4)
+    assert (r.role, r.tool) == ("assistant", "search")
+
+    # min_run=2 promotes the retry pair
+    got2 = {r.conv_id: r for r in
+            detect_loops(_turns_tool(spark, rows), min_run=2).collect()}
+    assert got2["c_retry"].has_loop == 1 and got2["c_retry"].looped_turns == 2
+
+    with pytest.raises(ValueError, match="min_run"):
+        detect_loops(_turns_tool(spark, rows), min_run=1)
+
+
+def test_detect_loops_duckdb_parity(spark):
+    """Full-semantics value parity vs the same RLE SQL in DuckDB — the
+    tail-entry stand-in for the driver oracle (registry window is full)."""
+    import duckdb
+    import pandas as pd
+
+    from graphrole_spark.functions.conversations import detect_loops
+
+    rng = random.Random(23)
+    rows = []
+    for c in range(40):
+        n = rng.randint(1, 12)
+        for i in range(n):
+            # small vocab so identical adjacent turns happen organically
+            rows.append((
+                f"c{c}", i, rng.choice(["user", "assistant"]),
+                rng.choice(["a", "b", None]), rng.choice(["", "t1", None]),
+                TS0.format(i % 10),
+            ))
+    got = (
+        detect_loops(_turns_tool(spark, rows))
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    con = duckdb.connect()
+    con.register("turns", pdf)
+    oracle = con.execute("""
+        WITH sigged AS (
+          SELECT conv_id, turn_idx,
+                 md5(concat_ws(chr(31), coalesce(role,''), coalesce(tool,''),
+                               coalesce(text,''))) AS sig
+          FROM turns),
+        marked AS (
+          SELECT conv_id, turn_idx, sig,
+                 CASE WHEN sig = lag(sig) OVER w THEN 0 ELSE 1 END AS new_run
+          FROM sigged WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        runs AS (
+          SELECT conv_id, turn_idx,
+                 sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM marked),
+        run_rows AS (
+          SELECT conv_id, run_id, count(*) AS run_len,
+                 min(turn_idx) AS start_turn
+          FROM runs GROUP BY conv_id, run_id)
+        SELECT conv_id,
+               sum(run_len) AS n_turns,
+               sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS n_loop_runs,
+               max(run_len) AS max_run_len,
+               sum(CASE WHEN run_len >= 3 THEN run_len ELSE 0 END) AS looped_turns,
+               round(sum(CASE WHEN run_len >= 3 THEN run_len ELSE 0 END)
+                     / CAST(sum(run_len) AS DOUBLE), 6) AS loop_frac,
+               min(CASE WHEN run_len >= 3 THEN start_turn END) AS first_loop_turn,
+               CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) > 0 AS INT)
+                 AS has_loop
+        FROM run_rows GROUP BY conv_id ORDER BY conv_id
+    """).df()
+    assert len(got) == len(oracle)
+    for a, b in zip(got.itertuples(index=False), oracle.itertuples(index=False)):
+        assert a.conv_id == b.conv_id
+        assert (a.n_turns, a.n_loop_runs, a.max_run_len, a.looped_turns) == \
+               (b.n_turns, b.n_loop_runs, b.max_run_len, b.looped_turns), a.conv_id
+        assert abs(a.loop_frac - b.loop_frac) < 1e-9
+        fa = None if pd.isna(a.first_loop_turn) else a.first_loop_turn
+        fb = None if pd.isna(b.first_loop_turn) else b.first_loop_turn
+        assert fa == fb and a.has_loop == b.has_loop, a.conv_id
+
+
+def test_detect_loops_single_exchange(spark):
+    from graphrole_spark.functions.conversations import detect_loops
+
+    df = _turns_tool(spark, [("c", 0, "u", "x", "t", TS0.format(0))])
+    for kw in ({}, {"runs": True}):
+        plan = detect_loops(df, **kw)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+        assert "Python" not in plan

@@ -303,3 +303,27 @@ def test_pack_token_ids_plan_shape(spark):
     n_exchange = plan.count("Exchange")
     assert n_exchange <= 2, plan
     assert "Python" not in plan and "BatchEval" not in plan, plan
+
+
+def test_encode_to_ids_matches_two_step_path(spark):
+    from graphrole_spark.functions.tokenizer import (
+        bpe_encode,
+        bpe_fit,
+        build_token_vocab,
+        encode_ids,
+        encode_to_ids,
+    )
+
+    texts = ["the cat sat on the mat", "a rat ate the cat", "", None, "zq zq"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(3)
+    merges = bpe_fit(df, n_merges=20, min_freq=1)
+    enc = bpe_encode(df, merges)
+    vocab = {r.token: r.token_id for r in build_token_vocab(enc).collect()}
+    two_step = {r.doc_id: list(r.input_ids)
+                for r in encode_ids(enc, vocab).collect()}
+    fused = {r.doc_id: list(r.input_ids)
+             for r in encode_to_ids(df, merges, vocab).collect()}
+    assert fused == two_step
+    assert fused[2] == [] and fused[3] == []
