@@ -1246,13 +1246,26 @@ def q_tfidf_topk(spark, sf_dir):
 
 
 def q_lm_score(spark, sf_dir):
-    """Per-doc mean negative log-likelihood under an add-one-smoothed
-    unigram LM fitted on the corpus itself — the cheap perplexity-ish
-    fluency score for quality filtering (no external model)."""
-    from graphrole_spark.functions.terms import unigram_lm_scores
+    """Per-doc LM fluency scores: mean NLL under an add-one-smoothed
+    unigram LM fitted on the corpus itself (the cheap perplexity-ish
+    filter signal), plus the CCNet-shaped bigram stupid-backoff score
+    — fitted on the md5-even HALF of the corpus and scored over all of
+    it, so the backoff branch (unseen bigram -> alpha * smoothed
+    unigram) genuinely fires and is adjudicated by the oracle."""
+    from graphrole_spark.functions.corpus import _md5_bucket
+    from graphrole_spark.functions.terms import (
+        bigram_lm_fit,
+        bigram_lm_scores,
+        unigram_lm_scores,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return unigram_lm_scores(docs)
+    uni = unigram_lm_scores(docs)
+    model = bigram_lm_fit(
+        docs.where(_md5_bucket(F.col("doc_id").cast("string"), 2) == 0)
+    )
+    bi = bigram_lm_scores(docs, model, alpha=0.4).drop("n_tokens")
+    return uni.join(bi, "doc_id")
 
 
 def q_dup_ngrams(spark, sf_dir):
@@ -2817,6 +2830,11 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 5
         """,
+        # lm_score: unigram leg fitted on the full corpus; bigram
+        # stupid-backoff leg fitted on the md5-even half (same portable
+        # md5 idiom as split_sample) and scored over every doc — first
+        # token = add-one unigram, seen bigram = c(prev w)/c(prev),
+        # unseen = 0.4 * add-one unigram
         "lm_score": """
             WITH t AS (
               SELECT doc_id,
@@ -2825,11 +2843,48 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             inst AS (SELECT doc_id, tok AS term FROM t, unnest(toks) AS u(tok)),
             cnt AS (SELECT term, count(*) AS c FROM inst GROUP BY term),
-            tot AS (SELECT sum(c) AS t, count(*) AS v FROM cnt)
-            SELECT doc_id, count(*) AS n_tokens,
-                   round(avg(-ln((c + 1) * 1.0 / (t + v))), 6) AS nll
-            FROM inst JOIN cnt USING (term) CROSS JOIN tot
-            GROUP BY doc_id
+            tot AS (SELECT sum(c) AS t, count(*) AS v FROM cnt),
+            uni AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     round(avg(-ln((c + 1) * 1.0 / (t + v))), 6) AS nll
+              FROM inst JOIN cnt USING (term) CROSS JOIN tot
+              GROUP BY doc_id),
+            tr AS (
+              SELECT * FROM t
+              WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2 = 0),
+            tuni AS (
+              SELECT tok AS term, count(*) AS c
+              FROM tr, unnest(toks) AS u(tok) GROUP BY tok),
+            ttot AS (SELECT sum(c) AS bt, count(*) AS bv FROM tuni),
+            tbi AS (
+              SELECT toks[i] AS prev, toks[i + 1] AS term, count(*) AS cb
+              FROM tr, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+              GROUP BY 1, 2),
+            binst AS (
+              SELECT doc_id,
+                     CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END AS prev,
+                     toks[i] AS term
+              FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN a.prev IS NULL
+                            THEN (coalesce(cw.c, 0) + 1) * 1.0 / (bt + bv)
+                          WHEN tb.cb IS NOT NULL THEN tb.cb * 1.0 / cp.c
+                          ELSE 0.4 * (coalesce(cw.c, 0) + 1) / (bt + bv) END AS sc,
+                     CASE WHEN a.prev IS NOT NULL AND tb.cb IS NULL
+                          THEN 1 ELSE 0 END AS bo
+              FROM binst a
+              LEFT JOIN tuni cw ON a.term = cw.term
+              LEFT JOIN tbi tb ON a.prev = tb.prev AND a.term = tb.term
+              LEFT JOIN tuni cp ON a.prev = cp.term
+              CROSS JOIN ttot),
+            bi AS (
+              SELECT doc_id, round(avg(-ln(sc)), 6) AS bi_nll,
+                     round(avg(bo), 6) AS backoff_frac
+              FROM s GROUP BY doc_id)
+            SELECT doc_id, n_tokens, nll, bi_nll, backoff_frac
+            FROM uni JOIN bi USING (doc_id)
         """,
         # dup_ngrams: cross-document repeated 8-gram spans. Same
         # tokenizer; a gram is duplicated when >= 2 distinct docs carry

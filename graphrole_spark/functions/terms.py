@@ -14,6 +14,13 @@ table):
   corpus itself: the cheap "perplexity-ish" fluency score pipelines
   use (KenLM-style, without the external model) to flag gibberish
   and boilerplate outliers before training.
+* :func:`bigram_lm_fit` / :func:`bigram_lm_scores` — the CCNet-shaped
+  upgrade: fit a bigram LM with stupid backoff (Brants et al., EMNLP
+  2007) on a *reference* corpus, score any corpus against it. This is
+  the actual perplexity-filtering workflow (KenLM trained on
+  Wikipedia, crawl scored against it) where train and score corpora
+  differ, so backoff genuinely fires; the per-doc ``backoff_frac``
+  doubles as a domain-shift signal.
 
 Scale notes (100 TB lens): both operators are one token explode
 (whole-stage codegen `split` + `explode`, no Python), one partial-
@@ -32,6 +39,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphrole_spark.functions.text import tokens
+
+
+def _token_arrays(documents: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, toks) with empty tokens filtered — the array-form
+    sibling of :func:`_doc_terms` for operators that need positions
+    (bigram pairs are built array-locally, no self-join)."""
+    return documents.select(
+        "doc_id",
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("toks"),
+    )
 
 
 def _doc_terms(documents: DataFrame, text_col: str) -> DataFrame:
@@ -129,5 +146,140 @@ def unigram_lm_scores(
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(F.avg("__nll"), 6).alias("nll"),
+        )
+    )
+
+
+def bigram_lm_fit(
+    train_documents: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit a bigram LM on ``train_documents``. Returns the whole model
+    as ONE DataFrame ``(prev, term, c)``:
+
+    * ``prev IS NULL`` rows are the unigram counts ``c(term)``;
+    * ``prev IS NOT NULL`` rows are the bigram counts ``c(prev term)``.
+
+    Two count aggregations, zero driver state; bigram pairs are built
+    array-locally from each document's token array (``transform`` over
+    a slice — no self-join, no window), so the only shuffles are the
+    two count ``groupBy``s over (term)-keyed longs. The model is
+    materialized eagerly (a fit IS an action) via ``localCheckpoint``
+    because score-time consumers slice it into three branches (token
+    counts, context counts, pair counts) and an unmaterialized model
+    would re-run the training explode once per branch; it stays
+    distributed — at real corpus scale write it to parquet instead and
+    reload (row count is bounded by bigram *types*, not tokens).
+
+    An empty training corpus yields an empty model; scoring against it
+    is undefined (every probability is 0) — fit on a non-empty corpus.
+    """
+    t = _token_arrays(train_documents, text_col)
+    uni = (
+        t.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .select(F.lit(None).cast("string").alias("prev"), "term", "c")
+    )
+    # pairs (toks[i], toks[i+1]) built inside the row: slice off the
+    # first token, pair each survivor with its predecessor by index.
+    bi = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                    " (t, i) -> struct(toks[i] AS prev, t AS term))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.prev", "p.term")
+        .agg(F.count("*").alias("c"))
+    )
+    return uni.unionByName(bi).localCheckpoint()
+
+
+def bigram_lm_scores(
+    documents: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score ``documents`` against a :func:`bigram_lm_fit` model with
+    stupid backoff (Brants et al. 2007 — unnormalized scores, the
+    web-scale standard):
+
+    * first token of a doc: add-one-smoothed unigram
+      ``(c(w)+1) / (T+V)`` (finite for OOV words);
+    * seen bigram: relative frequency ``c(prev w) / c(prev)``;
+    * unseen bigram: ``alpha * (c(w)+1) / (T+V)``.
+
+    The context total is the training unigram count of ``prev`` (a
+    context that ends a training document therefore has its
+    continuations sum to slightly below 1 — stupid backoff scores are
+    explicitly unnormalized, which is what makes them one join instead
+    of a per-context renormalization pass).
+
+    Plan: one corpus explode into (prev, term) instances (array-local
+    pairing, no self-join), three left joins against the model (pair
+    counts on (prev, term), token and context counts on the unigram
+    slice — all vocabulary-sized, broadcastable at moderate vocab, an
+    ordinary hash join beyond), one groupBy(doc). Corpus totals (T, V)
+    are a 1-row broadcast off the model, not the corpus.
+
+    Returns ``(doc_id, n_tokens, bi_nll, backoff_frac)``; ``bi_nll``
+    is the mean negative log-score in nats/token (rounded to 6
+    decimals), ``backoff_frac`` the fraction of tokens whose bigram
+    was unseen in training — high values flag out-of-domain documents.
+    Zero-token documents emit no row (no likelihood is defined).
+    """
+    uni = model.where(F.col("prev").isNull()).select("term", "c")
+    totals = uni.agg(F.sum("c").alias("__t"), F.count("*").alias("__v"))
+    bi = model.where(F.col("prev").isNotNull()).select(
+        "prev", "term", F.col("c").alias("__cb")
+    )
+    inst = _token_arrays(documents, text_col).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(toks, (t, i) ->"
+                " struct(CASE WHEN i = 0 THEN NULL ELSE toks[i - 1] END AS prev,"
+                " t AS term))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.prev", "p.term")
+    scored = (
+        inst.join(uni.withColumnRenamed("c", "__cw"), "term", "left")
+        .join(bi, ["prev", "term"], "left")
+        .join(
+            uni.select(
+                F.col("term").alias("prev"), F.col("c").alias("__cp")
+            ),
+            "prev",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    base = (F.coalesce(F.col("__cw"), F.lit(0)) + 1) / (
+        F.col("__t") + F.col("__v")
+    )
+    score = (
+        F.when(F.col("prev").isNull(), base)
+        .when(F.col("__cb").isNotNull(), F.col("__cb") / F.col("__cp"))
+        .otherwise(F.lit(alpha) * base)
+    )
+    backed_off = (
+        F.col("prev").isNotNull() & F.col("__cb").isNull()
+    ).cast("int")
+    return (
+        scored.select(
+            "doc_id",
+            (-F.log(score)).alias("__nll"),
+            backed_off.alias("__bo"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("__nll"), 6).alias("bi_nll"),
+            F.round(F.avg("__bo"), 6).alias("backoff_frac"),
         )
     )

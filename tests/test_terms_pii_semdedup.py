@@ -81,6 +81,119 @@ def test_unigram_lm_skips_empty_docs(spark):
     assert [r.doc_id for r in unigram_lm_scores(docs).collect()] == [0]
 
 
+# -- bigram LM (stupid backoff) --------------------------------------------
+
+def test_bigram_lm_matches_hand_computation(spark):
+    from graphrole_spark.functions.terms import bigram_lm_fit, bigram_lm_scores
+
+    train = _docs(spark, ["a b a", "b c"])
+    model = bigram_lm_fit(train)
+    # model: unigrams a=2 b=2 c=1 (T=5, V=3); bigrams (a,b)=1 (b,a)=1 (b,c)=1
+    rows = {(r.prev, r.term): r.c for r in model.collect()}
+    assert rows == {
+        (None, "a"): 2, (None, "b"): 2, (None, "c"): 1,
+        ("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
+    }
+    out = {
+        r.doc_id: (r.n_tokens, r.bi_nll, r.backoff_frac)
+        for r in bigram_lm_scores(
+            _docs(spark, ["a b x", "", "a"]), model
+        ).collect()
+    }
+    # "a b x": first token a -> (2+1)/8; (a,b) seen -> 1/2;
+    # (b,x) unseen -> 0.4 * (0+1)/8
+    nll = -(math.log(3 / 8) + math.log(1 / 2) + math.log(0.4 / 8)) / 3
+    assert out[0] == (3, round(nll, 6), round(1 / 3, 6))
+    # single-token doc: unigram only, never a backoff
+    assert out[2] == (1, round(-math.log(3 / 8), 6), 0.0)
+    # empty doc emits no row
+    assert set(out) == {0, 2}
+
+
+def test_bigram_lm_self_fit_never_backs_off(spark):
+    from graphrole_spark.functions.terms import bigram_lm_fit, bigram_lm_scores
+
+    docs = _docs(spark, ["p q r p q", "q q", "r"])
+    model = bigram_lm_fit(docs)
+    out = bigram_lm_scores(docs, model).collect()
+    assert len(out) == 3
+    # every scored bigram occurred in training (same corpus)
+    assert all(r.backoff_frac == 0.0 for r in out)
+
+
+def test_bigram_lm_duckdb_parity(spark):
+    """Full-semantics DuckDB twin: fit on even doc_ids, score all —
+    the train/score split makes the backoff branch fire for real."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from graphrole_spark.functions.terms import bigram_lm_fit, bigram_lm_scores
+
+    rng = random.Random(7)
+    # vocab wide enough (15 words = 225 bigram types vs ~180 training
+    # bigram instances) that the score half contains unseen bigrams
+    vocab = [f"w{i}" for i in range(15)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = bigram_lm_fit(df.where("doc_id % 2 = 0"))
+    spark_pdf = (
+        bigram_lm_scores(df, model, alpha=0.4).orderBy("doc_id").toPandas()
+    )
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = con.execute("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(coalesce(text, '')), ' +'),
+                             x -> x <> '') AS toks
+          FROM docs),
+        tr AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+        tuni AS (
+          SELECT tok AS term, count(*) AS c
+          FROM tr, unnest(toks) AS u(tok) GROUP BY tok),
+        ttot AS (SELECT sum(c) AS T, count(*) AS V FROM tuni),
+        tbi AS (
+          SELECT toks[i] AS prev, toks[i + 1] AS term, count(*) AS cb
+          FROM tr, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+          GROUP BY 1, 2),
+        inst AS (
+          SELECT doc_id,
+                 CASE WHEN i = 1 THEN NULL ELSE toks[i - 1] END AS prev,
+                 toks[i] AS term
+          FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+        s AS (
+          SELECT doc_id,
+                 CASE WHEN a.prev IS NULL
+                        THEN (coalesce(cw.c, 0) + 1) * 1.0 / (T + V)
+                      WHEN tb.cb IS NOT NULL THEN tb.cb * 1.0 / cp.c
+                      ELSE 0.4 * (coalesce(cw.c, 0) + 1) / (T + V) END AS sc,
+                 CASE WHEN a.prev IS NOT NULL AND tb.cb IS NULL
+                      THEN 1 ELSE 0 END AS bo
+          FROM inst a
+          LEFT JOIN tuni cw ON a.term = cw.term
+          LEFT JOIN tbi tb ON a.prev = tb.prev AND a.term = tb.term
+          LEFT JOIN tuni cp ON a.prev = cp.term
+          CROSS JOIN ttot)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(-ln(sc)), 6) AS bi_nll,
+               round(avg(bo), 6) AS backoff_frac
+        FROM s GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    assert len(spark_pdf) == len(oracle) > 0
+    assert float(spark_pdf["backoff_frac"].max()) > 0  # backoff fired
+    for col in ["doc_id", "n_tokens"]:
+        assert spark_pdf[col].astype("int64").tolist() == \
+            oracle[col].astype("int64").tolist()
+    for col in ["bi_nll", "backoff_frac"]:
+        assert np.allclose(spark_pdf[col], oracle[col], atol=1e-9)
+
+
 # -- PII redaction ---------------------------------------------------------
 
 CASES = [
