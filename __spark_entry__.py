@@ -1245,17 +1245,50 @@ def q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(docs, k=5)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical retrieval: top-10 documents per query, with
+    the queries derived deterministically from the corpus itself (the
+    first 6 tokens of the 5 lowest doc_ids — guarantees matches with
+    no external data). One corpus explode; the distinct query-term
+    probe is broadcast. Tail entry (registry window full): full
+    randomized DuckDB value parity is pytest-pinned in
+    test_terms_pii_semdedup.py::test_bm25_duckdb_parity."""
+    from graphrole_spark.functions.terms import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(
+                    F.split(F.trim(F.coalesce("text", F.lit(""))), " +"),
+                    1,
+                    6,
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return bm25_topk(docs, queries, k=10)
+
+
 def q_lm_score(spark, sf_dir):
     """Per-doc LM fluency scores: mean NLL under an add-one-smoothed
     unigram LM fitted on the corpus itself (the cheap perplexity-ish
     filter signal), plus the CCNet-shaped bigram stupid-backoff score
     — fitted on the md5-even HALF of the corpus and scored over all of
     it, so the backoff branch (unseen bigram -> alpha * smoothed
-    unigram) genuinely fires and is adjudicated by the oracle."""
+    unigram) genuinely fires and is adjudicated by the oracle.
+    The CCNet head/middle/tail perplexity tiers (score_buckets over
+    the unigram NLL — equal-count ntile cuts, doc_id tie-break) ride
+    the same slot so the bucketing operator is driver-adjudicated."""
     from graphrole_spark.functions.corpus import _md5_bucket
     from graphrole_spark.functions.terms import (
         bigram_lm_fit,
         bigram_lm_scores,
+        score_buckets,
         unigram_lm_scores,
     )
 
@@ -1265,7 +1298,7 @@ def q_lm_score(spark, sf_dir):
         docs.where(_md5_bucket(F.col("doc_id").cast("string"), 2) == 0)
     )
     bi = bigram_lm_scores(docs, model, alpha=0.4).drop("n_tokens")
-    return uni.join(bi, "doc_id")
+    return score_buckets(uni.join(bi, "doc_id"), "nll")
 
 
 def q_dup_ngrams(spark, sf_dir):
@@ -1744,6 +1777,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming_vector_ingest: same rationale, embedding side
         "streaming_vector_ingest": q_streaming_vector_ingest,
         "training_shards": q_training_shards,
+        # bm25_topk: SQL-expressible but past the 50-entry window;
+        # full randomized DuckDB value parity pytest-pinned
+        # (test_bm25_duckdb_parity); ccnet tiers (score_buckets) are
+        # driver-adjudicated inside the lm_score slot
+        "bm25_topk": q_bm25_topk,
         # detect_loops: SQL-expressible but past the 50-entry window;
         # full RLE value parity pytest-pinned
         # (test_detect_loops_duckdb_parity)
@@ -2882,9 +2920,15 @@ def oracle_sql() -> dict[str, str]:
             bi AS (
               SELECT doc_id, round(avg(-ln(sc)), 6) AS bi_nll,
                      round(avg(bo), 6) AS backoff_frac
-              FROM s GROUP BY doc_id)
-            SELECT doc_id, n_tokens, nll, bi_nll, backoff_frac
-            FROM uni JOIN bi USING (doc_id)
+              FROM s GROUP BY doc_id),
+            sel AS (
+              SELECT doc_id, n_tokens, nll, bi_nll, backoff_frac,
+                     CAST(ntile(3) OVER (ORDER BY nll, doc_id) AS INT)
+                       AS bucket
+              FROM uni JOIN bi USING (doc_id))
+            SELECT *, list_value('head', 'middle', 'tail')[bucket]
+                      AS bucket_label
+            FROM sel
         """,
         # dup_ngrams: cross-document repeated 8-gram spans. Same
         # tokenizer; a gram is duplicated when >= 2 distinct docs carry

@@ -150,6 +150,133 @@ def unigram_lm_scores(
     )
 
 
+def bm25_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents per query under Okapi BM25 (Robertson &
+    Walker, SIGIR 1994) with the Lucene non-negative idf variant —
+    the lexical-retrieval workhorse a training-data pipeline uses for
+    eval-set decontamination triage, RAG-corpus indexing checks, and
+    targeted-domain mining before an embedding model exists.
+
+    ``queries`` is a DataFrame ``(query_id, <query_text_col>)``.  For
+    each query term t (distinct per query — Lucene ignores query-side
+    term frequency) matching a document::
+
+        idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(t,d) = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with N = documents containing ≥1 token, dl the document token
+    count and avgdl its corpus mean.  Only documents sharing ≥1 term
+    with the query are scored (standard inverted-index semantics).
+
+    Plan (100 TB lens): ONE corpus explode feeds the pinned
+    (doc, term, tf) aggregate; dl / avgdl / N / df all derive from that
+    vocabulary-sized frame, never from a second corpus pass.  The
+    distinct (query_id, term) probe side is broadcast (query sets are
+    tiny next to the corpus), so the only wide shuffles are the tf
+    groupBy and the final (query, doc) partial-aggregated sum — no
+    all-pairs anything.  Ranking rounds to 6 decimals with doc_id as
+    the deterministic tie-break (engine-portable, as tfidf_topk).
+
+    Returns ``(query_id, doc_id, n_matched, bm25, rank)`` with
+    rank ≤ k.
+    """
+    inst = _doc_terms(documents, text_col)
+    tf = (
+        inst.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("__dl"))
+    stats = dl.agg(
+        F.count("*").alias("__n_docs"), F.avg("__dl").alias("__avgdl")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = (
+        queries.select(
+            "query_id", F.explode(tokens(F.col(query_text_col))).alias("term")
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    idf = F.log(
+        1
+        + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(F.sum(idf * tf_part), 6).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def score_buckets(
+    scored: DataFrame,
+    score_col: str,
+    by: str | None = None,
+    buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al., LREC 2020): rank
+    documents by a score (ascending — for an LM NLL, low = fluent) and
+    cut the ranking into ``buckets`` equal-count tiers, per ``by``
+    group when given (CCNet buckets per *language*, so a low-resource
+    language's head is not crowded out by English).  Head/middle/tail
+    tiers are the standard knobs for perplexity-filtered pre-training
+    mixes (train on head+middle, drop tail).
+
+    Equal-count rank cuts (``ntile``) rather than value cutpoints:
+    deterministic across engines (no quantile-interpolation drift),
+    identical tie-break via ``id_col``, and exactly what CCNet's
+    "split each language into thirds by perplexity percentile" does.
+
+    One window pass over the ``by`` partitioning — at 100 TB the
+    scored frame is (id, score) longs, and the per-language partitions
+    are the natural skew unit (English dominates; ntile over a single
+    giant partition is one task — shard English upstream by hashing
+    ids into ``by='lang||bucket_salt'`` groups if that ever binds).
+
+    Returns the input plus ``bucket`` (1-based tier index) and
+    ``bucket_label`` (from ``labels`` when ``buckets == len(labels)``,
+    else the stringified index).
+    """
+    part = [F.col(by)] if by else []
+    w = Window.partitionBy(*part).orderBy(
+        F.asc(score_col), F.asc(id_col)
+    )
+    out = scored.withColumn("bucket", F.ntile(buckets).over(w))
+    if buckets == len(labels):
+        label = F.element_at(
+            F.array(*[F.lit(x) for x in labels]), F.col("bucket")
+        )
+    else:
+        label = F.col("bucket").cast("string")
+    return out.withColumn("bucket_label", label)
+
+
 def bigram_lm_fit(
     train_documents: DataFrame,
     text_col: str = "text",

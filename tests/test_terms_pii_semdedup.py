@@ -287,3 +287,188 @@ def test_semantic_dedup_keep_rule_is_lower_id_not_transitive(spark):
     mat = [[c * (k + 1) for c in [1.0, 1.0, 1.0, 1.0, 0.5]] for k in range(5)]
     out = semantic_dedup(_emb(spark, mat), 0.99).orderBy("vec_id").collect()
     assert [r.keep for r in out] == [True, False, False, False, False]
+
+
+# -- BM25 retrieval ---------------------------------------------------------
+
+def test_bm25_matches_hand_computation(spark):
+    from graphrole_spark.functions.terms import bm25_topk
+
+    docs = _docs(spark, ["a a b", "a c", "c c d"])
+    queries = spark.createDataFrame(
+        [(0, "a d")], "query_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_matched, r.bm25, r.rank)
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    # dl = 3, 2, 3; N = 3; avgdl = 8/3; df: a=2, b=1, c=2, d=1
+    k1, b, avgdl = 1.2, 0.75, 8 / 3
+    idf = lambda df_: math.log(1 + (3 - df_ + 0.5) / (df_ + 0.5))
+    part = lambda tf, dl: tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    s0 = idf(2) * part(2, 3)                   # 'a' in d0 (no 'd')
+    s1 = idf(2) * part(1, 2)                   # 'a' in d1
+    s2 = idf(1) * part(1, 3)                   # 'd' in d2
+    assert out[0] == (1, round(s0, 6), sorted(
+        [s0, s1, s2], reverse=True).index(s0) + 1)
+    assert out[1][:2] == (1, round(s1, 6))
+    assert out[2][:2] == (1, round(s2, 6))
+    # idf(d)=ln(8/3) beats idf(a)=ln(1.6) enough that d2 ranks first
+    assert out[2][2] == 1
+
+
+def test_bm25_k_truncates_and_query_tf_ignored(spark):
+    from graphrole_spark.functions.terms import bm25_topk
+
+    docs = _docs(spark, ["a", "a a", "a a a", "b"])
+    q1 = spark.createDataFrame([(0, "a")], "query_id long, text string")
+    q2 = spark.createDataFrame([(0, "a a a")], "query_id long, text string")
+    one = bm25_topk(docs, q1, k=2).orderBy("rank").collect()
+    rep = bm25_topk(docs, q2, k=2).orderBy("rank").collect()
+    assert len(one) == 2  # 3 matching docs, k=2 truncates
+    assert [(r.doc_id, r.bm25) for r in one] == [
+        (r.doc_id, r.bm25) for r in rep
+    ]  # query-side term frequency does not change scores
+    # only docs sharing a term are scored
+    assert all(r.doc_id != 3 for r in one)
+
+
+def test_bm25_duckdb_parity(spark):
+    """Full-semantics DuckDB twin on randomized docs + queries — the
+    tail-entry stand-in for the driver oracle (registry window full)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from graphrole_spark.functions.terms import bm25_topk
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for i in range(80)
+    ]
+    qrows = [
+        (q, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4))))
+        for q in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(qrows, "query_id long, text string")
+    got = (
+        bm25_topk(docs, queries, k=5, k1=1.2, b=0.75)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    con.register("qs", pd.DataFrame(qrows, columns=["query_id", "text"]))
+    oracle = con.execute("""
+        WITH inst AS (
+          SELECT doc_id, tok AS term
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(trim(coalesce(text, '')), ' +'),
+                                   x -> x <> '') AS toks
+                FROM docs), unnest(toks) AS u(tok)),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM inst GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qterms AS (
+          SELECT DISTINCT query_id, tok AS term
+          FROM (SELECT query_id,
+                       list_filter(string_split_regex(trim(coalesce(text, '')), ' +'),
+                                   x -> x <> '') AS toks
+                FROM qs), unnest(toks) AS u(tok)),
+        scored AS (
+          SELECT query_id, tf.doc_id, count(*) AS n_matched,
+                 round(sum(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))), 6)
+                   AS bm25
+          FROM tf
+          JOIN qterms USING (term)
+          JOIN dfreq USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY query_id, tf.doc_id),
+        ranked AS (
+          SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+          FROM scored)
+        SELECT query_id, doc_id, n_matched, bm25, rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """).df()
+    assert len(got) == len(oracle) > 0
+    for col in ["query_id", "doc_id", "n_matched", "rank"]:
+        assert got[col].astype("int64").tolist() == \
+            oracle[col].astype("int64").tolist()
+    assert np.allclose(got["bm25"], oracle["bm25"], atol=1e-9)
+
+
+def test_bm25_empty_query_or_corpus(spark):
+    from graphrole_spark.functions.terms import bm25_topk
+
+    docs = _docs(spark, ["a b"])
+    no_q = spark.createDataFrame([], "query_id long, text string")
+    assert bm25_topk(docs, no_q).count() == 0
+    q = spark.createDataFrame([(0, "a")], "query_id long, text string")
+    no_docs = _docs(spark, [])
+    assert bm25_topk(no_docs, q).count() == 0
+
+
+# -- CCNet-style score buckets ----------------------------------------------
+
+def test_score_buckets_per_language_thirds(spark):
+    from graphrole_spark.functions.terms import score_buckets
+
+    rows = [
+        # lang en: 6 docs, scores 1..6 -> thirds of 2
+        *[(i, "en", float(i)) for i in range(1, 7)],
+        # lang fr: 4 docs -> ntile(3) = sizes 2,1,1
+        *[(10 + i, "fr", float(i)) for i in range(1, 5)],
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, nll double")
+    out = {
+        r.doc_id: (r.bucket, r.bucket_label)
+        for r in score_buckets(df, "nll", by="lang").collect()
+    }
+    assert [out[i][1] for i in range(1, 7)] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+    assert [out[10 + i][1] for i in range(1, 5)] == [
+        "head", "head", "middle", "tail"
+    ]
+
+
+def test_score_buckets_duckdb_ntile_parity_and_ties(spark):
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from graphrole_spark.functions.terms import score_buckets
+
+    rng = random.Random(3)
+    rows = [
+        (i, rng.choice(["en", "fr", "de"]), float(rng.randint(0, 5)))
+        for i in range(50)
+    ]  # coarse scores force ties -> id tie-break must match
+    df = spark.createDataFrame(rows, "doc_id long, lang string, nll double")
+    got = (
+        score_buckets(df, "nll", by="lang", buckets=4)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert set(got["bucket_label"]) <= {"1", "2", "3", "4"}
+    con = duckdb.connect()
+    con.register("s", pd.DataFrame(rows, columns=["doc_id", "lang", "nll"]))
+    oracle = con.execute("""
+        SELECT doc_id, ntile(4) OVER (
+            PARTITION BY lang ORDER BY nll, doc_id) AS bucket
+        FROM s ORDER BY doc_id
+    """).df()
+    assert got["bucket"].astype("int64").tolist() == \
+        oracle["bucket"].astype("int64").tolist()
