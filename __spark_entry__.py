@@ -1281,24 +1281,36 @@ def q_lm_score(spark, sf_dir):
     — fitted on the md5-even HALF of the corpus and scored over all of
     it, so the backoff branch (unseen bigram -> alpha * smoothed
     unigram) genuinely fires and is adjudicated by the oracle.
-    The CCNet head/middle/tail perplexity tiers (score_buckets over
-    the unigram NLL — equal-count ntile cuts, doc_id tie-break) ride
-    the same slot so the bucketing operator is driver-adjudicated."""
+    The CCNet head/middle/tail perplexity tiers ride the same slot in
+    BOTH modes so the bucketing operators are driver-adjudicated:
+    rank mode (score_buckets — equal-count ntile cuts, doc_id
+    tie-break -> bucket) and deploy mode (score_cutpoints fitted on
+    the same md5-even half + score_buckets_apply as a pure windowless
+    projection -> cut_bucket; the integer tier is hashed, never the
+    raw cut, which carries engine lerp ULP jitter)."""
     from graphrole_spark.functions.corpus import _md5_bucket
     from graphrole_spark.functions.terms import (
         bigram_lm_fit,
         bigram_lm_scores,
         score_buckets,
+        score_buckets_apply,
+        score_cutpoints,
         unigram_lm_scores,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     uni = unigram_lm_scores(docs)
-    model = bigram_lm_fit(
-        docs.where(_md5_bucket(F.col("doc_id").cast("string"), 2) == 0)
-    )
+    even = _md5_bucket(F.col("doc_id").cast("string"), 2) == 0
+    model = bigram_lm_fit(docs.where(even))
     bi = bigram_lm_scores(docs, model, alpha=0.4).drop("n_tokens")
-    return score_buckets(uni.join(bi, "doc_id"), "nll")
+    scored = uni.join(bi, "doc_id")
+    cuts = score_cutpoints(scored.where(even), "nll")
+    fitted = (
+        score_buckets_apply(scored, cuts, "nll")
+        .withColumnRenamed("bucket", "cut_bucket")
+        .drop("bucket_label")
+    )
+    return score_buckets(fitted, "nll")
 
 
 def q_dup_ngrams(spark, sf_dir):
@@ -2921,11 +2933,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, round(avg(-ln(sc)), 6) AS bi_nll,
                      round(avg(bo), 6) AS backoff_frac
               FROM s GROUP BY doc_id),
+            cuts AS (
+              SELECT quantile_cont(nll, [1.0/3, 2.0/3]) AS cs
+              FROM uni
+              WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2 = 0),
             sel AS (
               SELECT doc_id, n_tokens, nll, bi_nll, backoff_frac,
                      CAST(ntile(3) OVER (ORDER BY nll, doc_id) AS INT)
-                       AS bucket
-              FROM uni JOIN bi USING (doc_id))
+                       AS bucket,
+                     CAST(1 + len(list_filter(cs, c -> c < nll)) AS INT)
+                       AS cut_bucket
+              FROM uni JOIN bi USING (doc_id) CROSS JOIN cuts)
             SELECT *, list_value('head', 'middle', 'tail')[bucket]
                       AS bucket_label
             FROM sel

@@ -277,6 +277,84 @@ def score_buckets(
     return out.withColumn("bucket_label", label)
 
 
+def score_cutpoints(
+    scored: DataFrame,
+    score_col: str,
+    by: str | None = None,
+    buckets: int = 3,
+    relative_error: float | None = None,
+) -> DataFrame:
+    """Fit CCNet tier *cutoffs* once — the deploy-mode half of
+    :func:`score_buckets`.  CCNet as actually shipped (Wenzek et al.,
+    LREC 2020, §4.3) computes per-language perplexity percentiles on a
+    held-out/sample pass and then applies those FIXED thresholds to
+    the full crawl stream; the stream pass never sorts.  This function
+    is the fit: one aggregation producing ``(by?, cuts array<double>)``
+    with the ``1/buckets .. (buckets-1)/buckets`` percentiles.
+
+    Exact ``percentile`` by default — linear interpolation on order
+    statistics, bit-identical to DuckDB ``quantile_cont`` and
+    ``np.quantile`` (verified in tests), so fitted buckets stay
+    engine-portable.  Pass ``relative_error`` (e.g. ``0.0001``) to
+    switch to ``percentile_approx`` (single-pass KLL-style sketch,
+    mergeable map-side) when the fit corpus itself is at scale; the
+    cuts then drift within the sketch bound but apply just as cheaply.
+
+    The output is a ``buckets-1``-element array per group — broadcast
+    it into :func:`score_buckets_apply`.
+    """
+    qs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
+    if relative_error is not None:
+        acc = max(int(1.0 / relative_error), buckets)
+        agg = F.percentile_approx(F.col(score_col), qs, F.lit(acc))
+    else:
+        agg = F.percentile(F.col(score_col), qs)
+    agg = agg.cast("array<double>").alias("cuts")
+    return scored.groupBy(by).agg(agg) if by else scored.agg(agg)
+
+
+def score_buckets_apply(
+    scored: DataFrame,
+    cutpoints: DataFrame,
+    score_col: str,
+    by: str | None = None,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """Assign CCNet tiers from FIXED cutoffs — a pure projection, the
+    100 TB-scale path.  Where :func:`score_buckets` ranks with a
+    global/per-group window (one sort of the full stream),
+    ``score_buckets_apply`` broadcast-joins the tiny fitted
+    ``cutpoints`` frame and computes ``bucket = 1 + |{c in cuts :
+    c < score}|`` array-locally: no shuffle of the scored stream at
+    all, embarrassingly parallel, and incremental (new partitions
+    bucket under yesterday's cuts without touching old data).
+
+    Tie semantics: a score exactly equal to a cut goes to the LOWER
+    tier (strict ``<``), deterministic with no id tie-break needed.
+    NULL scores and groups absent from ``cutpoints`` yield NULL
+    bucket/label (filter them upstream or refit).  ``labels`` maps
+    tier indices when it is long enough, else the stringified index
+    is used.
+    """
+    if by:
+        j = scored.join(F.broadcast(cutpoints), on=by, how="left")
+    else:
+        j = scored.crossJoin(F.broadcast(cutpoints))
+    s = F.col(score_col)
+    bucket = F.when(
+        s.isNotNull() & F.col("cuts").isNotNull(),
+        F.size(F.filter("cuts", lambda c: c < s)) + 1,
+    ).cast("int")
+    out = j.withColumn("bucket", bucket).drop("cuts")
+    label = F.when(
+        F.col("bucket") <= len(labels),
+        F.element_at(
+            F.array(*[F.lit(x) for x in labels]), F.col("bucket")
+        ),
+    ).otherwise(F.col("bucket").cast("string"))
+    return out.withColumn("bucket_label", label)
+
+
 def bigram_lm_fit(
     train_documents: DataFrame,
     text_col: str = "text",

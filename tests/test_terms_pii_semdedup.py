@@ -472,3 +472,106 @@ def test_score_buckets_duckdb_ntile_parity_and_ties(spark):
     """).df()
     assert got["bucket"].astype("int64").tolist() == \
         oracle["bucket"].astype("int64").tolist()
+
+
+# -- fitted cutpoints (CCNet deploy mode) -----------------------------------
+
+def test_score_cutpoints_numpy_duckdb_parity(spark):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from graphrole_spark.functions.terms import score_cutpoints
+
+    import random
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice(["en", "fr"]), round(rng.gauss(5.0, 2.0), 6))
+        for i in range(137)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, nll double")
+    got = {
+        r.lang: list(r.cuts)
+        for r in score_cutpoints(df, "nll", by="lang", buckets=4).collect()
+    }
+    # agreement is to ULP jitter (each engine orders the lerp
+    # differently); buckets stay portable because scores are rounded
+    # to 6 decimals while cuts land strictly between distinct values
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "nll"])
+    for lang, grp in pdf.groupby("lang"):
+        want = np.quantile(grp["nll"].to_numpy(), [0.25, 0.5, 0.75])
+        assert np.allclose(got[lang], want, rtol=1e-12), (lang, got[lang], want)
+    con = duckdb.connect()
+    con.register("s", pdf)
+    duck = con.execute(
+        "SELECT lang, quantile_cont(nll, [0.25, 0.5, 0.75]) AS cuts"
+        " FROM s GROUP BY lang"
+    ).fetchall()
+    for lang, cuts in duck:
+        assert np.allclose([float(c) for c in cuts], got[lang], rtol=1e-12)
+
+
+def test_score_buckets_apply_semantics(spark):
+    from graphrole_spark.functions.terms import (
+        score_buckets_apply,
+        score_cutpoints,
+    )
+
+    # 7 points per group -> tertile indices (n-1)/3 = 2 and 4 are
+    # integers, so cuts land EXACTLY on data values (no lerp, no ULP
+    # ambiguity): en cuts [3.0, 5.0], fr cuts [30.0, 50.0]; a score
+    # equal to a cut goes DOWN.
+    fit = spark.createDataFrame(
+        [(i, "en", float(i)) for i in range(1, 8)]
+        + [(i, "fr", float(10 * i)) for i in range(1, 8)],
+        "doc_id long, lang string, nll double",
+    )
+    cuts = score_cutpoints(fit, "nll", by="lang")
+    got = {r.lang: list(r.cuts) for r in cuts.collect()}
+    assert got["en"] == [3.0, 5.0]
+    probe = spark.createDataFrame(
+        [
+            (1, "en", 1.0),        # below first cut -> head
+            (2, "en", 3.0),        # ON the cut -> ties go low -> head
+            (3, "en", 4.0),        # middle
+            (4, "en", 99.0),       # above all -> tail
+            (5, "fr", 35.0),       # fr cuts are [30, 50] -> middle
+            (6, "de", 1.0),        # no fitted group -> NULL bucket
+            (7, "en", None),       # NULL score -> NULL bucket
+        ],
+        "doc_id long, lang string, nll double",
+    )
+    out = {
+        r.doc_id: (r.bucket, r.bucket_label)
+        for r in score_buckets_apply(probe, cuts, "nll", by="lang").collect()
+    }
+    assert out[1] == (1, "head")
+    assert out[2] == (1, "head")
+    assert out[3] == (2, "middle")
+    assert out[4] == (3, "tail")
+    assert out[5] == (2, "middle")
+    assert out[6] == (None, None)
+    assert out[7] == (None, None)
+
+
+def test_score_cutpoints_global_and_approx(spark):
+    from graphrole_spark.functions.terms import (
+        score_buckets_apply,
+        score_cutpoints,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "doc_id long, s double"
+    )
+    exact = score_cutpoints(df, "s")  # global: one row, no `by`
+    out = score_buckets_apply(df, exact, "s")
+    counts = (
+        out.groupBy("bucket_label").count().toPandas()
+        .set_index("bucket_label")["count"].to_dict()
+    )
+    # 1..100 tertiles: cuts at 34 and 67 (interpolated); balanced thirds
+    assert counts == {"head": 34, "middle": 33, "tail": 33}
+    approx = score_cutpoints(df, "s", relative_error=0.001)
+    a = list(approx.collect()[0].cuts)
+    e = list(exact.collect()[0].cuts)
+    assert len(a) == 2 and all(abs(x - y) <= 1.0 for x, y in zip(a, e))
