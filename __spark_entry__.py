@@ -1209,6 +1209,22 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, threshold=0.42)
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-space benchmark decontamination (paraphrase-robust
+    twin of the 13-gram `decontaminate`): the 20 largest vec_ids stand
+    in as the held-out eval set; every corpus vector gets its max
+    cosine against the eval set + the nearest eval id, flagged at 0.42
+    (same noise-gapped threshold as semantic_dedup on this corpus;
+    eval-set members self-hit at 1.0 by construction). One broadcast
+    eval matrix, one Arrow block-matmul scan, zero shuffles."""
+    from graphrole_spark.functions.similarity import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id")).first()[0] or 0
+    ev = emb.where(F.col("vec_id") > mx - 20)
+    return semantic_decontaminate(emb, ev, threshold=0.42)
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub pass: mask emails / IPv4s / phone numbers with typed
     placeholders + per-kind match counts, all codegen regexp chains.
@@ -1819,6 +1835,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-semantics DuckDB value parity pytest-pinned
         # (test_split_conversations_duckdb_parity)
         "conv_split": q_conv_split,
+        # semantic_decontam: SQL-expressible but past the 50-entry
+        # window (all 50 slots hold oracle-backed entries); full DuckDB
+        # value parity (argmax + tiebreak + flags) pytest-pinned in
+        # test_semantic_decontaminate
+        "semantic_decontam": q_semantic_decontam,
         # transcript_pipeline composes six already-adjudicated
         # conversation operators (integrity -> dedup -> near-dup keep ->
         # split -> compact -> SFT); end-to-end invariants pytest-pinned

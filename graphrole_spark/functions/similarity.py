@@ -1018,3 +1018,84 @@ def semantic_dedup(
             F.col("__dup").isNull().alias("keep"),
         )
     )
+
+
+# -- semantic decontamination ------------------------------------------------
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of
+    the 13-gram ``contamination_flags`` (n-gram decontamination misses
+    paraphrases; an eval item rewritten in different words still lands
+    next to its source in embedding space).  Flag every corpus vector
+    whose cosine against ANY eval-set vector reaches ``threshold``.
+
+    Plan: the eval side is small by contract (benchmarks are 10^2-10^5
+    items) — it is collected, L2-normalized, and shipped to executors
+    inside one Arrow ``mapInPandas`` kernel; the corpus is scanned
+    once, one BLAS ``batch @ eval.T`` per Arrow batch, emitting one row
+    per corpus vector.  No shuffle at all (narrow map over the scan),
+    so the plan is linear in the corpus and embarrassingly parallel at
+    100 TB; an eval set too big to broadcast should be cut down first
+    (dedup it, or shard this call per eval slice and OR the flags).
+
+    Similarities are rounded to 9 decimals before the threshold /
+    argmax (engine-portable, as everywhere in this module); the
+    reported ``nearest_eval_id`` breaks rounded ties toward the
+    smallest eval id.  Self-matches are NOT excluded — if the eval set
+    overlaps the corpus id space the caller sees sim 1.0 rows, exactly
+    like the n-gram decontaminator.  An empty eval set flags nothing
+    (NULL nearest/sim, contaminated=false for every corpus row).
+
+    Returns ``(<id_col>, nearest_eval_id, eval_sim, contaminated)``.
+    """
+    epdf = (
+        eval_set.select(id_col, vec_col)
+        .toPandas()
+        .sort_values(id_col, ignore_index=True)  # argmax tie -> min id
+    )
+    eid_type = eval_set.schema[id_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, nearest_eval_id {eid_type},"
+        " eval_sim double, contaminated boolean"
+    )
+    if epdf.empty:
+        return corpus.select(
+            id_col,
+            F.lit(None).cast(eid_type).alias("nearest_eval_id"),
+            F.lit(None).cast("double").alias("eval_sim"),
+            F.lit(False).alias("contaminated"),
+        )
+    E = np.stack([np.asarray(v, dtype=float) for v in epdf[vec_col]])
+    en = np.linalg.norm(E, axis=1)
+    En = E / np.where(en > 0, en, 1.0)[:, None]
+    eids = epdf[id_col].to_numpy()
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            cn = np.linalg.norm(C, axis=1)
+            Cn = C / np.where(cn > 0, cn, 1.0)[:, None]
+            S = np.round(Cn @ En.T, 9)  # (batch, n_eval)
+            best = np.argmax(S, axis=1)  # first max = smallest eval id
+            sims = S[np.arange(len(S)), best]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "nearest_eval_id": eids[best],
+                    "eval_sim": sims,
+                    "contaminated": sims >= threshold,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=out_schema
+    )

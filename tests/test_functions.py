@@ -870,3 +870,69 @@ def test_remove_duplicate_spans_parity(spark):
         }
         assert got == expect
         assert any(v[2] > 0 for v in got.values())  # removal exercised
+
+
+def test_semantic_decontaminate(spark):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from graphrole_spark.functions.similarity import semantic_decontaminate
+
+    rng = np.random.default_rng(5)
+    corpus_rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(60)
+    ]
+    # eval items: 3 exact copies of corpus vecs (paraphrase stand-ins
+    # would be nearby, copies are the deterministic extreme), 2 fresh
+    eval_rows = [
+        (100, corpus_rows[7][1]),
+        (101, corpus_rows[23][1]),
+        (102, corpus_rows[41][1]),
+        (103, [float(x) for x in rng.normal(0, 1, 8)]),
+        (104, [float(x) for x in rng.normal(0, 1, 8)]),
+    ]
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    ev = spark.createDataFrame(eval_rows, schema)
+    got = (
+        semantic_decontaminate(corpus, ev, threshold=0.999)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert len(got) == 60
+    flagged = set(got[got["contaminated"]]["vec_id"])
+    assert flagged == {7, 23, 41}
+    near = got.set_index("vec_id")["nearest_eval_id"]
+    assert near[7] == 100 and near[23] == 101 and near[41] == 102
+
+    # full DuckDB value parity (cross join argmax with min-id tiebreak)
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(corpus_rows, columns=["vec_id", "embedding"]))
+    con.register("e", pd.DataFrame(eval_rows, columns=["vec_id", "embedding"]))
+    oracle = con.execute("""
+        WITH s AS (
+          SELECT c.vec_id, e.vec_id AS eval_id,
+                 round(list_cosine_similarity(c.embedding, e.embedding), 9) AS sim
+          FROM c CROSS JOIN e),
+        r AS (
+          SELECT vec_id, eval_id, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, eval_id) AS rk
+          FROM s)
+        SELECT vec_id, eval_id AS nearest_eval_id, sim AS eval_sim,
+               sim >= 0.999 AS contaminated
+        FROM r WHERE rk = 1 ORDER BY vec_id
+    """).df()
+    assert got["nearest_eval_id"].tolist() == oracle["nearest_eval_id"].tolist()
+    assert np.allclose(got["eval_sim"], oracle["eval_sim"], atol=1e-9)
+    assert got["contaminated"].tolist() == oracle["contaminated"].tolist()
+
+    # empty eval set -> nothing flagged, NULL neighbor columns
+    empty = spark.createDataFrame([], schema)
+    none = semantic_decontaminate(corpus, empty).toPandas()
+    assert len(none) == 60
+    assert not none["contaminated"].any()
+    assert none["nearest_eval_id"].isna().all()
+    # empty corpus -> empty out
+    assert semantic_decontaminate(empty, ev).count() == 0
