@@ -1225,6 +1225,31 @@ def q_semantic_decontam(spark, sf_dir):
     return semantic_decontaminate(emb, ev, threshold=0.42)
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-source corpus profile: doc/token volumes, exact token-count
+    quartiles (binary-exact percentile fractions — DuckDB-reproducible
+    bit-for-bit), null/empty rates, language spread, exact-dup rate.
+    Two compact-keyed aggregations, one tiny join, one row per source."""
+    from graphrole_spark.functions.corpus import corpus_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_stats(docs)
+
+
+def q_upsample_corpus(spark, sf_dir):
+    """Epoch upsampling: materialize the per-source repeat schedule of
+    a training mix (src0 runs 2.5 epochs, src1 1.0, src2 0.4 — the
+    fractional share is a deterministic md5-uniform doc subset).
+    Broadcast budget dim + explode(sequence) + codegen filter: narrow
+    map over the scan, no shuffle."""
+    from graphrole_spark.functions.corpus import upsample_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return upsample_corpus(
+        docs, {"src0": 2.5, "src1": 1.0, "src2": 0.4}
+    ).select("doc_id", "source", "epoch")
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub pass: mask emails / IPv4s / phone numbers with typed
     placeholders + per-kind match counts, all codegen regexp chains.
@@ -1835,6 +1860,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-semantics DuckDB value parity pytest-pinned
         # (test_split_conversations_duckdb_parity)
         "conv_split": q_conv_split,
+        # upsample_corpus: SQL-expressible but past the 50-entry
+        # window; full DuckDB value parity (explode + md5-uniform
+        # fractional epoch) pytest-pinned in test_upsample_corpus
+        "upsample_corpus": q_upsample_corpus,
+        # corpus_stats: SQL-expressible but past the 50-entry window;
+        # full DuckDB value parity (incl. exact quartiles + dup rate)
+        # pytest-pinned in test_corpus_stats_duckdb_parity
+        "corpus_stats": q_corpus_stats,
         # semantic_decontam: SQL-expressible but past the 50-entry
         # window (all 50 slots hold oracle-backed entries); full DuckDB
         # value parity (argmax + tiebreak + flags) pytest-pinned in

@@ -520,3 +520,129 @@ def diversify_corpus(
             F.coalesce("__mk", F.lit(False)).alias("keep"),
         )
     )
+
+
+def corpus_stats(
+    documents: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Per-``by``-group corpus profile — the health dashboard a mixing /
+    budgeting decision reads before anything touches the trainer: doc
+    and token volumes, length distribution, null/empty rates, language
+    spread, and the exact-duplicate rate.
+
+    Plan: one full-corpus aggregation keyed on ``by`` (all moments +
+    exact quartiles in the same pass) plus one pre-aggregation on
+    ``(by, md5(text))`` for the duplicate rate, rolled up and joined to
+    the profile — both shuffles carry compact keyed longs and the
+    output is one row per group, so the profile is linear at 100 TB.
+    Quartiles use exact ``percentile`` at binary-exact fractions
+    (.25/.5/.75) over integer token counts, so DuckDB's
+    ``quantile_cont`` reproduces them bit-for-bit (lerp of integers at
+    an exactly-representable fraction).
+
+    NULL text counts as empty (0 tokens) everywhere — the same
+    convention as the packers/cleaners — and is also reported
+    separately as ``null_text``.
+
+    Returns one row per group: ``(<by>, n_docs, null_text, empty_text,
+    total_tokens, mean_tokens, q1_tokens, median_tokens, q3_tokens,
+    max_tokens, mean_chars, n_langs, dup_docs, dup_frac)``.
+    """
+    from .text import token_count
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = token_count(txt)
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    prof = (
+        documents.select(
+            F.col(by),
+            F.col(text_col).isNull().cast("int").alias("__null"),
+            (F.trim(txt) == "").cast("int").alias("__empty"),
+            toks.cast("long").alias("__t"),
+            F.length(txt).cast("long").alias("__c"),
+            *( [F.col(lang_col)] if lang_col else [] ),
+        )
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__null").alias("null_text"),
+            F.sum("__empty").alias("empty_text"),
+            F.sum("__t").alias("total_tokens"),
+            F.round(F.avg("__t"), 6).alias("mean_tokens"),
+            F.percentile("__t", qs).alias("__q"),
+            F.max("__t").alias("max_tokens"),
+            F.round(F.avg("__c"), 6).alias("mean_chars"),
+            *(
+                [F.countDistinct(lang_col).alias("n_langs")]
+                if lang_col
+                else [F.lit(None).cast("long").alias("n_langs")]
+            ),
+        )
+        .select(
+            by,
+            "n_docs", "null_text", "empty_text", "total_tokens",
+            "mean_tokens",
+            F.element_at("__q", 1).alias("q1_tokens"),
+            F.element_at("__q", 2).alias("median_tokens"),
+            F.element_at("__q", 3).alias("q3_tokens"),
+            "max_tokens", "mean_chars", "n_langs",
+        )
+    )
+    dup = (
+        documents.groupBy(F.col(by), F.md5(txt).alias("__h"))
+        .agg(F.count("*").alias("__n"))
+        .groupBy(by)
+        .agg((F.sum("__n") - F.count("*")).alias("dup_docs"))
+    )
+    return prof.join(dup, by).withColumn(
+        "dup_frac", F.round(F.col("dup_docs") / F.col("n_docs"), 6)
+    )
+
+
+def upsample_corpus(
+    documents: DataFrame,
+    epochs: dict[str, float],
+    by: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "upsample",
+) -> DataFrame:
+    """Epoch upsampling — materialize the repeats a training mix
+    prescribes (the Llama/GPT-style "this source runs 3.7 epochs"
+    knob, the inverse of :func:`mix_corpus`'s subsampling): every doc
+    of a source with budget ``e`` appears ``floor(e)`` times, and a
+    deterministic ``frac(e)``-share of its docs (md5-uniform on
+    ``source|doc_id`` — reshuffle-stable, engine-portable) appears once
+    more, tagged with an ``epoch`` index so downstream shuffling /
+    packing can keep copies apart.
+
+    ``e < 1`` degenerates to deterministic subsampling (0 full epochs +
+    an ``e``-share), so one operator covers both directions of a mix.
+    Sources absent from ``epochs`` are dropped (budget 0 — make them
+    explicit if they should survive).
+
+    Plan: broadcast the tiny budget dim, ``explode(sequence(...))`` +
+    one codegen filter — a narrow map over the corpus scan, no shuffle,
+    output rows = exactly the token budget's doc multiples. At 100 TB
+    prefer this lazy epoch column over physically copying text bytes:
+    downstream operators that only need (id, epoch) never pay for the
+    duplication.
+    """
+    spark = documents.sparkSession
+    dim = spark.createDataFrame(
+        [(k, float(v)) for k, v in epochs.items()],
+        f"{by} string, __e double",
+    )
+    n_full = F.floor("__e").cast("int")
+    frac = F.col("__e") - F.floor("__e")
+    u = _md5_uniform(
+        F.concat(F.col(by), F.lit("|"), F.col(id_col).cast("string")), salt
+    )
+    return (
+        documents.join(F.broadcast(dim), by, "inner")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), n_full + 1)))
+        .where((F.col("epoch") <= n_full) | (u < frac))
+        .drop("__e")
+    )

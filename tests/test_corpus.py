@@ -378,3 +378,123 @@ def test_temperature_mix_budgets_follow_smoothed_weights(spark):
         assert got >= min(budget - max_doc, avail) - 1e-9
     # code's kept share exceeds its natural 40/440 share (upsampled)
     assert kept["code"] / kept.sum() > 40 / 440
+
+
+def test_corpus_stats_duckdb_parity(spark):
+    import duckdb
+    import numpy as np
+
+    from graphrole_spark.functions.corpus import corpus_stats
+
+    rows = [
+        # src a: 5 docs, one NULL text, one empty, one exact dup pair
+        (0, "a", "en", "x y z"),
+        (1, "a", "en", "x y z"),
+        (2, "a", "fr", None),
+        (3, "a", "en", "   "),
+        (4, "a", "de", "one two three four"),
+        # src b: 3 docs, all distinct
+        (5, "b", "en", "aa"),
+        (6, "b", "en", "bb cc"),
+        (7, "b", "fr", "dd ee ff gg hh"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    got = (
+        corpus_stats(df).orderBy("source").toPandas().set_index("source")
+    )
+    assert got.loc["a", "n_docs"] == 5
+    assert got.loc["a", "null_text"] == 1
+    assert got.loc["a", "empty_text"] == 2  # NULL counts as empty too
+    assert got.loc["a", "dup_docs"] == 1
+    assert got.loc["a", "n_langs"] == 3
+    assert got.loc["b", "dup_docs"] == 0
+    assert got.loc["b", "total_tokens"] == 1 + 2 + 5
+
+    con = duckdb.connect()
+    import pandas as pd
+    con.register(
+        "d", pd.DataFrame(rows, columns=["doc_id", "source", "lang", "text"])
+    )
+    oracle = con.execute("""
+        WITH t AS (
+          SELECT source, lang, text,
+                 CASE WHEN text IS NULL THEN 1 ELSE 0 END AS is_null,
+                 CASE WHEN trim(coalesce(text,'')) = '' THEN 1 ELSE 0 END AS is_empty,
+                 len(list_filter(string_split_regex(trim(coalesce(text,'')), ' +'),
+                     x -> x <> '')) AS toks,
+                 length(coalesce(text,'')) AS chars
+          FROM d),
+        prof AS (
+          SELECT source, count(*) AS n_docs, sum(is_null) AS null_text,
+                 sum(is_empty) AS empty_text, sum(toks) AS total_tokens,
+                 round(avg(toks), 6) AS mean_tokens,
+                 quantile_cont(toks, [0.25, 0.5, 0.75]) AS q,
+                 max(toks) AS max_tokens,
+                 round(avg(chars), 6) AS mean_chars,
+                 count(DISTINCT lang) AS n_langs
+          FROM t GROUP BY source),
+        dup AS (
+          SELECT source, sum(n) - count(*) AS dup_docs
+          FROM (SELECT source, md5(coalesce(text,'')) AS h, count(*) AS n
+                FROM d GROUP BY 1, 2)
+          GROUP BY source)
+        SELECT p.source, n_docs, null_text, empty_text, total_tokens,
+               mean_tokens, q[1] AS q1_tokens, q[2] AS median_tokens,
+               q[3] AS q3_tokens, max_tokens, mean_chars, n_langs,
+               dup_docs, round(dup_docs * 1.0 / n_docs, 6) AS dup_frac
+        FROM prof p JOIN dup USING (source) ORDER BY source
+    """).df().set_index("source")
+    for col in oracle.columns:
+        g = got[col].astype(float).to_numpy()
+        o = oracle[col].astype(float).to_numpy()
+        assert np.allclose(g, o, rtol=0, atol=0), (col, g, o)
+
+
+def test_upsample_corpus(spark):
+    import duckdb
+    import pandas as pd
+
+    from graphrole_spark.functions.corpus import upsample_corpus
+
+    rows = [(i, "a" if i % 2 == 0 else "b", f"doc {i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = upsample_corpus(df, {"a": 2.5, "b": 0.25}).select(
+        "doc_id", "source", "epoch"
+    )
+    got = out.orderBy("doc_id", "epoch").toPandas()
+
+    # every 'a' doc appears at least twice (full epochs), never 4+
+    per = got[got.source == "a"].groupby("doc_id").size()
+    assert per.min() == 2 and per.max() == 3 and len(per) == 200
+    # 'b' is pure subsampling: 0 or 1 copies, strictly fewer than input
+    perb = got[got.source == "b"].groupby("doc_id").size()
+    assert perb.max() == 1 and 0 < len(perb) < 200
+
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+    oracle = con.execute("""
+        WITH dim AS (
+          SELECT 'a' AS source, 2.5 AS e UNION ALL SELECT 'b', 0.25),
+        j AS (
+          SELECT doc_id, d.source, e, CAST(floor(e) AS INT) AS n_full,
+                 e - floor(e) AS frac,
+                 CAST(concat('0x', substr(md5(concat(d.source, '|',
+                      CAST(doc_id AS VARCHAR), 'upsample')), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS u
+          FROM d JOIN dim USING (source)),
+        x AS (
+          SELECT doc_id, source, CAST(i AS INT) AS epoch, n_full, frac, u
+          FROM j, unnest(generate_series(1, n_full + 1)) AS t(i))
+        SELECT doc_id, source, epoch FROM x
+        WHERE epoch <= n_full OR u < frac
+        ORDER BY doc_id, epoch
+    """).df()
+    assert got["doc_id"].tolist() == oracle["doc_id"].tolist()
+    assert got["epoch"].tolist() == oracle["epoch"].astype(int).tolist()
+    assert got["source"].tolist() == oracle["source"].tolist()
+
+    # integer budgets are exact; absent sources are dropped
+    exact = upsample_corpus(df, {"a": 3}).groupBy().count().first()[0]
+    assert exact == 600
