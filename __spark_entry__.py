@@ -1209,6 +1209,17 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, threshold=0.42)
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Row-wise symmetric int8 quantization of the embeddings table:
+    per-vector max-abs/127 scale, explicit half-up codes (engine-
+    portable), dequantization cosine rides along. Pure projection,
+    zero shuffles."""
+    from graphrole_spark.functions.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(emb)
+
+
 def q_semantic_decontam(spark, sf_dir):
     """Embedding-space benchmark decontamination (paraphrase-robust
     twin of the 13-gram `decontaminate`): the 20 largest vec_ids stand
@@ -1548,6 +1559,16 @@ def q_refex_pipeline(spark, sf_dir):
     return extract_transcript_features(t, max_generations=3)
 
 
+def q_conv_highlights(spark, sf_dir):
+    """Extractive conversation highlights: top-3 turns per conversation
+    by conversation-level TF-IDF salience (boilerplate present in every
+    conversation idf's to zero without a stopword list). Keyed shuffles
+    only; vocabulary-sized df join."""
+    from graphrole_spark.functions.conversations import conversation_highlights
+
+    return conversation_highlights(_events_as_transcripts(spark, sf_dir), k=3)
+
+
 def q_tool_transitions(spark, sf_dir):
     """Corpus-level Markov transition counts over each conversation's
     tool-call trajectory (functions/conversations.py::tool_transitions)
@@ -1843,6 +1864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (all 50 slots hold oracle-backed entries); DuckDB
         # value parity pytest-pinned (test_tool_transitions_duckdb_parity)
         "tool_transitions": q_tool_transitions,
+        # conv_highlights: SQL-expressible but past the 50-entry
+        # window; full DuckDB value parity pytest-pinned in
+        # test_conversation_highlights
+        "conv_highlights": q_conv_highlights,
         # conv_near_dup: minhash family (xxhash64) has no SQL twin —
         # rows-only like minhash's simhash/lsh siblings; python-oracle
         # soundness + planted-clone recall pytest-pinned
@@ -1868,6 +1893,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full DuckDB value parity (incl. exact quartiles + dup rate)
         # pytest-pinned in test_corpus_stats_duckdb_parity
         "corpus_stats": q_corpus_stats,
+        # quantize_embeddings: SQL-expressible but past the 50-entry
+        # window; numpy + DuckDB code parity pytest-pinned in
+        # test_quantize_embeddings
+        "quantize_embeddings": q_quantize_embeddings,
         # semantic_decontam: SQL-expressible but past the 50-entry
         # window (all 50 slots hold oracle-backed entries); full DuckDB
         # value parity (argmax + tiebreak + flags) pytest-pinned in

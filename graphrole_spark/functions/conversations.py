@@ -1017,3 +1017,66 @@ def conversation_duplicates(
         F.count("*").over(w).alias("group_size"),
         (F.col(conv_col) == F.min(conv_col).over(w)).cast("int").alias("keep"),
     )
+
+
+def conversation_highlights(
+    transcripts: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Extractive per-conversation highlights: the ``k`` most salient
+    turns of every conversation by corpus-level TF-IDF — the cheap
+    deterministic "gist" used to index, label, or preview transcripts
+    without running a summarizer.
+
+    Salience of a turn = Σ over its term occurrences of
+    ``idf(term) = ln(N_convs / df_convs(term))`` with document
+    frequency counted over *conversations* (a term used by every
+    conversation scores 0 — greetings and boilerplate vanish without a
+    stopword list).  Scores are rounded to 6 decimals; ranking breaks
+    ties on the earliest turn.  Turns with no tokens are not
+    candidates.
+
+    Plan: one explode → per-(conv, turn, term) count, a term-level
+    conversation-df aggregate joined back (vocabulary-sized — hash
+    join, broadcastable at moderate vocab), one per-turn sum, one
+    per-conversation top-k window.  Every shuffle is keyed on
+    (conv/term) longs; nothing is quadratic in turns or conversations.
+
+    Returns ``(conv_id, turn_idx, role, n_terms, salience, rank)``
+    with ``rank <= k``.
+    """
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " +")
+    inst = (
+        transcripts.select(
+            "conv_id", "turn_idx", "role",
+            F.explode(toks).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = inst.groupBy("conv_id", "turn_idx", "role", "term").agg(
+        F.count("*").alias("tf")
+    )
+    n_convs = transcripts.select("conv_id").distinct().count()
+    df_ = (
+        tf.select("conv_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = F.log(F.lit(float(n_convs)) / F.col("df"))
+    scored = (
+        tf.join(df_, "term")
+        .groupBy("conv_id", "turn_idx", "role")
+        .agg(
+            F.sum("tf").cast("long").alias("n_terms"),
+            F.round(F.sum(F.col("tf") * idf), 6).alias("salience"),
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("salience"), F.asc("turn_idx")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

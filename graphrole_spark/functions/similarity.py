@@ -1099,3 +1099,64 @@ def semantic_decontaminate(
     return corpus.select(id_col, vec_col).mapInPandas(
         score, schema=out_schema
     )
+
+
+# -- scalar embedding quantization -------------------------------------------
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Row-wise symmetric int8 quantization of an embedding column —
+    the standard 4× memory/IO cut before a vector corpus is packed
+    into an ANN index or shipped to a trainer.  Per-vector scale
+    ``max|x| / 127``; codes are ``floor(x/scale + 0.5)`` (explicit
+    half-up — both engines reproduce it bit-for-bit, unlike bankers'
+    vs half-up ``round`` conventions) clamped to [-127, 127].
+
+    Entirely row-local JVM expressions (transform/aggregate HOFs): a
+    pure projection with zero shuffles, trivially parallel at 100 TB;
+    pair it with :func:`pq_topk` when 8 bits/dim is still too big.
+
+    The dequantization quality rides along per row: ``recon_cos`` =
+    cosine(x, dequant(q)) rounded to 6 decimals (expect ≥0.999 for
+    typical float embeddings).  All-zero vectors quantize to zero
+    codes with ``scale`` 0 and NULL ``recon_cos``.
+
+    Returns ``(<id_col>, qvec array<int> in [-127,127], scale double,
+    recon_cos double)``; cast ``qvec`` to ``array<tinyint>`` at the
+    sink if the format wants true bytes (kept as int here so DuckDB
+    oracles compare without overflow-cast concerns).
+    """
+    v = _as_double(F.col(vec_col))
+    maxabs = F.aggregate(
+        F.col("__v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = maxabs / F.lit(127.0)
+    code = lambda x: F.greatest(  # noqa: E731
+        F.lit(-127),
+        F.least(
+            F.lit(127),
+            F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        ),
+    )
+    out = (
+        embeddings.select(id_col, v.alias("__v"))
+        .withColumn("scale", scale.alias("scale"))
+        .withColumn(
+            "qvec",
+            F.when(
+                F.col("scale") > 0, F.transform("__v", code)
+            ).otherwise(F.transform("__v", lambda x: F.lit(0))),
+        )
+    )
+    deq = F.transform("qvec", lambda q: q.cast("double") * F.col("scale"))
+    return out.select(
+        id_col,
+        "qvec",
+        F.round("scale", 9).alias("scale"),
+        F.when(  # ANSI-safe: zero vector has no defined cosine
+            F.col("scale") > 0, F.round(cosine(F.col("__v"), deq), 6)
+        ).alias("recon_cos"),
+    )

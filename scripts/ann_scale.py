@@ -149,12 +149,53 @@ def run_pq(spark, n: int, work_dir: str, k: int = 10, n_queries: int = 16) -> di
     return out
 
 
+def run_decontam(spark, n: int, work_dir: str, n_eval: int = 1000) -> dict:
+    """Scale point for the two newest single-scan embedding ops:
+    semantic_decontaminate (broadcast eval matrix, one Arrow matmul
+    scan, no shuffle) and quantize_embeddings (pure JVM projection).
+    Both plans are narrow maps over the corpus scan, so the claim under
+    test is near-linear wall growth with corpus size; the eval side is
+    held at ``n_eval`` so only the corpus axis moves."""
+    from pyspark.sql import functions as F
+
+    from graphrole_spark.functions.similarity import (
+        quantize_embeddings,
+        semantic_decontaminate,
+    )
+
+    pq = os.path.join(work_dir, f"emb_{n}")
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        synth_embeddings(spark, n, pq)
+    emb = spark.read.parquet(pq)
+    ev = emb.where(F.col("vec_id") % max(n // n_eval, 1) == 0)
+    out: dict = {"op": "decontam_quant", "n_vectors": n, "dim": DIM,
+                 "n_eval": n_eval}
+    t0 = time.time()
+    flags = semantic_decontaminate(emb, ev, threshold=0.9)
+    agg = flags.agg(
+        F.sum(F.col("contaminated").cast("long")).alias("c"),
+        F.count("*").alias("n"),
+    ).first()
+    out["decontam_sec"] = round(time.time() - t0, 2)
+    out["n_contaminated"] = int(agg["c"])  # >= n_eval: self-hits at 1.0
+    t0 = time.time()
+    q = quantize_embeddings(emb).agg(
+        F.round(F.avg("recon_cos"), 6).alias("mean_cos"),
+        F.round(F.min("recon_cos"), 6).alias("min_cos"),
+    ).first()
+    out["quant_sec"] = round(time.time() - t0, 2)
+    out["mean_recon_cos"] = float(q["mean_cos"])
+    out["min_recon_cos"] = float(q["min_cos"])
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default=None)  # default sweep only when
     # no other mode was requested — an explicit --sizes always runs
     ap.add_argument("--kmeans-sizes", default="")
     ap.add_argument("--pq-sizes", default="")
+    ap.add_argument("--decontam-sizes", default="")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--work-dir", default="/tmp/ann_scale")
     args = ap.parse_args()
@@ -173,6 +214,15 @@ def main() -> None:
     if args.pq_sizes:
         for n in [int(s) for s in args.pq_sizes.split(",")]:
             r = run_pq(spark, n, args.work_dir)
+            r["cpus"] = args.cpus
+            print(json.dumps(r), flush=True)
+            with open("BENCH_ANN_SCALE.jsonl", "a") as f:
+                f.write(json.dumps(r) + "\n")
+        if args.sizes is None:
+            return
+    if args.decontam_sizes:
+        for n in [int(s) for s in args.decontam_sizes.split(",")]:
+            r = run_decontam(spark, n, args.work_dir)
             r["cpus"] = args.cpus
             print(json.dumps(r), flush=True)
             with open("BENCH_ANN_SCALE.jsonl", "a") as f:

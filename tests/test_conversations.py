@@ -1132,3 +1132,81 @@ def test_detect_loops_single_exchange(spark):
         plan = detect_loops(df, **kw)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
         assert "Python" not in plan
+
+
+# --------------------------------------------------------------------------
+# conversation_highlights
+# --------------------------------------------------------------------------
+
+def test_conversation_highlights(spark):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from graphrole_spark.functions.conversations import conversation_highlights
+
+    rows = [
+        # "hello" appears in every conversation -> idf 0, pure greeting
+        # turns score 0 and lose to anything informative
+        ("c1", 0, "user", "hello", TS0.format(0)),
+        ("c1", 1, "user", "refund invoice billing", TS0.format(1)),
+        ("c1", 2, "agent", "hello hello", TS0.format(2)),
+        ("c1", 3, "agent", "refund approved", TS0.format(3)),
+        ("c2", 0, "user", "hello", TS0.format(0)),
+        ("c2", 1, "user", "password reset", TS0.format(1)),
+        ("c2", 2, "agent", "", TS0.format(2)),        # no tokens: not a candidate
+        ("c2", 3, "agent", None, TS0.format(3)),      # NULL: not a candidate
+        ("c3", 0, "user", "hello hello hello", TS0.format(0)),
+    ]
+    t = _turns(spark, rows)
+    got = (
+        conversation_highlights(t, k=2)
+        .orderBy("conv_id", "rank")
+        .toPandas()
+    )
+    # c1: the two refund/billing turns outrank both hello turns
+    c1 = got[got.conv_id == "c1"]
+    assert c1.turn_idx.tolist() == [1, 3]
+    # c2: only turn 1 carries information; ties at salience 0 go to the
+    # earliest turn -> turn 0 second
+    c2 = got[got.conv_id == "c2"]
+    assert c2.turn_idx.tolist() == [1, 0]
+    # c3: single all-boilerplate turn still emitted (salience 0, rank 1)
+    c3 = got[got.conv_id == "c3"]
+    assert c3.turn_idx.tolist() == [0] and c3.salience.tolist() == [0.0]
+
+    # full DuckDB value parity
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "ts"]
+    ))
+    oracle = con.execute("""
+        WITH inst AS (
+          SELECT conv_id, turn_idx, role, tok AS term
+          FROM (SELECT conv_id, turn_idx, role,
+                       list_filter(string_split_regex(trim(coalesce(text,'')), ' +'),
+                                   x -> x <> '') AS toks
+                FROM t), unnest(toks) AS u(tok)),
+        tf AS (
+          SELECT conv_id, turn_idx, role, term, count(*) AS tf
+          FROM inst GROUP BY 1, 2, 3, 4),
+        n AS (SELECT count(DISTINCT conv_id) AS nc FROM t),
+        df AS (
+          SELECT term, count(DISTINCT conv_id) AS df FROM tf GROUP BY term),
+        sc AS (
+          SELECT conv_id, turn_idx, role, sum(tf) AS n_terms,
+                 round(sum(tf * ln(nc * 1.0 / df)), 6) AS salience
+          FROM tf JOIN df USING (term) CROSS JOIN n
+          GROUP BY 1, 2, 3),
+        r AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY conv_id
+                     ORDER BY salience DESC, turn_idx) AS INT) AS rank
+          FROM sc)
+        SELECT conv_id, turn_idx, role, n_terms, salience, rank
+        FROM r WHERE rank <= 2 ORDER BY conv_id, rank
+    """).df()
+    assert got.conv_id.tolist() == oracle.conv_id.tolist()
+    assert got.turn_idx.tolist() == oracle.turn_idx.astype(int).tolist()
+    assert got.n_terms.tolist() == oracle.n_terms.astype(int).tolist()
+    assert np.allclose(got.salience, oracle.salience)
+    assert got["rank"].tolist() == oracle["rank"].astype(int).tolist()

@@ -936,3 +936,57 @@ def test_semantic_decontaminate(spark):
     assert none["nearest_eval_id"].isna().all()
     # empty corpus -> empty out
     assert semantic_decontaminate(empty, ev).count() == 0
+
+
+def test_quantize_embeddings(spark):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from graphrole_spark.functions.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(40)]
+    rows.append((40, [0.0] * 16))            # all-zero vector
+    rows.append((41, [-3.5, 3.5] + [0.1] * 14))  # exact-half codes
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = quantize_embeddings(df).orderBy("vec_id").toPandas()
+
+    # codes bounded, max-|x| dimension hits ±127 exactly
+    for _, r in got[got.vec_id < 40].iterrows():
+        q = np.array(list(r.qvec))
+        assert q.max() <= 127 and q.min() >= -127
+        assert max(q.max(), -q.min()) == 127
+        assert r.recon_cos > 0.999
+    z = got[got.vec_id == 40].iloc[0]
+    assert list(z.qvec) == [0] * 16 and z.scale == 0.0
+    assert pd.isna(z.recon_cos)
+
+    # numpy oracle: identical half-up codes + dequant cosine
+    for _, r in got[got.vec_id != 40].iterrows():
+        x = np.array(dict(rows)[r.vec_id])
+        scale = np.abs(x).max() / 127.0
+        q = np.clip(np.floor(x / scale + 0.5), -127, 127)
+        assert list(q.astype(int)) == list(r.qvec), r.vec_id
+        d = q * scale
+        cos = d @ x / (np.linalg.norm(d) * np.linalg.norm(x))
+        assert abs(round(cos, 6) - r.recon_cos) <= 1e-6
+
+    # DuckDB parity on the codes (the sink payload)
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    oracle = con.execute("""
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x))) / 127.0
+                   AS scale
+          FROM e)
+        SELECT vec_id,
+               CASE WHEN scale > 0 THEN
+                 list_transform(embedding, x -> CAST(greatest(-127,
+                   least(127, floor(x / scale + 0.5))) AS INT))
+               ELSE list_transform(embedding, x -> 0) END AS qvec
+        FROM s ORDER BY vec_id
+    """).df()
+    for g, o in zip(got.qvec, oracle.qvec):
+        assert list(g) == [int(v) for v in o]
