@@ -1209,6 +1209,28 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, threshold=0.42)
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot delta audit: current documents vs a derived 'previous
+    snapshot' (drop doc_id%7==0, rewrite text of doc_id%5==0 — both
+    sides deterministic), rolled up to per-source × status doc/token
+    movements. One id-keyed full outer join of slim (id, hash, tokens)
+    projections; text bytes never shuffle."""
+    from graphrole_spark.functions.corpus import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.coalesce("text", F.lit("")), F.lit(" edited")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(docs, new)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Row-wise symmetric int8 quantization of the embeddings table:
     per-vector max-abs/127 scale, explicit half-up codes (engine-
@@ -1569,6 +1591,23 @@ def q_conv_highlights(spark, sf_dir):
     return conversation_highlights(_events_as_transcripts(spark, sf_dir), k=3)
 
 
+def q_conv_vectors(spark, sf_dir):
+    """Model-free conversation embeddings (signed feature hashing,
+    pooled + L2-normalized) fed straight into SemDeDup at conversation
+    grain — the text-grain -> embedding-grain bridge: one operator
+    produces vectors every similarity.py kernel accepts."""
+    from graphrole_spark.functions.conversations import conversation_vectors
+    from graphrole_spark.functions.similarity import semantic_dedup
+
+    vecs = conversation_vectors(
+        _events_as_transcripts(spark, sf_dir), dim=64
+    )
+    keep = semantic_dedup(vecs, threshold=0.95, id_col="conv_id")
+    return vecs.select("conv_id", "n_terms").join(
+        keep.select(F.col("vec_id").alias("conv_id"), "keep"), "conv_id"
+    )
+
+
 def q_tool_transitions(spark, sf_dir):
     """Corpus-level Markov transition counts over each conversation's
     tool-call trajectory (functions/conversations.py::tool_transitions)
@@ -1864,6 +1903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (all 50 slots hold oracle-backed entries); DuckDB
         # value parity pytest-pinned (test_tool_transitions_duckdb_parity)
         "tool_transitions": q_tool_transitions,
+        # conv_vectors: hashing + pooling is SQL-expressible (DuckDB
+        # parity pytest-pinned in test_conversation_vectors); the
+        # composed SemDeDup keep flag is adjudicated via semantic_dedup
+        "conv_vectors": q_conv_vectors,
         # conv_highlights: SQL-expressible but past the 50-entry
         # window; full DuckDB value parity pytest-pinned in
         # test_conversation_highlights
@@ -1893,6 +1936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full DuckDB value parity (incl. exact quartiles + dup rate)
         # pytest-pinned in test_corpus_stats_duckdb_parity
         "corpus_stats": q_corpus_stats,
+        # corpus_diff: SQL-expressible but past the 50-entry window;
+        # full DuckDB value parity pytest-pinned in test_corpus_diff
+        "corpus_diff": q_corpus_diff,
         # quantize_embeddings: SQL-expressible but past the 50-entry
         # window; numpy + DuckDB code parity pytest-pinned in
         # test_quantize_embeddings

@@ -1080,3 +1080,108 @@ def conversation_highlights(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def conversation_vectors(
+    transcripts: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic conversation embeddings WITHOUT a model: hashed
+    bag-of-words (feature hashing, Weinberger et al. 2009) pooled over
+    the conversation and L2-normalized.  This is the bridge between
+    the text grain and the embedding grain — the output drops straight
+    into every vector operator in ``functions/similarity.py``
+    (semantic_dedup / semantic_decontaminate / ANN / quantize), giving
+    conversation-level semantic dedup and retrieval with zero external
+    model dependencies and full engine portability (md5-derived
+    dimension + sign, reproducible in SQL).
+
+    Each token lands in dimension ``md5(term) mod dim`` with sign
+    ``md5(term||'#s') mod 2`` (the signed hash keeps collisions
+    mean-zero, the standard hashing-trick correction); counts pool
+    additively over all turns, then the vector is L2-normalized so
+    downstream cosine thresholds are corpus-size-independent.
+
+    Plan: explode → one (conv, dim, signed-count) aggregate → one
+    ``array_agg``-free pivot via ``map_from_entries``-less dense
+    assembly: a (conv, dim) groupBy then a conv-keyed collect into a
+    dense array with ``aggregate`` — two keyed shuffles total, output
+    one ``dim``-float row per conversation.  Conversations with no
+    tokens emit the zero vector (norm 0 kept as 0s, NULL-safe
+    downstream by the similarity kernels' zero-norm guards).
+
+    Returns ``(conv_id, embedding array<double>, n_terms long)``.
+    """
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " +")
+    inst = (
+        transcripts.select("conv_id", F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+    )
+    from graphrole_spark.functions.corpus import _md5_long
+
+    d = F.pmod(_md5_long(F.col("term")), F.lit(dim)).cast("int")
+    sign = (
+        F.pmod(_md5_long(F.concat(F.col("term"), F.lit("#s"))), F.lit(2))
+        * 2 - 1
+    ).cast("double")
+    cell = (
+        inst.select("conv_id", d.alias("__d"), sign.alias("__s"))
+        .groupBy("conv_id", "__d")
+        .agg(F.sum("__s").alias("__v"), F.count("*").alias("__n"))
+    )
+    dense = (
+        cell.groupBy("conv_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__d", "__v"))
+            ).alias("__m"),
+            F.sum("__n").cast("long").alias("n_terms"),
+        )
+        .select(
+            "conv_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__m", i.cast("int")), F.lit(0.0)
+                ),
+            ).alias("__raw"),
+            "n_terms",
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("__raw", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    zero_tokens = transcripts.select("conv_id").distinct().join(
+        dense, "conv_id", "left_anti"
+    )
+    empty_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.lit(0.0)
+    )
+    return (
+        dense.withColumn("__norm", norm)
+        .select(
+            "conv_id",
+            F.when(
+                F.col("__norm") > 0,
+                F.transform(
+                    "__raw",
+                    lambda x: F.round(x / F.col("__norm"), 9),
+                ),
+            )
+            .otherwise(empty_vec)
+            .alias("embedding"),
+            "n_terms",
+        )
+        .unionByName(
+            zero_tokens.select(
+                "conv_id",
+                empty_vec.alias("embedding"),
+                F.lit(0).cast("long").alias("n_terms"),
+            )
+        )
+    )

@@ -646,3 +646,69 @@ def upsample_corpus(
         .where((F.col("epoch") <= n_full) | (u < frac))
         .drop("__e")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str | None = "source",
+) -> DataFrame:
+    """Snapshot delta between two corpus versions — the audit a
+    curation pipeline runs before promoting a new Iceberg snapshot:
+    which documents were added, removed, or changed (by content hash),
+    and how the per-``by``-group token budget moved.
+
+    Plan: both sides reduce to ``(id, md5(text), tokens, group)``
+    projections before a single full outer join on ``id`` — the only
+    shuffle, hash-partitioned on the id — then one small rollup per
+    group × status.  Text bytes never shuffle; at 100 TB the join
+    carries three longs and two short strings per doc.
+
+    NULL text hashes as the empty doc (the engine-wide convention), so
+    NULL→'' edits are *unchanged*.  ``by`` uses the NEW side's group
+    for added/changed rows and the old side's for removed rows.
+
+    Returns one row per (group, status) with ``status`` in
+    ``added | removed | changed | unchanged``: ``(group?, status,
+    n_docs, tokens_old, tokens_new, token_delta)``.
+    """
+    from .text import token_count
+
+    def slim(df, tag):
+        txt = F.coalesce(F.col(text_col), F.lit(""))
+        cols = [
+            F.col(id_col).alias("__id"),
+            F.md5(txt).alias(f"__h_{tag}"),
+            token_count(txt).cast("long").alias(f"__t_{tag}"),
+        ]
+        if by:
+            cols.append(F.col(by).alias(f"__g_{tag}"))
+        return df.select(*cols)
+
+    j = slim(old, "o").join(slim(new, "n"), "__id", "full_outer")
+    status = (
+        F.when(F.col("__h_o").isNull(), F.lit("added"))
+        .when(F.col("__h_n").isNull(), F.lit("removed"))
+        .when(F.col("__h_o") == F.col("__h_n"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    grp = (
+        [F.coalesce("__g_n", "__g_o").alias(by)] if by else []
+    )
+    return (
+        j.select(
+            *grp,
+            status.alias("status"),
+            F.coalesce("__t_o", F.lit(0)).alias("__to"),
+            F.coalesce("__t_n", F.lit(0)).alias("__tn"),
+        )
+        .groupBy(*([by] if by else []), "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__to").alias("tokens_old"),
+            F.sum("__tn").alias("tokens_new"),
+            (F.sum("__tn") - F.sum("__to")).alias("token_delta"),
+        )
+    )

@@ -221,6 +221,21 @@ def run(spark, n_convs: int, work_dir: str, ops: set[str]) -> dict:
         out["compact_sec"] = round(time.time() - t0, 2)
         out["compact_elided"] = int(row["n_elided"])
         out["compact_unfit_convs"] = int(row["unfit_convs"])
+
+    if "highlights" in ops:
+        from graphrole_spark.functions.conversations import (
+            conversation_highlights,
+        )
+
+        t0 = time.time()
+        hl = conversation_highlights(turns, k=3)
+        row = hl.agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("salience"), 2).alias("mean_sal"),
+        ).collect()[0]
+        out["highlights_sec"] = round(time.time() - t0, 2)
+        out["highlights_rows"] = int(row["n"])
+        out["highlights_mean_salience"] = float(row["mean_sal"])
     return out
 
 
@@ -231,7 +246,7 @@ def main() -> None:
     ap.add_argument("--work-dir", default="/tmp/conversation_scale")
     ap.add_argument(
         "--ops",
-        default="sft,integrity,dedup,near_dup,pref,compact",
+        default="sft,integrity,dedup,near_dup,pref,compact,highlights",
         help="comma list of stages to run (quiet-window remeasure of one op)",
     )
     args = ap.parse_args()

@@ -1210,3 +1210,92 @@ def test_conversation_highlights(spark):
     assert got.n_terms.tolist() == oracle.n_terms.astype(int).tolist()
     assert np.allclose(got.salience, oracle.salience)
     assert got["rank"].tolist() == oracle["rank"].astype(int).tolist()
+
+
+# --------------------------------------------------------------------------
+# conversation_vectors
+# --------------------------------------------------------------------------
+
+def test_conversation_vectors(spark):
+    import hashlib
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from graphrole_spark.functions.conversations import conversation_vectors
+
+    rows = [
+        ("c1", 0, "user", "refund invoice refund", TS0.format(0)),
+        ("c1", 1, "agent", "invoice approved", TS0.format(1)),
+        ("c2", 0, "user", "password reset", TS0.format(0)),
+        ("c3", 0, "user", "", TS0.format(0)),       # token-less conv
+        ("c3", 1, "user", None, TS0.format(1)),
+    ]
+    t = _turns(spark, rows)
+    got = (
+        conversation_vectors(t, dim=16).orderBy("conv_id").toPandas()
+    )
+    assert got.conv_id.tolist() == ["c1", "c2", "c3"]
+    assert got.n_terms.tolist() == [5, 2, 0]
+    # c3: the zero vector
+    assert list(got.iloc[2].embedding) == [0.0] * 16
+    # unit norm for non-empty conversations
+    for i in range(2):
+        v = np.array(list(got.iloc[i].embedding))
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+
+    # pure-python oracle of the documented hashing
+    def md5long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def pool(texts, dim=16):
+        v = np.zeros(dim)
+        for txt in texts:
+            for term in (txt or "").split():
+                d = md5long(term) % dim
+                s = (md5long(term + "#s") % 2) * 2 - 1
+                v[d] += s
+        n = np.linalg.norm(v)
+        return np.round(v / n, 9) if n > 0 else v
+
+    want_c1 = pool(["refund invoice refund", "invoice approved"])
+    assert np.allclose(np.array(list(got.iloc[0].embedding)), want_c1)
+
+    # identical content in a different turn split -> identical vector
+    t2 = _turns(spark, [
+        ("d1", 0, "user", "refund invoice refund invoice approved",
+         TS0.format(0)),
+    ])
+    got2 = conversation_vectors(t2, dim=16).toPandas()
+    assert np.allclose(
+        np.array(list(got2.iloc[0].embedding)), want_c1
+    )
+
+    # DuckDB parity (the md5 hashing is the portable primitive)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "ts"]
+    ))
+    oracle = con.execute("""
+        WITH inst AS (
+          SELECT conv_id, tok AS term
+          FROM (SELECT conv_id,
+                       list_filter(string_split_regex(trim(coalesce(text,'')), ' +'),
+                                   x -> x <> '') AS toks
+                FROM t), unnest(toks) AS u(tok)),
+        cell AS (
+          SELECT conv_id,
+                 CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 16 AS d,
+                 sum(CAST(concat('0x', substr(md5(term || '#s'), 1, 8))
+                     AS BIGINT) % 2 * 2 - 1) AS v
+          FROM inst GROUP BY 1, 2)
+        SELECT conv_id, d, v FROM cell ORDER BY conv_id, d
+    """).df()
+    for conv in ["c1", "c2"]:
+        o = oracle[oracle.conv_id == conv]
+        raw = np.zeros(16)
+        raw[o.d.astype(int).to_numpy()] = o.v.to_numpy()
+        n = np.linalg.norm(raw)
+        g = np.array(list(got[got.conv_id == conv].iloc[0].embedding))
+        assert np.allclose(g, np.round(raw / n, 9))

@@ -498,3 +498,70 @@ def test_upsample_corpus(spark):
     # integer budgets are exact; absent sources are dropped
     exact = upsample_corpus(df, {"a": 3}).groupBy().count().first()[0]
     assert exact == 600
+
+
+def test_corpus_diff(spark):
+    import duckdb
+    import pandas as pd
+
+    from graphrole_spark.functions.corpus import corpus_diff
+
+    old_rows = [
+        (0, "a", "alpha beta"),       # unchanged
+        (1, "a", "gamma"),            # changed
+        (2, "b", "delta epsilon"),    # removed
+        (3, "b", None),               # NULL -> '' edit: unchanged
+    ]
+    new_rows = [
+        (0, "a", "alpha beta"),
+        (1, "a", "gamma gamma gamma"),
+        (3, "b", ""),
+        (4, "b", "zeta eta theta"),   # added
+    ]
+    schema = "doc_id long, source string, text string"
+    out = (
+        corpus_diff(
+            spark.createDataFrame(old_rows, schema),
+            spark.createDataFrame(new_rows, schema),
+        )
+        .orderBy("source", "status")
+        .toPandas()
+    )
+    key = out.set_index(["source", "status"])
+    assert key.loc[("a", "unchanged"), "n_docs"] == 1
+    assert key.loc[("a", "changed"), "token_delta"] == 2  # 1 -> 3 tokens
+    assert key.loc[("b", "removed"), "tokens_old"] == 2
+    assert key.loc[("b", "added"), "tokens_new"] == 3
+    assert key.loc[("b", "unchanged"), "n_docs"] == 1  # NULL -> ''
+
+    con = duckdb.connect()
+    con.register("o", pd.DataFrame(old_rows, columns=["doc_id", "source", "text"]))
+    con.register("n", pd.DataFrame(new_rows, columns=["doc_id", "source", "text"]))
+    oracle = con.execute("""
+        WITH so AS (
+          SELECT doc_id, source AS g_o, md5(coalesce(text,'')) AS h_o,
+                 len(list_filter(string_split_regex(trim(coalesce(text,'')), ' +'),
+                     x -> x <> '')) AS t_o
+          FROM o),
+        sn AS (
+          SELECT doc_id, source AS g_n, md5(coalesce(text,'')) AS h_n,
+                 len(list_filter(string_split_regex(trim(coalesce(text,'')), ' +'),
+                     x -> x <> '')) AS t_n
+          FROM n),
+        j AS (SELECT * FROM so FULL OUTER JOIN sn USING (doc_id))
+        SELECT coalesce(g_n, g_o) AS source,
+               CASE WHEN h_o IS NULL THEN 'added'
+                    WHEN h_n IS NULL THEN 'removed'
+                    WHEN h_o = h_n THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               count(*) AS n_docs,
+               sum(coalesce(t_o, 0)) AS tokens_old,
+               sum(coalesce(t_n, 0)) AS tokens_new,
+               sum(coalesce(t_n, 0)) - sum(coalesce(t_o, 0)) AS token_delta
+        FROM j GROUP BY 1, 2 ORDER BY source, status
+    """).df()
+    got = out.reset_index(drop=True)
+    for col in ["source", "status"]:
+        assert got[col].tolist() == oracle[col].tolist()
+    for col in ["n_docs", "tokens_old", "tokens_new", "token_delta"]:
+        assert got[col].astype(int).tolist() == oracle[col].astype(int).tolist()
