@@ -1608,6 +1608,27 @@ def q_conv_vectors(spark, sf_dir):
     )
 
 
+def q_turn_signals(spark, sf_dir):
+    """Dialogue-specific heuristic gate signals per turn (refusal /
+    apology / question / code / URL / shouting) — all codegen regexp
+    projections, zero shuffles."""
+    from graphrole_spark.functions.conversations import turn_signals
+
+    return turn_signals(_events_as_transcripts(spark, sf_dir))
+
+
+def q_topic_shift(spark, sf_dir):
+    """Topic-boundary detection per conversation: adjacent-turn cosine
+    over signed-hash unit vectors, one lag window; shifts segment the
+    conversation (temporal x embedding fusion, flagship-chain plan
+    shape — no join)."""
+    from graphrole_spark.functions.conversations import turn_topic_shift
+
+    return turn_topic_shift(
+        _events_as_transcripts(spark, sf_dir), dim=64, threshold=0.3
+    )
+
+
 def q_tool_transitions(spark, sf_dir):
     """Corpus-level Markov transition counts over each conversation's
     tool-call trajectory (functions/conversations.py::tool_transitions)
@@ -1903,6 +1924,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (all 50 slots hold oracle-backed entries); DuckDB
         # value parity pytest-pinned (test_tool_transitions_duckdb_parity)
         "tool_transitions": q_tool_transitions,
+        # turn_signals: SQL-expressible but past the 50-entry window;
+        # full DuckDB value parity pytest-pinned in test_turn_signals
+        "turn_signals": q_turn_signals,
+        # topic_shift: SQL-expressible but past the 50-entry window;
+        # full DuckDB value parity pytest-pinned in
+        # test_turn_topic_shift
+        "topic_shift": q_topic_shift,
         # conv_vectors: hashing + pooling is SQL-expressible (DuckDB
         # parity pytest-pinned in test_conversation_vectors); the
         # composed SemDeDup keep flag is adjudicated via semantic_dedup

@@ -167,6 +167,20 @@ def main() -> None:
         "quality_classifier",
         "diversify",
         "bpe_tokenizer",
+        "tokenize_pack",
+        "temperature_mix",
+        "pq_topk",
+        "bm25_topk",
+        "detect_loops",
+        "upsample_corpus",
+        "corpus_stats",
+        "corpus_diff",
+        "semantic_decontam",
+        "quantize_embeddings",
+        "conv_highlights",
+        "conv_vectors",
+        "topic_shift",
+        "turn_signals",
     ]
     queries = entrymod.queries()
     for name in suite:

@@ -1042,6 +1042,10 @@ def conversation_highlights(
     join, broadcastable at moderate vocab), one per-turn sum, one
     per-conversation top-k window.  Every shuffle is keyed on
     (conv/term) longs; nothing is quadratic in turns or conversations.
+    Terms travel as ``xxhash64`` longs from the explode on — the token
+    stream (the big shuffle) never carries term strings (the same
+    equality-barring-a-64-bit-collision convention as ``dup_ngrams``
+    and the minhash family; cut the 32.6M-turn sweep 241.5 → 131.7 s).
 
     Returns ``(conv_id, turn_idx, role, n_terms, salience, rank)``
     with ``rank <= k``.
@@ -1053,20 +1057,28 @@ def conversation_highlights(
             F.explode(toks).alias("term"),
         )
         .where(F.col("term") != "")
+        .select(
+            "conv_id", "turn_idx", "role",
+            F.xxhash64("term").alias("__th"),
+        )
     )
-    tf = inst.groupBy("conv_id", "turn_idx", "role", "term").agg(
+    # persist: tf feeds BOTH the df aggregate and the salience join —
+    # unpersisted, Catalyst re-runs the corpus explode for each branch
+    # (the terms.py fan-out rule; cache ownership documented in
+    # PERF.md "Known costs")
+    tf = inst.groupBy("conv_id", "turn_idx", "role", "__th").agg(
         F.count("*").alias("tf")
-    )
+    ).persist()
     n_convs = transcripts.select("conv_id").distinct().count()
     df_ = (
-        tf.select("conv_id", "term")
+        tf.select("conv_id", "__th")
         .distinct()
-        .groupBy("term")
+        .groupBy("__th")
         .agg(F.count("*").alias("df"))
     )
     idf = F.log(F.lit(float(n_convs)) / F.col("df"))
     scored = (
-        tf.join(df_, "term")
+        tf.join(df_, "__th")
         .groupBy("conv_id", "turn_idx", "role")
         .agg(
             F.sum("tf").cast("long").alias("n_terms"),
@@ -1113,9 +1125,23 @@ def conversation_vectors(
 
     Returns ``(conv_id, embedding array<double>, n_terms long)``.
     """
+    return _hashed_vectors(transcripts, ["conv_id"], dim, text_col)
+
+
+def _hashed_vectors(
+    frame: DataFrame,
+    keys: list[str],
+    dim: int,
+    text_col: str,
+) -> DataFrame:
+    """Shared signed-feature-hashing kernel: one L2-normalized dense
+    ``dim``-vector per distinct ``keys`` group (conversation grain for
+    :func:`conversation_vectors`, turn grain for
+    :func:`turn_topic_shift`).  Semantics documented on
+    :func:`conversation_vectors`."""
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " +")
     inst = (
-        transcripts.select("conv_id", F.explode(toks).alias("term"))
+        frame.select(*keys, F.explode(toks).alias("term"))
         .where(F.col("term") != "")
     )
     from graphrole_spark.functions.corpus import _md5_long
@@ -1126,12 +1152,12 @@ def conversation_vectors(
         * 2 - 1
     ).cast("double")
     cell = (
-        inst.select("conv_id", d.alias("__d"), sign.alias("__s"))
-        .groupBy("conv_id", "__d")
+        inst.select(*keys, d.alias("__d"), sign.alias("__s"))
+        .groupBy(*keys, "__d")
         .agg(F.sum("__s").alias("__v"), F.count("*").alias("__n"))
     )
     dense = (
-        cell.groupBy("conv_id")
+        cell.groupBy(*keys)
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("__d", "__v"))
@@ -1139,7 +1165,7 @@ def conversation_vectors(
             F.sum("__n").cast("long").alias("n_terms"),
         )
         .select(
-            "conv_id",
+            *keys,
             F.transform(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 lambda i: F.coalesce(
@@ -1156,8 +1182,8 @@ def conversation_vectors(
             lambda a, v: a + v,
         )
     )
-    zero_tokens = transcripts.select("conv_id").distinct().join(
-        dense, "conv_id", "left_anti"
+    zero_tokens = frame.select(*keys).distinct().join(
+        dense, keys, "left_anti"
     )
     empty_vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.lit(0.0)
@@ -1165,7 +1191,7 @@ def conversation_vectors(
     return (
         dense.withColumn("__norm", norm)
         .select(
-            "conv_id",
+            *keys,
             F.when(
                 F.col("__norm") > 0,
                 F.transform(
@@ -1179,9 +1205,132 @@ def conversation_vectors(
         )
         .unionByName(
             zero_tokens.select(
-                "conv_id",
+                *keys,
                 empty_vec.alias("embedding"),
                 F.lit(0).cast("long").alias("n_terms"),
             )
         )
+    )
+
+
+def turn_topic_shift(
+    transcripts: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Topic-boundary detection inside a conversation — the temporal ×
+    embedding fusion: hash each turn into the same signed-BOW unit
+    vector :func:`conversation_vectors` uses, then compare each turn
+    to its predecessor with one ``lag`` window; a cosine below
+    ``threshold`` marks a topic shift, and the running count of shifts
+    segments the conversation.  Downstream uses: split long
+    conversations into topically-coherent training examples, find
+    abrupt context switches in agent trajectories, and size the
+    segments compaction should respect.
+
+    Because both vectors are unit-normalized, the cosine is a plain
+    ``zip_with`` dot product — no norms at comparison time.  The first
+    turn of a conversation has no predecessor: ``prev_cos`` NULL,
+    ``new_topic`` true (it opens segment 1).  A token-less turn is the
+    zero vector → cosine 0 with any neighbor → reads as a shift at any
+    positive threshold (documented; filter empty turns first if that
+    is noise for your corpus).
+
+    Plan: the hashing kernel's two keyed aggregations + ONE
+    conv-partitioned window pass (lag + running sum share the same
+    sort) — the same shape as the flagship chain operators, no join.
+
+    Returns ``(conv_id, turn_idx, n_terms, prev_cos, new_topic,
+    segment_id)`` — one row per turn.
+    """
+    vecs = _hashed_vectors(
+        transcripts, ["conv_id", "turn_idx"], dim, text_col
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("embedding").over(w)
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("embedding"), prev, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    shifted = vecs.select(
+        "conv_id",
+        "turn_idx",
+        "n_terms",
+        cos.alias("prev_cos"),
+    ).withColumn(
+        "new_topic",
+        F.col("prev_cos").isNull() | (F.col("prev_cos") < threshold),
+    )
+    seg = F.sum(F.col("new_topic").cast("int")).over(
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return shifted.withColumn("segment_id", seg.cast("int"))
+
+
+def turn_signals(
+    transcripts: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dialogue-specific heuristic signals per turn — the cheap gate an
+    RLHF/SFT filtering pass runs before any model-based scoring:
+    refusals, apologies, questions, code blocks, URLs, and shouting,
+    each one codegen regexp/length expression (no Python, no shuffle —
+    a pure projection over the transcript scan, linear at any scale).
+
+    Signals (all computed on ``coalesce(text, '')``):
+
+    * ``n_tokens`` / ``n_chars`` — whitespace tokens, raw length;
+    * ``is_question`` — contains a ``?``;
+    * ``n_code_blocks`` — fenced \\`\\`\\` pairs (``count(```)/2``);
+    * ``n_urls`` — ``https?://`` occurrences;
+    * ``refusal`` — case-insensitive "I cannot/can't/won't/unable
+      to/I'm not able to" (the standard refusal-rate probe);
+    * ``apology`` — case-insensitive "sorry/I apologize";
+    * ``exclaims`` — ``!`` count;
+    * ``caps_ratio`` — uppercase share of letters, 6 decimals
+      (0 when the turn has no letters).
+
+    Returns the transcript keys + role and the signal columns, one row
+    per turn.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    letters = F.regexp_count(txt, F.lit(r"[A-Za-z]"))
+    uppers = F.regexp_count(txt, F.lit(r"[A-Z]"))
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.regexp_count(txt, F.lit(r"[^ ]+")).alias("n_tokens"),
+        F.length(txt).alias("n_chars"),
+        txt.contains("?").alias("is_question"),
+        (F.regexp_count(txt, F.lit("```")) / 2)
+        .cast("int")
+        .alias("n_code_blocks"),
+        F.regexp_count(txt, F.lit(r"https?://")).alias("n_urls"),
+        (
+            F.regexp_count(
+                F.lower(txt),
+                F.lit(
+                    r"i cannot|i can't|i won't|unable to|i'm not able to"
+                ),
+            )
+            > 0
+        ).alias("refusal"),
+        (
+            F.regexp_count(F.lower(txt), F.lit(r"sorry|i apologize")) > 0
+        ).alias("apology"),
+        F.regexp_count(txt, F.lit("!")).alias("exclaims"),
+        F.when(
+            letters > 0,
+            F.round(uppers.cast("double") / letters, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("caps_ratio"),
     )

@@ -1107,17 +1107,29 @@ def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Row-wise symmetric int8 quantization of an embedding column —
     the standard 4× memory/IO cut before a vector corpus is packed
     into an ANN index or shipped to a trainer.  Per-vector scale
     ``max|x| / 127``; codes are ``floor(x/scale + 0.5)`` (explicit
-    half-up — both engines reproduce it bit-for-bit, unlike bankers'
+    half-up — every engine reproduces it bit-for-bit, unlike bankers'
     vs half-up ``round`` conventions) clamped to [-127, 127].
 
-    Entirely row-local JVM expressions (transform/aggregate HOFs): a
-    pure projection with zero shuffles, trivially parallel at 100 TB;
-    pair it with :func:`pq_topk` when 8 bits/dim is still too big.
+    A pure projection with zero shuffles, trivially parallel at
+    100 TB; pair it with :func:`pq_topk` when 8 bits/dim is still too
+    big.  Two kernels compute identical codes/scales (parity
+    pytest-pinned):
+
+    * ``engine="arrow"`` (default): one vectorized numpy pass per
+      Arrow batch — the scale path (the JVM HOF fold pays ~3
+      interpreted passes per element and went 11× for the last 10× in
+      the 5M-vector sweep; the Arrow kernel is batch-BLAS-bound).
+      ``recon_cos`` may differ from the JVM kernel in the last rounded
+      digit (summation order), never the codes/scale.
+    * ``engine="jvm"``: transform/aggregate HOF expressions — zero
+      Python workers, the kernel for Python-less deployments and the
+      one the DuckDB oracle mirrors clause-for-clause.
 
     The dequantization quality rides along per row: ``recon_cos`` =
     cosine(x, dequant(q)) rounded to 6 decimals (expect ≥0.999 for
@@ -1129,6 +1141,49 @@ def quantize_embeddings(
     sink if the format wants true bytes (kept as int here so DuckDB
     oracles compare without overflow-cast concerns).
     """
+    if engine not in ("arrow", "jvm"):
+        raise ValueError("engine must be 'arrow' or 'jvm'")
+    if engine == "arrow":
+        id_type = embeddings.schema[id_col].dataType.simpleString()
+        out_schema = (
+            f"{id_col} {id_type}, qvec array<int>, scale double,"
+            " recon_cos double"
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(
+                    [np.asarray(x, dtype=float) for x in pdf[vec_col]]
+                )
+                maxabs = np.abs(X).max(axis=1)
+                scale = maxabs / 127.0
+                safe = np.where(scale > 0, scale, 1.0)[:, None]
+                Q = np.clip(
+                    np.floor(X / safe + 0.5), -127, 127
+                ).astype(np.int32)
+                Q[scale == 0] = 0
+                D = Q * safe
+                num = np.einsum("ij,ij->i", D, X)
+                den = np.linalg.norm(D, axis=1) * np.linalg.norm(X, axis=1)
+                cos = np.round(
+                    np.divide(num, den, out=np.zeros_like(num),
+                              where=den > 0),
+                    6,
+                )
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "qvec": list(Q),
+                        "scale": np.round(scale, 9),
+                        "recon_cos": np.where(scale > 0, cos, np.nan),
+                    }
+                )
+
+        return embeddings.select(id_col, vec_col).mapInPandas(
+            kernel, schema=out_schema
+        )
     v = _as_double(F.col(vec_col))
     maxabs = F.aggregate(
         F.col("__v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))

@@ -1299,3 +1299,181 @@ def test_conversation_vectors(spark):
         n = np.linalg.norm(raw)
         g = np.array(list(got[got.conv_id == conv].iloc[0].embedding))
         assert np.allclose(g, np.round(raw / n, 9))
+
+
+# --------------------------------------------------------------------------
+# turn_topic_shift
+# --------------------------------------------------------------------------
+
+def test_turn_topic_shift(spark):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from graphrole_spark.functions.conversations import turn_topic_shift
+
+    rows = [
+        # c1: two turns on topic A, hard switch to topic B, then B again
+        ("c1", 0, "user", "refund invoice billing money", TS0.format(0)),
+        ("c1", 1, "agent", "refund invoice approved money", TS0.format(1)),
+        ("c1", 2, "user", "kubernetes cluster deploy pods", TS0.format(2)),
+        ("c1", 3, "agent", "cluster pods deploy kubernetes", TS0.format(3)),
+        # c2: single turn, then an empty turn
+        ("c2", 0, "user", "hello world", TS0.format(0)),
+        ("c2", 1, "agent", "", TS0.format(1)),
+    ]
+    t = _turns(spark, rows)
+    got = (
+        turn_topic_shift(t, dim=32, threshold=0.5)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    c1 = got[got.conv_id == "c1"]
+    assert c1.new_topic.tolist() == [True, False, True, False]
+    assert c1.segment_id.tolist() == [1, 1, 2, 2]
+    assert pd.isna(c1.prev_cos.iloc[0])
+    assert c1.prev_cos.iloc[1] > 0.5 and c1.prev_cos.iloc[3] > 0.5
+    assert c1.prev_cos.iloc[2] < 0.5
+    c2 = got[got.conv_id == "c2"]
+    # empty turn = zero vector -> cosine 0 -> a shift
+    assert c2.prev_cos.tolist()[1] == 0.0
+    assert c2.new_topic.tolist() == [True, True]
+    assert c2.segment_id.tolist() == [1, 2]
+
+    # DuckDB parity on the full output
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "ts"]
+    ))
+    oracle = con.execute("""
+        WITH inst AS (
+          SELECT conv_id, turn_idx, tok AS term
+          FROM (SELECT conv_id, turn_idx,
+                       list_filter(string_split_regex(trim(coalesce(text,'')), ' +'),
+                                   x -> x <> '') AS toks
+                FROM t), unnest(toks) AS u(tok)),
+        cell AS (
+          SELECT conv_id, turn_idx,
+                 CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 32 AS d,
+                 sum(CAST(concat('0x', substr(md5(term || '#s'), 1, 8))
+                     AS BIGINT) % 2 * 2 - 1) AS v,
+                 count(*) AS n
+          FROM inst GROUP BY 1, 2, 3),
+        pairs AS (
+          SELECT conv_id, turn_idx, list(d) AS ds, list(v) AS vs,
+                 sum(n) AS n_terms
+          FROM cell GROUP BY 1, 2),
+        dense AS (
+          SELECT conv_id, turn_idx, n_terms,
+                 list_transform(generate_series(0, 31),
+                   i -> CASE WHEN list_position(ds, i) > 0
+                        THEN vs[list_position(ds, i)] ELSE 0.0 END)
+                   AS raw
+          FROM pairs),
+        -- no list aggregate lambda with outer refs in duckdb 1.0:
+        -- compute the norm by unnesting
+        nrm AS (
+          SELECT conv_id, turn_idx, sqrt(sum(x * x)) AS nn
+          FROM dense, unnest(raw) AS u(x) GROUP BY 1, 2),
+        unit AS (
+          SELECT d.conv_id, d.turn_idx, d.n_terms,
+                 CASE WHEN nn > 0
+                      THEN list_transform(raw, x -> round(x / nn, 9))
+                      ELSE raw END AS vec
+          FROM dense d JOIN nrm USING (conv_id, turn_idx)),
+        allturns AS (
+          SELECT t.conv_id, t.turn_idx,
+                 coalesce(u.n_terms, 0) AS n_terms,
+                 coalesce(u.vec, list_transform(generate_series(0, 31),
+                                                i -> 0.0)) AS vec
+          FROM t LEFT JOIN unit u USING (conv_id, turn_idx)),
+        lagd AS (
+          SELECT conv_id, turn_idx, n_terms, vec,
+                 lag(vec) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS pvec
+          FROM allturns)
+        SELECT conv_id, turn_idx, n_terms,
+               CASE WHEN pvec IS NULL THEN NULL
+                    ELSE round(list_dot_product(vec, pvec), 6) END AS prev_cos
+        FROM lagd ORDER BY conv_id, turn_idx
+    """).df()
+    assert got.conv_id.tolist() == oracle.conv_id.tolist()
+    assert got.n_terms.astype(int).tolist() == oracle.n_terms.astype(int).tolist()
+    ga, oa = got.prev_cos.to_numpy(), oracle.prev_cos.to_numpy()
+    assert (pd.isna(ga) == pd.isna(oa)).all()
+    m = ~pd.isna(ga)
+    assert np.allclose(ga[m].astype(float), oa[m].astype(float), atol=1e-9)
+
+
+# --------------------------------------------------------------------------
+# turn_signals
+# --------------------------------------------------------------------------
+
+def test_turn_signals(spark):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from graphrole_spark.functions.conversations import turn_signals
+
+    rows = [
+        ("c1", 0, "user", "Can you fix this?", TS0.format(0)),
+        ("c1", 1, "assistant",
+         "I cannot do that. I apologize! See https://x.io and "
+         "```code``` END", TS0.format(1)),
+        ("c1", 2, "assistant", "SHOUTING!! ok", TS0.format(2)),
+        ("c2", 0, "user", None, TS0.format(0)),
+        ("c2", 1, "assistant", "I'm not able to help, sorry...",
+         TS0.format(1)),
+    ]
+    t = _turns(spark, rows)
+    got = (
+        turn_signals(t).orderBy("conv_id", "turn_idx").toPandas()
+        .set_index(["conv_id", "turn_idx"])
+    )
+    r = got.loc[("c1", 0)]
+    assert bool(r.is_question) and not r.refusal and r.n_tokens == 4
+    r = got.loc[("c1", 1)]
+    assert r.refusal and r.apology and r.n_urls == 1
+    assert r.n_code_blocks == 1 and r.exclaims == 1
+    r = got.loc[("c1", 2)]
+    assert r.exclaims == 2 and r.caps_ratio > 0.7 and not r.refusal
+    r = got.loc[("c2", 0)]
+    assert r.n_tokens == 0 and r.n_chars == 0 and r.caps_ratio == 0.0
+    r = got.loc[("c2", 1)]
+    assert r.refusal and r.apology  # "I'm not able to" + "sorry"
+
+    # DuckDB parity over every column
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "ts"]
+    ))
+    oracle = con.execute(r"""
+        WITH s AS (SELECT conv_id, turn_idx, role,
+                          coalesce(text, '') AS x FROM t)
+        SELECT conv_id, turn_idx, role,
+               len(regexp_extract_all(x, '[^ ]+')) AS n_tokens,
+               length(x) AS n_chars,
+               contains(x, '?') AS is_question,
+               CAST(len(regexp_extract_all(x, '```')) / 2 AS INT)
+                 AS n_code_blocks,
+               len(regexp_extract_all(x, 'https?://')) AS n_urls,
+               len(regexp_extract_all(lower(x),
+                 'i cannot|i can''t|i won''t|unable to|i''m not able to'))
+                 > 0 AS refusal,
+               len(regexp_extract_all(lower(x), 'sorry|i apologize')) > 0
+                 AS apology,
+               len(regexp_extract_all(x, '!')) AS exclaims,
+               CASE WHEN len(regexp_extract_all(x, '[A-Za-z]')) > 0
+                    THEN round(len(regexp_extract_all(x, '[A-Z]')) * 1.0
+                         / len(regexp_extract_all(x, '[A-Za-z]')), 6)
+                    ELSE 0.0 END AS caps_ratio
+        FROM s ORDER BY conv_id, turn_idx
+    """).df()
+    g = got.reset_index()
+    for col in ["n_tokens", "n_chars", "n_code_blocks", "n_urls",
+                "exclaims"]:
+        assert g[col].astype(int).tolist() == oracle[col].astype(int).tolist(), col
+    for col in ["is_question", "refusal", "apology"]:
+        assert g[col].tolist() == oracle[col].tolist(), col
+    assert np.allclose(g.caps_ratio, oracle.caps_ratio)

@@ -990,3 +990,25 @@ def test_quantize_embeddings(spark):
     """).df()
     for g, o in zip(got.qvec, oracle.qvec):
         assert list(g) == [int(v) for v in o]
+
+
+def test_quantize_embeddings_engine_parity(spark):
+    import numpy as np
+    import pandas as pd
+
+    from graphrole_spark.functions.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(13)
+    rows = [(i, [float(x) for x in rng.normal(0, 2, 24)]) for i in range(80)]
+    rows.append((80, [0.0] * 24))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = quantize_embeddings(df, engine="arrow").orderBy("vec_id").toPandas()
+    j = quantize_embeddings(df, engine="jvm").orderBy("vec_id").toPandas()
+    for ga, gj in zip(a.qvec, j.qvec):
+        assert list(ga) == list(gj)
+    assert np.allclose(a.scale, j.scale)
+    # recon_cos may differ in the last rounded digit (summation order)
+    va, vj = a.recon_cos.to_numpy(), j.recon_cos.to_numpy()
+    mask = ~pd.isna(va)
+    assert (pd.isna(va) == pd.isna(vj)).all()
+    assert np.allclose(va[mask], vj[mask], atol=2e-6)
