@@ -1599,10 +1599,13 @@ def q_conv_vectors(spark, sf_dir):
     from graphrole_spark.functions.conversations import conversation_vectors
     from graphrole_spark.functions.similarity import semantic_dedup
 
+    # materialize once: semantic_dedup fans the vectors into three plan
+    # branches (both join sides + the keep join), and unmaterialized
+    # each branch re-runs the 64-sum hashing aggregate (PERF.md #32)
     vecs = conversation_vectors(
         _events_as_transcripts(spark, sf_dir), dim=64
-    )
-    keep = semantic_dedup(vecs, threshold=0.95, id_col="conv_id")
+    ).localCheckpoint()
+    keep = semantic_dedup(vecs, threshold=0.95, id_col="conv_id", n_bits=6)
     return vecs.select("conv_id", "n_terms").join(
         keep.select(F.col("vec_id").alias("conv_id"), "keep"), "conv_id"
     )

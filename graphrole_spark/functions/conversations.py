@@ -1138,7 +1138,17 @@ def _hashed_vectors(
     ``dim``-vector per distinct ``keys`` group (conversation grain for
     :func:`conversation_vectors`, turn grain for
     :func:`turn_topic_shift`).  Semantics documented on
-    :func:`conversation_vectors`."""
+    :func:`conversation_vectors`.
+
+    Plan: ONE aggregation straight from the exploded token stream into
+    ``dim`` fused codegen conditional sums (the simhash rewrite
+    pattern — no per-cell pre-aggregate, no map pivot, no interpreted
+    per-element HOF; the first version's ``map_from_entries`` +
+    ``element_at`` assembly cost 6-9 s at sf0.1, this one ~1 s), then
+    the norm and the output array as wide codegen expressions.  ``dim``
+    is a fused-aggregate width — keep it ≤ 256 (64 default), which is
+    also where the hashing trick stops paying anyway.
+    """
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " +")
     inst = (
         frame.select(*keys, F.explode(toks).alias("term"))
@@ -1151,54 +1161,36 @@ def _hashed_vectors(
         F.pmod(_md5_long(F.concat(F.col("term"), F.lit("#s"))), F.lit(2))
         * 2 - 1
     ).cast("double")
-    cell = (
-        inst.select(*keys, d.alias("__d"), sign.alias("__s"))
-        .groupBy(*keys, "__d")
-        .agg(F.sum("__s").alias("__v"), F.count("*").alias("__n"))
-    )
+    sums = [
+        F.coalesce(
+            F.sum(F.when(F.col("__d") == i, F.col("__s"))), F.lit(0.0)
+        ).alias(f"__c{i}")
+        for i in range(dim)
+    ]
     dense = (
-        cell.groupBy(*keys)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("__d", "__v"))
-            ).alias("__m"),
-            F.sum("__n").cast("long").alias("n_terms"),
-        )
-        .select(
-            *keys,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: F.coalesce(
-                    F.element_at("__m", i.cast("int")), F.lit(0.0)
-                ),
-            ).alias("__raw"),
-            "n_terms",
-        )
+        inst.select(*keys, d.alias("__d"), sign.alias("__s"))
+        .groupBy(*keys)
+        .agg(*sums, F.count("*").cast("long").alias("n_terms"))
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("__raw", lambda x: x * x),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
+    norm_sq = None
+    for i in range(dim):
+        sq = F.col(f"__c{i}") * F.col(f"__c{i}")
+        norm_sq = sq if norm_sq is None else norm_sq + sq
+    empty_vec = F.array(*[F.lit(0.0) for _ in range(dim)])
+    unit = F.array(
+        *[
+            F.round(F.col(f"__c{i}") / F.col("__norm"), 9)
+            for i in range(dim)
+        ]
     )
     zero_tokens = frame.select(*keys).distinct().join(
-        dense, keys, "left_anti"
-    )
-    empty_vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.lit(0.0)
+        dense.select(*keys), keys, "left_anti"
     )
     return (
-        dense.withColumn("__norm", norm)
+        dense.withColumn("__norm", F.sqrt(norm_sq))
         .select(
             *keys,
-            F.when(
-                F.col("__norm") > 0,
-                F.transform(
-                    "__raw",
-                    lambda x: F.round(x / F.col("__norm"), 9),
-                ),
-            )
+            F.when(F.col("__norm") > 0, unit)
             .otherwise(empty_vec)
             .alias("embedding"),
             "n_terms",
