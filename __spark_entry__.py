@@ -1231,6 +1231,22 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(docs, new)
 
 
+def q_curriculum(spark, sf_dir):
+    """Curriculum-learning order: short-documents-first phases from
+    fitted n_chars cutpoints (one tiny percentile agg + windowless
+    tier projection) with a deterministic md5 shuffle inside bounded
+    (phase, shard) partitions — no global sort."""
+    from graphrole_spark.functions.corpus import curriculum_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curriculum_order(
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("n_chars")),
+        "n_chars",
+        phases=3,
+        n_shards=8,
+    )
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Row-wise symmetric int8 quantization of the embeddings table:
     per-vector max-abs/127 scale, explicit half-up codes (engine-
@@ -1970,6 +1986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_diff: SQL-expressible but past the 50-entry window;
         # full DuckDB value parity pytest-pinned in test_corpus_diff
         "corpus_diff": q_corpus_diff,
+        # curriculum: SQL-expressible but past the 50-entry window;
+        # full DuckDB value parity pytest-pinned in test_curriculum_order
+        "curriculum": q_curriculum,
         # quantize_embeddings: SQL-expressible but past the 50-entry
         # window; numpy + DuckDB code parity pytest-pinned in
         # test_quantize_embeddings

@@ -181,6 +181,7 @@ def main() -> None:
         "conv_vectors",
         "topic_shift",
         "turn_signals",
+        "curriculum",
     ]
     queries = entrymod.queries()
     for name in suite:

@@ -712,3 +712,58 @@ def corpus_diff(
             (F.sum("__tn") - F.sum("__to")).alias("token_delta"),
         )
     )
+
+
+def curriculum_order(
+    documents: DataFrame,
+    score_col: str,
+    phases: int = 3,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "curriculum",
+) -> DataFrame:
+    """Curriculum-learning materialization: order the corpus
+    easy-first.  Phase = the fitted percentile tier of ``score_col``
+    (ascending — phase 1 trains first; negate the score upstream for
+    hard-first), via :func:`terms.score_cutpoints` +
+    :func:`terms.score_buckets_apply`, i.e. ONE tiny percentile
+    aggregate and a windowless broadcast projection.  Within a phase,
+    documents get a deterministic md5-uniform shuffle ``pos`` inside a
+    deterministic md5 ``shard`` — the loader streams shards in any
+    interleaving, reading each (phase, shard) in ``pos`` order, and
+    the whole ordering is reproducible from (salt, n_shards) alone.
+
+    The only window runs per (phase, shard) — ``corpus/(phases ×
+    n_shards)`` rows per partition, so no global sort and no
+    single-reducer phase at any corpus size (same bound as
+    ``pack_documents``'s sharding).  NULL scores get NULL phase
+    (excluded from every curriculum phase — score them or drop them
+    upstream).
+
+    Returns ``(<id_col>, <score_col>, phase, shard, pos)``.
+    """
+    from graphrole_spark.functions.terms import (
+        score_buckets_apply,
+        score_cutpoints,
+    )
+
+    cuts = score_cutpoints(documents, score_col, buckets=phases)
+    tiers = (
+        score_buckets_apply(documents, cuts, score_col)
+        .withColumnRenamed("bucket", "phase")
+        .drop("bucket_label")
+    )
+    u = _md5_uniform(F.col(id_col).cast("string"), salt)
+    sharded = tiers.select(
+        id_col,
+        score_col,
+        "phase",
+        _md5_bucket(F.col(id_col).cast("string"), n_shards)
+        .cast("int")
+        .alias("shard"),
+        u.alias("__u"),
+    )
+    w = Window.partitionBy("phase", "shard").orderBy("__u", id_col)
+    return sharded.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("int")
+    ).drop("__u")

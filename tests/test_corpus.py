@@ -565,3 +565,57 @@ def test_corpus_diff(spark):
         assert got[col].tolist() == oracle[col].tolist()
     for col in ["n_docs", "tokens_old", "tokens_new", "token_delta"]:
         assert got[col].astype(int).tolist() == oracle[col].astype(int).tolist()
+
+
+def test_curriculum_order(spark):
+    import duckdb
+    import pandas as pd
+
+    from graphrole_spark.functions.corpus import curriculum_order
+
+    rows = [(i, float((i * 37) % 100)) for i in range(300)]
+    rows.append((300, None))  # unscored doc -> NULL phase
+    df = spark.createDataFrame(rows, "doc_id long, loss double")
+    got = (
+        curriculum_order(df, "loss", phases=3, n_shards=4)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    scored = got[got.doc_id < 300]
+    # phases balanced to within interpolation slack; easy-first:
+    # max loss in phase 1 <= min loss in phase 3
+    counts = scored.groupby("phase").size()
+    assert set(counts.index) == {1, 2, 3}
+    assert counts.max() - counts.min() <= 4
+    assert scored[scored.phase == 1].loss.max() <= \
+        scored[scored.phase == 3].loss.min()
+    assert pd.isna(got[got.doc_id == 300].phase.iloc[0])
+    # pos is a dense 0..k-1 permutation inside every (phase, shard)
+    for (_, _), grp in scored.groupby(["phase", "shard"]):
+        assert sorted(grp.pos.tolist()) == list(range(len(grp)))
+
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(rows, columns=["doc_id", "loss"]))
+    oracle = con.execute("""
+        WITH cuts AS (
+          SELECT quantile_cont(loss, [1.0/3, 2.0/3]) AS cs FROM d),
+        tiers AS (
+          SELECT doc_id, loss,
+                 CASE WHEN loss IS NULL THEN NULL
+                      ELSE CAST(1 + len(list_filter(cs, c -> c < loss))
+                           AS INT) END AS phase,
+                 CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                      1, 8)) AS BIGINT) % 4 AS INT) AS shard,
+                 CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                      'curriculum')), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+          FROM d CROSS JOIN cuts)
+        SELECT doc_id, loss, phase, shard,
+               CAST(row_number() OVER (PARTITION BY phase, shard
+                    ORDER BY u, doc_id) - 1 AS INT) AS pos
+        FROM tiers ORDER BY doc_id
+    """).df()
+    assert got.doc_id.tolist() == oracle.doc_id.tolist()
+    assert got.phase.astype("Int64").tolist() == \
+        oracle.phase.astype("Int64").tolist()
+    assert got.shard.astype(int).tolist() == oracle.shard.astype(int).tolist()
+    assert got.pos.astype(int).tolist() == oracle.pos.astype(int).tolist()
