@@ -1735,6 +1735,52 @@ def q_preference_pairs(spark, sf_dir):
     return assemble_preference_pairs(corpus)
 
 
+def q_group_advantages(spark, sf_dir):
+    """GRPO-style group-relative advantage normalization + best-of-n
+    ranking (functions/rewards.py::group_advantages): per-group
+    population-moment whitening of a reward column, rank/is_best for
+    rejection sampling. One group-key exchange, no joins. Events view:
+    groups = users, reward = value, deterministic event_id tie-break."""
+    from graphrole_spark.functions.rewards import group_advantages
+
+    events = _events(spark, sf_dir)
+    return group_advantages(
+        events.select(
+            F.col("user_id").cast("string").alias("group_id"),
+            F.col("event_id").cast("long").alias("sample_id"),
+            F.col("value").cast("double").alias("score"),
+        ),
+        "group_id",
+        "score",
+        order_col="sample_id",
+    )
+
+
+def q_merge_turns(spark, sf_dir):
+    """Chat canonicalization: merge runs of consecutive same-role turns
+    into one turn (texts joined in order, first non-NULL tool, run-start
+    ts, contiguous re-index) — the role-alternation repair every chat
+    template needs before SFT assembly. One conv_id exchange, no joins
+    (functions/conversations.py::merge_consecutive_turns). Events view:
+    consecutive same event types merge, so every run length occurs."""
+    from graphrole_spark.functions.conversations import merge_consecutive_turns
+
+    t = _events_as_transcripts(spark, sf_dir)
+    return merge_consecutive_turns(
+        t.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("ts").cast("string").alias("ts"),
+        "src_first_idx",
+        "src_last_idx",
+        "n_merged",
+    )
+
+
 def q_transcript_pipeline(spark, sf_dir):
     """End-to-end transcript curation: integrity gate → exact dedup →
     near-dup cluster keep → leakage-safe split → context compaction →
@@ -1998,6 +2044,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value parity (argmax + tiebreak + flags) pytest-pinned in
         # test_semantic_decontaminate
         "semantic_decontam": q_semantic_decontam,
+        # group_advantages: SQL-expressible but past the 50-entry
+        # window; full DuckDB window-parity pytest-pinned in
+        # test_group_advantages_duckdb_parity
+        "group_advantages": q_group_advantages,
+        # merge_turns: SQL-expressible but past the 50-entry window;
+        # full DuckDB value parity (string_agg ORDER BY twin) pytest-
+        # pinned in test_merge_consecutive_turns_duckdb_parity
+        "merge_turns": q_merge_turns,
         # transcript_pipeline composes six already-adjudicated
         # conversation operators (integrity -> dedup -> near-dup keep ->
         # split -> compact -> SFT); end-to-end invariants pytest-pinned

@@ -133,6 +133,8 @@ def main() -> None:
         "preference_pairs",
         "compact_trajectories",
         "conv_split",
+        "merge_turns",
+        "group_advantages",
         "transcript_pipeline",
         "dedup_exact",
         "corpus_clean",

@@ -366,6 +366,106 @@ def detect_loops(
     )
 
 
+def merge_consecutive_turns(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    sep: str = "\n",
+) -> DataFrame:
+    """Chat canonicalization: merge runs of CONSECUTIVE turns with the
+    same role into one turn. Chat-format training data (and most chat
+    templates) require strictly alternating roles; raw agent logs
+    routinely violate that — an assistant emits a message then a tool
+    call as two rows, a user sends two messages back to back, a
+    resumed stream re-opens the same role. The standard repair is to
+    concatenate adjacent same-role turns before SFT assembly
+    (``assemble_sft_examples``) or template rendering.
+
+    Run-length encoding over roles as dataflow (the ``detect_loops``
+    shape): a run starts where the role differs from the previous
+    turn's (null-safe comparison — two adjacent NULL-role turns DO
+    merge), runs are the ``(conv, run_id)`` groups. Per run:
+
+    - ``turn_idx``: the run's 0-based ordinal — output conversations
+      are contiguously re-indexed, preserving order;
+    - ``role``: the run's role (unchanged);
+    - ``text``: member texts joined by ``sep`` in turn order (NULL
+      texts are skipped, matching SQL ``string_agg``; an all-NULL run
+      yields NULL);
+    - ``tool``: first non-NULL tool in turn order (a merged
+      message+tool-call assistant turn keeps its tool tag);
+    - ``ts``: the run's first timestamp (start time);
+    - ``src_first_idx`` / ``src_last_idx`` / ``n_merged``: provenance
+      back into the raw table.
+
+    Plan: the run-id window, the per-run aggregate, and the re-index
+    window all key on ``conv_col`` — ONE exchange, no joins, no
+    Python. In-order text assembly uses the tokenize_pack idiom
+    (collect ``(idx, text, tool)`` structs, ``array_sort``, JVM-side
+    fold) so no ordered-aggregation nondeterminism leaks in. Fully
+    SQL-expressible (DuckDB ``string_agg(... ORDER BY)``), so the
+    registry entry carries a value oracle.
+    """
+    w = Window.partitionBy(conv_col).orderBy("__idx")
+    base = turns.select(
+        conv_col,
+        F.col(order_col).alias("__idx"),
+        F.col(role_col).alias("__role"),
+        F.col(text_col).alias("__text"),
+        F.col(tool_col).alias("__tool"),
+        F.col(ts_col).alias("__ts"),
+    )
+    new_run = F.when(
+        F.col("__role").eqNullSafe(F.lag("__role").over(w)), 0
+    ).otherwise(1)
+    run_ids = base.select(
+        conv_col,
+        "__idx",
+        "__role",
+        "__text",
+        "__tool",
+        "__ts",
+        F.sum(new_run)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__run"),
+    )
+    members = F.array_sort(
+        F.collect_list(F.struct("__idx", "__text", "__tool"))
+    )
+    runs = run_ids.groupBy(conv_col, "__run").agg(
+        F.first("__role").alias("role"),
+        members.alias("__members"),
+        F.min("__ts").alias("ts"),
+        F.min("__idx").alias("src_first_idx"),
+        F.max("__idx").alias("src_last_idx"),
+        F.count("*").cast("long").alias("n_merged"),
+    )
+    texts = F.transform(F.col("__members"), lambda m: m["__text"])
+    non_null = F.filter(texts, lambda t: t.isNotNull())
+    tools = F.filter(
+        F.transform(F.col("__members"), lambda m: m["__tool"]),
+        lambda t: t.isNotNull(),
+    )
+    w_out = Window.partitionBy(conv_col).orderBy("__run")
+    return runs.select(
+        conv_col,
+        (F.row_number().over(w_out) - F.lit(1)).alias("turn_idx"),
+        "role",
+        F.when(F.size(non_null) > 0, F.array_join(non_null, sep)).alias(
+            "text"
+        ),
+        F.get(tools, 0).alias("tool"),
+        "ts",
+        "src_first_idx",
+        "src_last_idx",
+        "n_merged",
+    )
+
+
 def conversation_near_duplicates(
     turns: DataFrame,
     conv_col: str = "conv_id",

@@ -1477,3 +1477,138 @@ def test_turn_signals(spark):
     for col in ["is_question", "refusal", "apology"]:
         assert g[col].tolist() == oracle[col].tolist(), col
     assert np.allclose(g.caps_ratio, oracle.caps_ratio)
+
+
+# --------------------------------------------------------------------------
+# merge_consecutive_turns
+# --------------------------------------------------------------------------
+
+def test_merge_consecutive_turns_handcrafted(spark):
+    """Adjacent same-role turns merge (null-safe on role), texts join in
+    turn order skipping NULLs, all-NULL runs yield NULL text, tool is the
+    first non-NULL, ts is the run start, output re-indexed contiguously."""
+    from graphrole_spark.functions.conversations import merge_consecutive_turns
+
+    rows = [
+        # c1: user, user, assistant(msg), assistant(tool call), user
+        ("c1", 0, "user", "hi", None, TS0.format(0)),
+        ("c1", 1, "user", "there", None, TS0.format(1)),
+        ("c1", 2, "assistant", "let me check", None, TS0.format(2)),
+        ("c1", 3, "assistant", "calling", "search", TS0.format(3)),
+        ("c1", 4, "user", "ok", None, TS0.format(4)),
+        # c2: NULL roles merge together; NULL texts are skipped
+        ("c2", 0, None, "a", None, TS0.format(0)),
+        ("c2", 1, None, None, "t0", TS0.format(1)),
+        ("c2", 2, "user", None, None, TS0.format(2)),
+        # c3: single all-NULL-text run
+        ("c3", 0, "user", None, None, TS0.format(0)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in merge_consecutive_turns(df).collect()
+    }
+    assert len(out) == 3 + 2 + 1
+    r = out[("c1", 0)]
+    assert (r["role"], r["text"], r["n_merged"]) == ("user", "hi\nthere", 2)
+    assert (r["src_first_idx"], r["src_last_idx"]) == (0, 1)
+    assert str(r["ts"]).startswith("2025-01-01 00:00:00")
+    r = out[("c1", 1)]
+    assert (r["role"], r["text"], r["tool"], r["n_merged"]) == (
+        "assistant", "let me check\ncalling", "search", 2)
+    assert out[("c1", 2)]["text"] == "ok"
+    r = out[("c2", 0)]
+    assert (r["role"], r["text"], r["tool"], r["n_merged"]) == (None, "a", "t0", 2)
+    assert out[("c2", 1)]["role"] == "user"
+    assert out[("c3", 0)]["text"] is None
+    assert out[("c3", 0)]["n_merged"] == 1
+
+
+def test_merge_consecutive_turns_duckdb_parity(spark):
+    """Full value parity vs DuckDB string_agg(ORDER BY) — the tail-entry
+    stand-in for the driver oracle (registry window is full)."""
+    import duckdb
+    import pandas as pd
+
+    from graphrole_spark.functions.conversations import merge_consecutive_turns
+
+    rng = random.Random(7)
+    roles = ["user", "assistant", "assistant", "tool", None]
+    rows = []
+    for c in range(40):
+        for i in range(rng.randint(1, 12)):
+            rows.append((
+                f"c{c}", i, rng.choice(roles),
+                rng.choice([None, "", "x", "hello world", "a\nb"]),
+                rng.choice([None, "search", "code"]),
+                TS0.format(i % 10),
+            ))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    spark_pdf = (
+        merge_consecutive_turns(df)
+        .withColumn("ts", F.col("ts").cast("string"))
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    con = duckdb.connect()
+    con.register("turns", pdf)
+    oracle = con.execute("""
+        WITH flagged AS (
+          SELECT *,
+            CASE WHEN role IS NOT DISTINCT FROM
+                 lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                 THEN 0 ELSE 1 END AS new_run
+          FROM turns),
+        run_ids AS (
+          SELECT *, sum(new_run) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx) AS run
+          FROM flagged),
+        runs AS (
+          SELECT conv_id, run,
+                 any_value(role) AS role,
+                 string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+                 any_value(tool ORDER BY turn_idx) FILTER (tool IS NOT NULL)
+                   AS tool,
+                 min(ts) AS ts,
+                 min(turn_idx) AS src_first_idx,
+                 max(turn_idx) AS src_last_idx,
+                 count(*) AS n_merged
+          FROM run_ids GROUP BY conv_id, run)
+        SELECT conv_id,
+               CAST(row_number() OVER (PARTITION BY conv_id ORDER BY run) - 1
+                    AS INT) AS turn_idx,
+               role, text, tool,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts,
+               src_first_idx, src_last_idx, n_merged
+        FROM runs ORDER BY conv_id, turn_idx
+    """).df()
+    assert spark_pdf.columns.tolist() == oracle.columns.tolist()
+    assert spark_pdf.fillna("~N~").values.tolist() == \
+        oracle.fillna("~N~").values.tolist()
+
+
+def test_merge_consecutive_turns_single_exchange(spark):
+    from graphrole_spark.functions.conversations import merge_consecutive_turns
+
+    df = spark.createDataFrame(
+        [("c", 0, "u", "x", "t", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    plan = (
+        merge_consecutive_turns(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+    assert "Python" not in plan
