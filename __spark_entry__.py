@@ -1735,6 +1735,16 @@ def q_preference_pairs(spark, sf_dir):
     return assemble_preference_pairs(corpus)
 
 
+def q_compression(spark, sf_dir):
+    """zlib compression-ratio quality signal (Dolma/RedPajama-v2
+    repetitiveness filter) over documents: one Arrow pandas_udf map,
+    no shuffle (functions/text.py::compression_features)."""
+    from graphrole_spark.functions.text import compression_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return compression_features(docs.select("doc_id", "text"))
+
+
 def q_group_advantages(spark, sf_dir):
     """GRPO-style group-relative advantage normalization + best-of-n
     ranking (functions/rewards.py::group_advantages): per-group
@@ -2044,6 +2054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value parity (argmax + tiebreak + flags) pytest-pinned in
         # test_semantic_decontaminate
         "semantic_decontam": q_semantic_decontam,
+        # compression: rows-only by nature — no SQL engine exposes
+        # zlib; exact python-zlib parity (fixed level -> deterministic
+        # bytes) pytest-pinned in test_compression_features_python_parity
+        "compression": q_compression,
         # group_advantages: SQL-expressible but past the 50-entry
         # window; full DuckDB window-parity pytest-pinned in
         # test_group_advantages_duckdb_parity

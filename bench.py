@@ -135,6 +135,7 @@ def main() -> None:
         "conv_split",
         "merge_turns",
         "group_advantages",
+        "compression",
         "transcript_pipeline",
         "dedup_exact",
         "corpus_clean",

@@ -1444,3 +1444,66 @@ def redact_pii_frame(
         redact_pii(t).alias("redacted"),
         *pii_counts(t),
     )
+
+
+def compression_features(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression-ratio quality signal (the Dolma / RedPajama-v2
+    repetitiveness filter): machine-generated boilerplate, keyword
+    stuffing, and template spam compress far better than natural prose,
+    so a LOW ``compression_ratio`` (compressed/raw) flags junk that
+    token-frequency heuristics miss, and a ratio ≈ 1 flags
+    high-entropy noise (base64 blobs, minified code).
+
+    Output: ``(id_col, raw_bytes, zlib_bytes, compression_ratio)`` —
+    UTF-8 byte counts; ratio rounded to 6 decimals, NULL for NULL
+    text, and NULL for empty text (zlib's 8-byte header would make
+    0-byte docs look maximally incompressible).
+
+    One Arrow ``pandas_udf`` — compression itself runs in C (zlib) per
+    document; a fixed ``level`` keeps the bytes deterministic, and
+    ``raw_bytes`` stays JVM-side (``octet_length``). Pure projection:
+    no shuffle, no join — scales as a map over the corpus. No SQL
+    engine exposes zlib, so the registry entry is rows-only with the
+    exact python-zlib parity pinned in pytest.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    if not 1 <= level <= 9:
+        raise ValueError("zlib level must be in [1, 9]")
+
+    @pandas_udf("long")
+    def zlen(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if t is None
+                else len(zlib.compress(t.encode("utf-8"), level))
+                for t in texts
+            ],
+            dtype="object",
+        )
+
+    t = F.col(text_col)
+    # compress ONCE: the ratio derives from the materialized column in a
+    # second projection (two zlen(t) call sites would run the UDF twice)
+    sized = documents.select(
+        id_col,
+        F.octet_length(t).cast("long").alias("raw_bytes"),
+        zlen(t).alias("zlib_bytes"),
+    )
+    return sized.select(
+        id_col,
+        "raw_bytes",
+        "zlib_bytes",
+        F.when(
+            F.col("raw_bytes") > 0,
+            F.round(F.col("zlib_bytes") / F.col("raw_bytes"), 6),
+        ).alias("compression_ratio"),
+    )

@@ -1012,3 +1012,63 @@ def test_quantize_embeddings_engine_parity(spark):
     mask = ~pd.isna(va)
     assert (pd.isna(va) == pd.isna(vj)).all()
     assert np.allclose(va[mask], vj[mask], atol=2e-6)
+
+
+# --------------------------------------------------------------------------
+# compression_features (zlib compression-ratio quality signal)
+# --------------------------------------------------------------------------
+
+def test_compression_features_python_parity(spark):
+    """Exact zlib parity (fixed level -> deterministic bytes), NULL and
+    empty-text contracts, and the repetitive-vs-prose ordering the
+    filter exists for."""
+    import zlib
+
+    from graphrole_spark.functions.text import compression_features
+
+    rows = [
+        ("d0", "ab" * 500),                      # repetitive: tiny ratio
+        ("d1", "The quick brown fox jumps over the lazy dog. " * 3),
+        ("d2", None),
+        ("d3", ""),
+        ("d4", "naïve café — ünïcode 文字"),       # multi-byte UTF-8
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in compression_features(df, level=6).collect()
+    }
+    for did, txt in rows:
+        r = out[did]
+        if txt is None:
+            assert r["raw_bytes"] is None or r["raw_bytes"] == 0
+            assert r["zlib_bytes"] is None
+            assert r["compression_ratio"] is None
+            continue
+        raw = len(txt.encode("utf-8"))
+        z = len(zlib.compress(txt.encode("utf-8"), 6))
+        assert r["raw_bytes"] == raw
+        assert r["zlib_bytes"] == z
+        if raw == 0:
+            assert r["compression_ratio"] is None
+        else:
+            assert r["compression_ratio"] == pytest.approx(
+                round(z / raw, 6), abs=1e-9
+            )
+    assert out["d0"]["compression_ratio"] < out["d1"]["compression_ratio"]
+    with pytest.raises(ValueError, match="level"):
+        compression_features(df, level=0)
+
+
+def test_compression_features_plan_projection_only(spark):
+    """Pure map: no exchange, exactly one Arrow Python stage (the ratio
+    derives from the materialized zlib column, not a second UDF call)."""
+    from graphrole_spark.functions.text import compression_features
+
+    df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+    plan = (
+        compression_features(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:3000]
+    assert plan.count("ArrowEvalPython") == 1, plan[:3000]
