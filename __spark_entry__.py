@@ -1735,6 +1735,17 @@ def q_preference_pairs(spark, sf_dir):
     return assemble_preference_pairs(corpus)
 
 
+def q_cap_duplicates(spark, sf_dir):
+    """Frequency-capped dedup: keep <=2 copies per exact-content group
+    (deterministic lowest-doc_id survivors) — the softer alternative to
+    full exact dedup that preserves bounded natural upweighting. One
+    content-hash window exchange (functions/text.py::cap_duplicates)."""
+    from graphrole_spark.functions.text import cap_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cap_duplicates(docs.select("doc_id", "text"), k=2)
+
+
 def q_compression(spark, sf_dir):
     """zlib compression-ratio quality signal (Dolma/RedPajama-v2
     repetitiveness filter) over documents: one Arrow pandas_udf map,
@@ -2054,6 +2065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value parity (argmax + tiebreak + flags) pytest-pinned in
         # test_semantic_decontaminate
         "semantic_decontam": q_semantic_decontam,
+        # cap_duplicates: SQL-expressible but past the 50-entry window;
+        # full DuckDB window parity pytest-pinned in
+        # test_cap_duplicates_duckdb_parity
+        "cap_duplicates": q_cap_duplicates,
         # compression: rows-only by nature — no SQL engine exposes
         # zlib; exact python-zlib parity (fixed level -> deterministic
         # bytes) pytest-pinned in test_compression_features_python_parity

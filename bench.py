@@ -136,6 +136,7 @@ def main() -> None:
         "merge_turns",
         "group_advantages",
         "compression",
+        "cap_duplicates",
         "transcript_pipeline",
         "dedup_exact",
         "corpus_clean",

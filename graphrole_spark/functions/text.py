@@ -257,6 +257,43 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def cap_duplicates(
+    documents: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-capped dedup: keep at most ``k`` copies of each
+    exact-content group instead of collapsing to one. Full exact dedup
+    throws away the natural upweighting of popular content (a license
+    header is junk at 10^6 copies but a famous poem at 50 copies is
+    signal); the standard compromise caps the copy count so duplicated
+    content keeps bounded influence on the training mix.
+
+    Output: every input row with ``n_copies`` (group size),
+    ``dup_rank`` (1-based position inside the group, deterministic
+    lowest-``id_col``-first) and ``keep`` (``dup_rank <= k``). NULL
+    text hashes like empty text does NOT: NULL-text rows form their
+    own group (null-safe md5 via coalesce would conflate them with
+    ''), so they rank among themselves.
+
+    One content-hash exchange (window); no joins, no Python. Filtering
+    is the caller's ``where(keep = 1)`` — emitting the flag keeps the
+    operator audit-friendly and lets the driver oracle check every row.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1 (k=1 is exact dedup)")
+    h = F.when(
+        F.col(text_col).isNotNull(), F.md5(F.col(text_col))
+    )  # NULL text -> NULL hash; window treats NULL as its own group
+    w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
+    return documents.select(
+        "*",
+        F.count("*").over(Window.partitionBy(h)).cast("long").alias("n_copies"),
+        F.row_number().over(w).cast("int").alias("dup_rank"),
+    ).withColumn("keep", (F.col("dup_rank") <= k).cast("int"))
+
+
 def dedup_lines(
     documents: DataFrame,
     text_col: str = "text",

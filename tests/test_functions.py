@@ -1072,3 +1072,71 @@ def test_compression_features_plan_projection_only(spark):
     )
     assert "Exchange" not in plan, plan[:3000]
     assert plan.count("ArrowEvalPython") == 1, plan[:3000]
+
+
+# --------------------------------------------------------------------------
+# cap_duplicates (frequency-capped dedup)
+# --------------------------------------------------------------------------
+
+def test_cap_duplicates_handcrafted(spark):
+    from graphrole_spark.functions.text import cap_duplicates
+
+    rows = [
+        ("a1", "same"), ("a2", "same"), ("a3", "same"), ("a4", "same"),
+        ("b1", "unique"),
+        ("c1", None), ("c2", None),   # NULL texts rank among themselves
+        ("d1", ""),                   # empty != NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in cap_duplicates(df, k=2).collect()}
+    assert [out[f"a{i}"]["dup_rank"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert [out[f"a{i}"]["keep"] for i in (1, 2, 3, 4)] == [1, 1, 0, 0]
+    assert all(out[f"a{i}"]["n_copies"] == 4 for i in (1, 2, 3, 4))
+    assert (out["b1"]["n_copies"], out["b1"]["keep"]) == (1, 1)
+    assert (out["c1"]["dup_rank"], out["c2"]["dup_rank"]) == (1, 2)
+    assert out["c1"]["n_copies"] == 2
+    assert (out["d1"]["n_copies"], out["d1"]["keep"]) == (1, 1)
+    with pytest.raises(ValueError, match="k must"):
+        cap_duplicates(df, k=0)
+
+
+def test_cap_duplicates_duckdb_parity(spark):
+    import random
+
+    import duckdb
+
+    from graphrole_spark.functions.text import cap_duplicates
+
+    rng = random.Random(5)
+    texts = ["alpha", "beta", "gamma", "", None]
+    rows = [(f"d{i:03d}", rng.choice(texts)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    spark_pdf = (
+        cap_duplicates(df, k=3).orderBy("doc_id").toPandas()
+    )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    oracle = con.execute("""
+        SELECT doc_id, text,
+          count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+          CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS INT) AS dup_rank,
+          CASE WHEN row_number() OVER (PARTITION BY md5(text)
+               ORDER BY doc_id) <= 3 THEN 1 ELSE 0 END AS keep
+        FROM docs ORDER BY doc_id
+    """).df()
+    assert spark_pdf.columns.tolist() == oracle.columns.tolist()
+    assert spark_pdf.fillna("~").values.tolist() == \
+        oracle.fillna("~").values.tolist()
+
+
+def test_cap_duplicates_plan_shape(spark):
+    from graphrole_spark.functions.text import cap_duplicates
+
+    df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+    plan = (
+        cap_duplicates(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Join" not in plan and "Python" not in plan
