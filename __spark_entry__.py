@@ -1735,6 +1735,24 @@ def q_preference_pairs(spark, sf_dir):
     return assemble_preference_pairs(corpus)
 
 
+def q_conv_decontam(spark, sf_dir):
+    """Conversation-grain semantic decontamination: hashed conversation
+    vectors (both sides, same hash family) through the broadcast
+    block-matmul eval scan. Eval set = the ~1/16 of conversations whose
+    md5 starts with '0' — they overlap the corpus, so every eval member
+    must flag itself at sim 1.0 (documented self-match semantics) and
+    the flag rate is deterministic."""
+    from graphrole_spark.functions.conversations import (
+        decontaminate_conversations,
+    )
+
+    t = _events_as_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    eval_t = t.where(F.substring(F.md5(F.col("conv_id")), 1, 1) == "0")
+    return decontaminate_conversations(t, eval_t, dim=64, threshold=0.9)
+
+
 def q_cap_duplicates(spark, sf_dir):
     """Frequency-capped dedup: keep <=2 copies per exact-content group
     (deterministic lowest-doc_id survivors) — the softer alternative to
@@ -2065,6 +2083,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value parity (argmax + tiebreak + flags) pytest-pinned in
         # test_semantic_decontaminate
         "semantic_decontam": q_semantic_decontam,
+        # conv_decontam composes two adjudicated operators (hashed
+        # conversation vectors -> semantic_decontaminate); planted-clone
+        # + self-match contracts pytest-pinned in
+        # test_decontaminate_conversations
+        "conv_decontam": q_conv_decontam,
         # cap_duplicates: SQL-expressible but past the 50-entry window;
         # full DuckDB window parity pytest-pinned in
         # test_cap_duplicates_duckdb_parity

@@ -137,6 +137,7 @@ def main() -> None:
         "group_advantages",
         "compression",
         "cap_duplicates",
+        "conv_decontam",
         "transcript_pipeline",
         "dedup_exact",
         "corpus_clean",

@@ -1228,6 +1228,55 @@ def conversation_vectors(
     return _hashed_vectors(transcripts, ["conv_id"], dim, text_col)
 
 
+def decontaminate_conversations(
+    transcripts: DataFrame,
+    eval_transcripts: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.9,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-grain semantic decontamination: flag corpus
+    conversations whose content sits next to any EVAL-SET conversation
+    in embedding space — the paraphrase-robust guard against benchmark
+    dialogues (MT-Bench-style multi-turn evals, agent-task suites)
+    leaking into SFT/preference data. The n-gram decontaminator misses
+    a re-worded eval dialogue; hashed-vector cosine does not, and at
+    conversation grain a one-turn edit barely moves the pooled vector.
+
+    Composition of two adjudicated operators: model-free
+    ``conversation_vectors`` over BOTH tables (same ``dim`` — the hash
+    family must agree) feeding ``semantic_decontaminate``'s broadcast
+    block-matmul scan. The eval side is small by contract (benchmarks
+    are 10^2-10^5 conversations); the corpus side is one narrow scan,
+    no shuffle beyond the two vector aggregations.
+
+    Returns one row per corpus conversation:
+    ``(conv_id, n_terms, nearest_eval_id, eval_sim, contaminated)``.
+    """
+    from graphrole_spark.functions.similarity import semantic_decontaminate
+
+    # materialize once: the vectors feed two plan branches (the n_terms
+    # projection and the decontaminate scan) and unmaterialized each
+    # branch re-runs the hashing aggregate (PERF.md #32)
+    corpus_vecs = conversation_vectors(
+        transcripts.withColumnRenamed(conv_col, "conv_id"), dim, text_col
+    ).localCheckpoint()
+    eval_vecs = conversation_vectors(
+        eval_transcripts.withColumnRenamed(conv_col, "conv_id"), dim, text_col
+    )
+    flags = semantic_decontaminate(
+        corpus_vecs.withColumnRenamed("conv_id", "vec_id"),
+        eval_vecs.withColumnRenamed("conv_id", "vec_id"),
+        threshold=threshold,
+    )
+    return corpus_vecs.select(
+        "conv_id", "n_terms"
+    ).join(
+        flags.withColumnRenamed("vec_id", "conv_id"), "conv_id"
+    )
+
+
 def _hashed_vectors(
     frame: DataFrame,
     keys: list[str],

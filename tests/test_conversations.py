@@ -1612,3 +1612,68 @@ def test_merge_consecutive_turns_single_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
     assert "Python" not in plan
+
+
+# --------------------------------------------------------------------------
+# decontaminate_conversations
+# --------------------------------------------------------------------------
+
+def test_decontaminate_conversations(spark):
+    """Exact eval clones flag at sim 1.0, a one-edited-turn re-export
+    still flags (pooled vector barely moves), disjoint-vocabulary
+    conversations do not flag; empty eval set flags nothing."""
+    import random
+
+    from graphrole_spark.functions.conversations import (
+        decontaminate_conversations,
+    )
+
+    rng = random.Random(3)
+    vocab_a = [f"alpha{i}" for i in range(30)]
+    vocab_b = [f"omega{i}" for i in range(30)]
+
+    def conv(cid, vocab, n=6, seed=0):
+        r = random.Random(seed)
+        return [
+            (cid, i, "user" if i % 2 == 0 else "assistant",
+             " ".join(r.choice(vocab) for _ in range(12)),
+             None, None)
+            for i in range(n)
+        ]
+
+    eval_rows = conv("ev1", vocab_a, seed=1) + conv("ev2", vocab_a, seed=2)
+    corpus_rows = (
+        conv("clone_ev1", vocab_a, seed=1)        # byte-identical re-export
+        + conv("near_ev2", vocab_a, seed=2)        # one-turn edit below
+        + conv("clean1", vocab_b, seed=3)
+        + conv("clean2", vocab_b, seed=4)
+    )
+    corpus_rows = [
+        (c, i, r, "edited turn text" if (c == "near_ev2" and i == 0) else t,
+         tool, ts)
+        for (c, i, r, t, tool, ts) in corpus_rows
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    eval_t = spark.createDataFrame(eval_rows, schema)
+    out = {
+        r["conv_id"]: r
+        for r in decontaminate_conversations(
+            corpus, eval_t, dim=64, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out["clone_ev1"]["contaminated"] is True
+    assert out["clone_ev1"]["eval_sim"] == pytest.approx(1.0, abs=1e-9)
+    assert out["clone_ev1"]["nearest_eval_id"] == "ev1"
+    assert out["near_ev2"]["contaminated"] is True
+    assert out["near_ev2"]["nearest_eval_id"] == "ev2"
+    assert out["clean1"]["contaminated"] is False
+    assert out["clean2"]["contaminated"] is False
+    # empty eval set: nothing flags
+    empty = spark.createDataFrame([], schema)
+    out2 = decontaminate_conversations(corpus, empty, dim=64).collect()
+    assert all(not r["contaminated"] for r in out2)
