@@ -1735,6 +1735,17 @@ def q_preference_pairs(spark, sf_dir):
     return assemble_preference_pairs(corpus)
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher-rule filter verdict over the quality signals (Rae et al.
+    2021 App. A thresholds): per-doc passes flag + ordered
+    reject_reasons — signals -> verdict, one scan + the single
+    top-token shuffle (functions/text.py::gopher_filter)."""
+    from graphrole_spark.functions.text import gopher_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_filter(docs.select("doc_id", "text"), min_tokens=20)
+
+
 def q_conv_decontam(spark, sf_dir):
     """Conversation-grain semantic decontamination: hashed conversation
     vectors (both sides, same hash family) through the broadcast
@@ -2083,6 +2094,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value parity (argmax + tiebreak + flags) pytest-pinned in
         # test_semantic_decontaminate
         "semantic_decontam": q_semantic_decontam,
+        # gopher_filter: verdict over signals that are themselves
+        # DuckDB-adjudicated (the `quality` oracle); threshold logic
+        # python-oracle pytest-pinned in
+        # test_gopher_filter_python_oracle_parity
+        "gopher_filter": q_gopher_filter,
         # conv_decontam composes two adjudicated operators (hashed
         # conversation vectors -> semantic_decontaminate); planted-clone
         # + self-match contracts pytest-pinned in

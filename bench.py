@@ -138,6 +138,7 @@ def main() -> None:
         "compression",
         "cap_duplicates",
         "conv_decontam",
+        "gopher_filter",
         "transcript_pipeline",
         "dedup_exact",
         "corpus_clean",

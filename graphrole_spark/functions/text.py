@@ -1544,3 +1544,96 @@ def compression_features(
             F.round(F.col("zlib_bytes") / F.col("raw_bytes"), 6),
         ).alias("compression_ratio"),
     )
+
+
+def gopher_filter(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_chars_per_token: float = 3.0,
+    max_chars_per_token: float = 10.0,
+    min_alpha_ratio: float = 0.6,
+    max_ellipsis_line_frac: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_top_2gram_char_frac: float = 0.2,
+    max_dup_5gram_char_frac: float = 0.15,
+) -> DataFrame:
+    """Gopher-rule document filter VERDICT (Rae et al. 2021, App. A):
+    the engine emits quality *signals* (:func:`quality_features`); real
+    pipelines apply a RULE SET over them and keep/drop. This operator
+    closes that gap: one scan computes the signals and projects a
+    per-document verdict.
+
+    Output: ``(id_col, passes, reject_reasons)`` — ``passes`` is 1 iff
+    no rule fires; ``reject_reasons`` is a comma-joined list of fired
+    rule names in the fixed order below ('' when passing), so the
+    verdict is auditable and groupable (``groupBy(reject_reasons)`` is
+    the rejection histogram).
+
+    Rules (names as emitted): ``too_few_tokens`` / ``too_many_tokens``
+    (Gopher: 50..100k words), ``word_length`` (mean 3..10 chars),
+    ``low_alpha`` (our char-level ``alpha_ratio`` < 0.6 stands in for
+    Gopher's ">=80% of words contain an alphabetic character" — char
+    grain, documented approximation), ``ellipsis_lines`` (>30% of
+    lines end in ...), ``dup_lines`` / ``dup_line_chars`` (Gopher A1:
+    0.30 / 0.20), ``top_2gram`` / ``dup_5gram`` (A1: 0.20 / 0.15).
+    NULL/empty text fails ``too_few_tokens``. A threshold set to None
+    disables its rule.
+
+    Pure projection over the signals scan plus quality_features' one
+    top-token shuffle — no extra exchange, no Python; fully
+    SQL-expressible (DuckDB parity pytest-pinned).
+    """
+    sig = quality_features(
+        documents.select(id_col, text_col),
+        text_col=text_col,
+        top_ngram=2,
+        dup_ngram=5,
+    )
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0))
+    rules = [
+        ("too_few_tokens",
+         None if min_tokens is None else n_tok < min_tokens),
+        ("too_many_tokens",
+         None if max_tokens is None else n_tok > max_tokens),
+        ("word_length",
+         None if min_chars_per_token is None else ~F.col(
+             "chars_per_token").between(min_chars_per_token,
+                                        max_chars_per_token)),
+        ("low_alpha",
+         None if min_alpha_ratio is None
+         else F.col("alpha_ratio") < min_alpha_ratio),
+        ("ellipsis_lines",
+         None if max_ellipsis_line_frac is None
+         else F.col("ellipsis_line_frac") > max_ellipsis_line_frac),
+        ("dup_lines",
+         None if max_dup_line_frac is None
+         else F.col("dup_line_frac") > max_dup_line_frac),
+        ("dup_line_chars",
+         None if max_dup_line_char_frac is None
+         else F.col("dup_line_char_frac") > max_dup_line_char_frac),
+        ("top_2gram",
+         None if max_top_2gram_char_frac is None
+         else F.col("top_2gram_char_frac") > max_top_2gram_char_frac),
+        ("dup_5gram",
+         None if max_dup_5gram_char_frac is None
+         else F.col("dup_5gram_char_frac") > max_dup_5gram_char_frac),
+    ]
+    # NULL signals (NULL text) must not slip past a rule: only the
+    # token rule fires on them (coalesced to 0), the rest no-op on NULL
+    reasons = F.concat_ws(
+        ",",
+        *[
+            F.when(cond, F.lit(name))
+            for name, cond in rules
+            if cond is not None
+        ],
+    )
+    return sig.select(
+        id_col,
+        (reasons == "").cast("int").alias("passes"),
+        reasons.alias("reject_reasons"),
+    )

@@ -1140,3 +1140,88 @@ def test_cap_duplicates_plan_shape(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
     assert "Join" not in plan and "Python" not in plan
+
+
+# --------------------------------------------------------------------------
+# gopher_filter (rule-set verdict over quality signals)
+# --------------------------------------------------------------------------
+
+def test_gopher_filter_handcrafted(spark):
+    from graphrole_spark.functions.text import gopher_filter
+
+    good = " ".join(
+        f"alpha{i} bravo{i} charlie{i}" for i in range(20)
+    ) + "."
+    rows = [
+        ("good", good),
+        ("short", "tiny doc."),
+        ("ellipsis", "\n".join(["some words go here..."] * 30)),
+        ("low_alpha", " ".join(["1234 5678 $$$ %%%"] * 30)),
+        ("dup_lines", "\n".join(["repeat this exact line often ok"] * 40)),
+        ("nulltext", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert out["good"]["passes"] == 1 and out["good"]["reject_reasons"] == ""
+    assert "too_few_tokens" in out["short"]["reject_reasons"]
+    assert "ellipsis_lines" in out["ellipsis"]["reject_reasons"]
+    assert "low_alpha" in out["low_alpha"]["reject_reasons"]
+    assert "dup_lines" in out["dup_lines"]["reject_reasons"]
+    assert "dup_line_chars" in out["dup_lines"]["reject_reasons"]
+    assert out["nulltext"]["reject_reasons"] == "too_few_tokens"
+    # disabling a rule stops it firing
+    out2 = {
+        r["doc_id"]: r
+        for r in gopher_filter(df, min_tokens=None).collect()
+    }
+    assert "too_few_tokens" not in out2["short"]["reject_reasons"]
+
+
+def test_gopher_filter_python_oracle_parity(spark):
+    """Verdict == the documented thresholds applied in pandas to the
+    SAME signals frame (the signals themselves are DuckDB-adjudicated
+    via the `quality` driver oracle)."""
+    import random
+
+    from graphrole_spark.functions.text import gopher_filter, quality_features
+
+    rng = random.Random(17)
+    words = ["alpha", "beta", "gamma", "x", "12345", "...", "line"]
+    rows = []
+    for i in range(120):
+        n = rng.randint(1, 120)
+        lines = []
+        for _ in range(rng.randint(1, 6)):
+            lines.append(" ".join(rng.choice(words) for _ in range(n)))
+        if rng.random() < 0.3:  # force duplicate lines sometimes
+            lines *= rng.randint(2, 4)
+        rows.append((f"d{i:03d}", "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    verdict = {
+        r["doc_id"]: r for r in gopher_filter(df).collect()
+    }
+    sig = quality_features(
+        df, top_ngram=2, dup_ngram=5
+    ).toPandas().set_index("doc_id")
+    for did, s in sig.iterrows():
+        want = []
+        if (s["n_tokens"] or 0) < 50:
+            want.append("too_few_tokens")
+        if (s["n_tokens"] or 0) > 100_000:
+            want.append("too_many_tokens")
+        if not (3.0 <= s["chars_per_token"] <= 10.0):
+            want.append("word_length")
+        if s["alpha_ratio"] < 0.6:
+            want.append("low_alpha")
+        if s["ellipsis_line_frac"] > 0.3:
+            want.append("ellipsis_lines")
+        if s["dup_line_frac"] > 0.3:
+            want.append("dup_lines")
+        if s["dup_line_char_frac"] > 0.2:
+            want.append("dup_line_chars")
+        if s["top_2gram_char_frac"] > 0.2:
+            want.append("top_2gram")
+        if s["dup_5gram_char_frac"] > 0.15:
+            want.append("dup_5gram")
+        assert verdict[did]["reject_reasons"] == ",".join(want), did
+        assert verdict[did]["passes"] == int(not want), did
