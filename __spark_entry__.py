@@ -1735,6 +1735,19 @@ def q_preference_pairs(spark, sf_dir):
     return assemble_preference_pairs(corpus)
 
 
+def q_render_chat(spark, sf_dir):
+    """Chat-template rendering (ChatML): one training-ready string per
+    conversation — the curation -> tokenize_pack materialization bridge.
+    One conv exchange, collect+array_sort+JVM join, no Python
+    (functions/conversations.py::render_conversations)."""
+    from graphrole_spark.functions.conversations import render_conversations
+
+    t = _events_as_transcripts(spark, sf_dir)
+    return render_conversations(
+        t.select("conv_id", "turn_idx", "role", "text")
+    )
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher-rule filter verdict over the quality signals (Rae et al.
     2021 App. A thresholds): per-doc passes flag + ordered
@@ -2094,6 +2107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value parity (argmax + tiebreak + flags) pytest-pinned in
         # test_semantic_decontaminate
         "semantic_decontam": q_semantic_decontam,
+        # render_chat: SQL-expressible but past the 50-entry window;
+        # full DuckDB string_agg(ORDER BY) parity pytest-pinned in
+        # test_render_conversations_duckdb_parity
+        "render_chat": q_render_chat,
         # gopher_filter: verdict over signals that are themselves
         # DuckDB-adjudicated (the `quality` oracle); threshold logic
         # python-oracle pytest-pinned in

@@ -139,6 +139,7 @@ def main() -> None:
         "cap_duplicates",
         "conv_decontam",
         "gopher_filter",
+        "render_chat",
         "transcript_pipeline",
         "dedup_exact",
         "corpus_clean",

@@ -1228,6 +1228,85 @@ def conversation_vectors(
     return _hashed_vectors(transcripts, ["conv_id"], dim, text_col)
 
 
+_CHAT_TEMPLATES = {
+    # ChatML (OpenAI/Qwen lineage): the de-facto open-weights format
+    "chatml": ("<|im_start|>{role}\n", "<|im_end|>\n", ""),
+    # plain role-prefixed text (inspection / lexical ops)
+    "plain": ("{role}: ", "\n\n", ""),
+}
+
+
+def render_conversations(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    template: str = "chatml",
+    system_prompt: str | None = None,
+) -> DataFrame:
+    """Chat-template rendering: flatten each conversation into ONE
+    training-ready string — the materialization step between transcript
+    curation and ``tokenize_pack`` (SFT corpora are packed as rendered
+    text, not as turn rows). Templates: ``chatml``
+    (``<|im_start|>role\\n text <|im_end|>``, the de-facto open-weights
+    format) and ``plain`` (``role: text`` + blank line).
+
+    ``system_prompt`` prepends a synthetic ``system`` turn to every
+    conversation. NULL text renders as '' inside its turn (the turn
+    STILL renders — dropping it would silently desync tool-call
+    structure); NULL role renders as ''. Turns render in ``order_col``
+    order via the tokenize_pack idiom (collect structs, ``array_sort``,
+    JVM-side transform+join) — no ordered-aggregation nondeterminism.
+
+    Output: ``(conv_id, text, n_turns, n_chars)``; one conversation-key
+    exchange, no joins, no Python. Fully SQL-expressible (DuckDB
+    ``string_agg(... ORDER BY)`` twin pytest-pinned).
+    """
+    if template not in _CHAT_TEMPLATES:
+        raise ValueError(
+            f"unknown template {template!r}; have {sorted(_CHAT_TEMPLATES)}"
+        )
+    head_fmt, tail, _ = _CHAT_TEMPLATES[template]
+    pre, post = head_fmt.split("{role}")
+
+    def _render(role: Column, text: Column) -> Column:
+        return F.concat(
+            F.lit(pre),
+            F.coalesce(role, F.lit("")),
+            F.lit(post),
+            F.coalesce(text, F.lit("")),
+            F.lit(tail),
+        )
+
+    agg = turns.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("__idx"),
+                    F.col(role_col).alias("__role"),
+                    F.col(text_col).alias("__text"),
+                )
+            )
+        ).alias("__members"),
+        F.count("*").cast("long").alias("n_turns"),
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.col("__members"), lambda m: _render(m["__role"], m["__text"])
+        ),
+        "",
+    )
+    if system_prompt is not None:
+        rendered = F.concat(
+            _render(F.lit("system"), F.lit(system_prompt)), rendered
+        )
+    # render once; n_chars derives from the materialized column
+    return agg.select(
+        "conv_id", rendered.alias("text"), "n_turns"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
 def decontaminate_conversations(
     transcripts: DataFrame,
     eval_transcripts: DataFrame,

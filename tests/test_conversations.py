@@ -1677,3 +1677,102 @@ def test_decontaminate_conversations(spark):
     empty = spark.createDataFrame([], schema)
     out2 = decontaminate_conversations(corpus, empty, dim=64).collect()
     assert all(not r["contaminated"] for r in out2)
+
+
+# --------------------------------------------------------------------------
+# render_conversations
+# --------------------------------------------------------------------------
+
+def test_render_conversations_handcrafted(spark):
+    from graphrole_spark.functions.conversations import render_conversations
+
+    rows = [
+        ("c1", 0, "user", "hi", None, None),
+        ("c1", 1, "assistant", "hello", None, None),
+        ("c2", 0, None, None, None, None),  # NULL role/text still render
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {r["conv_id"]: r for r in render_conversations(df).collect()}
+    assert out["c1"]["text"] == (
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello<|im_end|>\n"
+    )
+    assert out["c1"]["n_turns"] == 2
+    assert out["c1"]["n_chars"] == len(out["c1"]["text"])
+    assert out["c2"]["text"] == "<|im_start|>\n<|im_end|>\n"
+    plain = {
+        r["conv_id"]: r["text"]
+        for r in render_conversations(df, template="plain").collect()
+    }
+    assert plain["c1"] == "user: hi\n\nassistant: hello\n\n"
+    sys_out = {
+        r["conv_id"]: r["text"]
+        for r in render_conversations(
+            df, system_prompt="be helpful"
+        ).collect()
+    }
+    assert sys_out["c1"].startswith(
+        "<|im_start|>system\nbe helpful<|im_end|>\n<|im_start|>user"
+    )
+    with pytest.raises(ValueError, match="template"):
+        render_conversations(df, template="nope")
+
+
+def test_render_conversations_duckdb_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from graphrole_spark.functions.conversations import render_conversations
+
+    rng = random.Random(23)
+    rows = []
+    for c in range(40):
+        for i in range(rng.randint(1, 9)):
+            rows.append((
+                f"c{c}", i,
+                rng.choice(["user", "assistant", None]),
+                rng.choice(["hey", "a\nb", "", None]),
+            ))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    spark_pdf = (
+        render_conversations(df).orderBy("conv_id").toPandas()
+    )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    con = duckdb.connect()
+    con.register("turns", pdf)
+    oracle = con.execute("""
+        SELECT conv_id,
+          string_agg(
+            '<|im_start|>' || coalesce(role, '') || chr(10) ||
+            coalesce(text, '') || '<|im_end|>' || chr(10),
+            '' ORDER BY turn_idx) AS text,
+          count(*) AS n_turns,
+          length(string_agg(
+            '<|im_start|>' || coalesce(role, '') || chr(10) ||
+            coalesce(text, '') || '<|im_end|>' || chr(10),
+            '' ORDER BY turn_idx)) AS n_chars
+        FROM turns GROUP BY conv_id ORDER BY conv_id
+    """).df()
+    assert spark_pdf.columns.tolist() == oracle.columns.tolist()
+    assert spark_pdf.values.tolist() == oracle.values.tolist()
+
+
+def test_render_conversations_plan_shape(spark):
+    from graphrole_spark.functions.conversations import render_conversations
+
+    df = spark.createDataFrame(
+        [("c", 0, "u", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = (
+        render_conversations(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Join" not in plan and "Python" not in plan
