@@ -131,6 +131,7 @@ def chunk_documents(
     documents: DataFrame,
     max_tokens: int = 256,
     text_col: str = "text",
+    stride: int | None = None,
 ) -> DataFrame:
     """Split oversized documents into ≤ ``max_tokens``-token chunks (the
     downstream step :func:`pack_documents` assumes): tokenize once,
@@ -138,11 +139,36 @@ def chunk_documents(
     (split/sequence/slice/array_join), no Python, fan-out proportional
     to output size only. Returns
     ``(doc_id, chunk_idx, chunk_tokens, chunk_text)``.
+
+    ``stride`` (default ``max_tokens`` = disjoint chunks, the original
+    contract) sets the start-to-start distance: ``stride < max_tokens``
+    yields overlapping sliding windows — the standard long-document
+    treatment for pretraining and embedding indexing, where a hard cut
+    mid-sentence loses the boundary context both neighbors need. Chunk
+    ``i`` covers tokens ``[i*stride, i*stride + max_tokens)``; the
+    last window starts at the first position whose window reaches the
+    end (every token covered, no degenerate tail windows fully
+    contained in the previous one). ``stride > max_tokens`` would skip
+    tokens and raises.
     """
+    if stride is None:
+        stride = max_tokens
+    if not 1 <= stride <= max_tokens:
+        raise ValueError(
+            "stride must be in [1, max_tokens] (stride > max_tokens skips"
+            " tokens)"
+        )
     # null text chunks as one empty chunk (parity with empty string)
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " +")
+    # disjoint: ceil(n/w) chunks; overlapping: 1 + ceil((n-w)/stride)
     n_chunks = F.greatest(
-        F.ceil(F.size(toks) / F.lit(max_tokens)).cast("long"), F.lit(1)
+        (
+            F.ceil(
+                (F.size(toks) - F.lit(max_tokens)) / F.lit(stride)
+            ).cast("long")
+            + 1
+        ),
+        F.lit(1),
     )
     t = documents.select("doc_id", toks.alias("__toks"), n_chunks.alias("__nc"))
     e = t.select(
@@ -151,7 +177,7 @@ def chunk_documents(
         F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_idx"),
     )
     sliced = F.slice(
-        F.col("__toks"), (F.col("chunk_idx") * max_tokens + 1).cast("int"), max_tokens
+        F.col("__toks"), (F.col("chunk_idx") * stride + 1).cast("int"), max_tokens
     )
     return e.select(
         "doc_id",

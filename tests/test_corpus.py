@@ -619,3 +619,41 @@ def test_curriculum_order(spark):
         oracle.phase.astype("Int64").tolist()
     assert got.shard.astype(int).tolist() == oracle.shard.astype(int).tolist()
     assert got.pos.astype(int).tolist() == oracle.pos.astype(int).tolist()
+
+
+def test_chunk_documents_stride_overlap(spark):
+    """Sliding-window chunking: every token covered, consecutive chunks
+    overlap by max_tokens - stride, last window reaches the end, and
+    a python sliding-window oracle agrees exactly."""
+    import random
+
+    from graphrole_spark.functions.corpus import chunk_documents
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(40):
+        n = rng.randint(0, 40)
+        rows.append((f"d{i:02d}", " ".join(f"t{j}" for j in range(n))))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    w, s = 8, 3
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, max_tokens=w, stride=s).collect()
+    }
+    n_rows = 0
+    for did, text in rows:
+        toks = text.split(" ") if text else [""]
+        n = len(toks)
+        nc = max(1, -(-(n - w) // s) + 1) if n > w else 1
+        for ci in range(nc):
+            sl = toks[ci * s: ci * s + w]
+            assert got[(did, ci)] == (len(sl), " ".join(sl)), (did, ci)
+            n_rows += 1
+    assert len(got) == n_rows
+    # default stride == max_tokens: disjoint chunks, original contract
+    dis = chunk_documents(df, max_tokens=w)
+    assert dis.where(F.col("chunk_tokens") > w).count() == 0
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, max_tokens=8, stride=9)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, max_tokens=8, stride=0)
