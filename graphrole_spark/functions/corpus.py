@@ -553,6 +553,8 @@ def corpus_stats(
     by: str = "source",
     text_col: str = "text",
     lang_col: str | None = "lang",
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-``by``-group corpus profile — the health dashboard a mixing /
     budgeting decision reads before anything touches the trainer: doc
@@ -568,6 +570,15 @@ def corpus_stats(
     (.25/.5/.75) over integer token counts, so DuckDB's
     ``quantile_cont`` reproduces them bit-for-bit (lerp of integers at
     an exactly-representable fraction).
+
+    ``approx=True`` is the beyond-10^8-docs-per-group path: exact
+    ``percentile`` buffers every group's values in executor memory
+    (fine at profile scale, unbounded at 100 TB), so the approx mode
+    swaps in ``percentile_approx`` — a mergeable bounded-memory sketch
+    (map-side combined like every other agg here) with rank error
+    ≤ 1/``accuracy`` — and keeps every other column identical and
+    exact. Approx quartiles return observed values (no lerp), so the
+    DuckDB oracle applies only to the default mode.
 
     NULL text counts as empty (0 tokens) everywhere — the same
     convention as the packers/cleaners — and is also reported
@@ -598,7 +609,15 @@ def corpus_stats(
             F.sum("__empty").alias("empty_text"),
             F.sum("__t").alias("total_tokens"),
             F.round(F.avg("__t"), 6).alias("mean_tokens"),
-            F.percentile("__t", qs).alias("__q"),
+            (
+                # cast: approx returns observed longs; keep the exact
+                # mode's array<double> schema so writers see one type
+                F.percentile_approx("__t", qs, F.lit(accuracy)).cast(
+                    "array<double>"
+                )
+                if approx
+                else F.percentile("__t", qs)
+            ).alias("__q"),
             F.max("__t").alias("max_tokens"),
             F.round(F.avg("__c"), 6).alias("mean_chars"),
             *(

@@ -222,6 +222,40 @@ def run(spark, n_convs: int, work_dir: str, ops: set[str]) -> dict:
         out["compact_elided"] = int(row["n_elided"])
         out["compact_unfit_convs"] = int(row["unfit_convs"])
 
+    if "merge" in ops:
+        from graphrole_spark.functions.conversations import (
+            merge_consecutive_turns,
+        )
+
+        t0 = time.time()
+        mg = merge_consecutive_turns(turns)
+        row = mg.agg(
+            F.count("*").alias("n"),
+            F.sum("n_merged").alias("n_src"),
+            F.max("n_merged").alias("max_run"),
+        ).collect()[0]
+        out["merge_sec"] = round(time.time() - t0, 2)
+        out["merge_turns_out"] = int(row["n"])
+        out["merge_turns_in"] = int(row["n_src"])
+        out["merge_max_run"] = int(row["max_run"])
+
+    if "render" in ops:
+        from graphrole_spark.functions.conversations import (
+            render_conversations,
+        )
+
+        t0 = time.time()
+        rc = render_conversations(turns)
+        row = rc.agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.max("n_chars").alias("max_chars"),
+        ).collect()[0]
+        out["render_sec"] = round(time.time() - t0, 2)
+        out["render_convs"] = int(row["n"])
+        out["render_chars"] = int(row["chars"])
+        out["render_max_chars"] = int(row["max_chars"])
+
     if "highlights" in ops:
         from graphrole_spark.functions.conversations import (
             conversation_highlights,
@@ -246,7 +280,7 @@ def main() -> None:
     ap.add_argument("--work-dir", default="/tmp/conversation_scale")
     ap.add_argument(
         "--ops",
-        default="sft,integrity,dedup,near_dup,pref,compact,highlights",
+        default="sft,integrity,dedup,near_dup,pref,compact,highlights,merge,render",
         help="comma list of stages to run (quiet-window remeasure of one op)",
     )
     args = ap.parse_args()

@@ -657,3 +657,33 @@ def test_chunk_documents_stride_overlap(spark):
         chunk_documents(df, max_tokens=8, stride=9)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(df, max_tokens=8, stride=0)
+
+
+def test_corpus_stats_approx_mode(spark):
+    """approx=True (the beyond-memory scale path): identical schema,
+    every non-quantile column exactly equal, quartiles within the
+    sketch's rank-error bound of the exact ones (and exact here, since
+    accuracy >> n)."""
+    import random
+
+    from graphrole_spark.functions.corpus import corpus_stats
+
+    rng = random.Random(31)
+    rows = [
+        (f"s{i % 3}", f"d{i}", " ".join("w" for _ in range(rng.randint(0, 60))),
+         rng.choice(["en", "de"]))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id string, text string, lang string")
+    exact = corpus_stats(df).orderBy("source").toPandas()
+    apx = corpus_stats(df, approx=True).orderBy("source").toPandas()
+    assert exact.columns.tolist() == apx.columns.tolist()
+    assert [str(t) for t in exact.dtypes] == [str(t) for t in apx.dtypes]
+    qcols = {"q1_tokens", "median_tokens", "q3_tokens"}
+    for col in exact.columns:
+        if col in qcols:
+            # accuracy=10k on 100 rows/group: the sketch is exact up to
+            # the lerp convention (approx reports an observed value)
+            assert (abs(exact[col] - apx[col]) <= 1.0).all(), col
+        else:
+            assert exact[col].tolist() == apx[col].tolist(), col
