@@ -1735,6 +1735,16 @@ def q_preference_pairs(spark, sf_dir):
     return assemble_preference_pairs(corpus)
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus heavy-hitter n-grams (the boilerplate forensic): hashed
+    gram-key aggregate + top-k, display strings materialized only for
+    the k winners (functions/text.py::top_ngrams)."""
+    from graphrole_spark.functions.text import top_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_ngrams(docs.select("doc_id", "text"), n=3, k=25, min_docs=2)
+
+
 def q_render_chat(spark, sf_dir):
     """Chat-template rendering (ChatML): one training-ready string per
     conversation — the curation -> tokenize_pack materialization bridge.
@@ -2107,6 +2117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value parity (argmax + tiebreak + flags) pytest-pinned in
         # test_semantic_decontaminate
         "semantic_decontam": q_semantic_decontam,
+        # top_ngrams: rows-only by nature at the k-boundary (ties cut
+        # by xxhash64, not SQL-reproducible); counts/exemplars/ordering
+        # python-oracle pytest-pinned in test_top_ngrams_python_parity
+        "top_ngrams": q_top_ngrams,
         # render_chat: SQL-expressible but past the 50-entry window;
         # full DuckDB string_agg(ORDER BY) parity pytest-pinned in
         # test_render_conversations_duckdb_parity

@@ -140,6 +140,7 @@ def main() -> None:
         "conv_decontam",
         "gopher_filter",
         "render_chat",
+        "top_ngrams",
         "transcript_pipeline",
         "dedup_exact",
         "corpus_clean",

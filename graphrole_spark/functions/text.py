@@ -1637,3 +1637,108 @@ def gopher_filter(
         (reasons == "").cast("int").alias("passes"),
         reasons.alias("reject_reasons"),
     )
+
+
+def top_ngrams(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = 50,
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level heavy-hitter n-grams — the "what boilerplate should
+    I scrub?" forensic that picks ``dedup_lines``' threshold and
+    explains a fat ``dup_token_frac`` before any dedup runs: the ``k``
+    most frequent word n-grams appearing in ≥ ``min_docs`` distinct
+    documents, with occurrence and document counts.
+
+    Two-scan shape so text NEVER rides the big shuffle:
+
+    1. hashed pass — the :func:`duplicate_ngram_stats` gram
+       construction (token hashes once per token, gram key =
+       ``xxhash64`` of n token hashes, O(1) per position) → one gram-key
+       aggregate (occurrences + distinct docs, map-side combined) →
+       ``min_docs`` filter → global top-k via orderBy+limit
+       (TakeOrderedAndProject: per-partition heaps, no global sort);
+    2. display pass — the k winning 64-bit keys broadcast back against
+       a second scan; the human-readable gram string is materialized
+       ONLY for matching positions and reduced to one deterministic
+       exemplar per key (min ``(doc_id, pos)``) by a map-side-combined
+       ``min(struct)`` — so the string shuffle carries ≤ one row per
+       (partition, winner).
+
+    Ties at the k-boundary cut by gram hash (documented arbitrary-but-
+    deterministic); the emitted ``rank`` re-orders by
+    ``(n_occurrences DESC, gram ASC)`` so the visible ordering is
+    text-stable. A 64-bit cross-gram collision would conflate two grams'
+    counts (needs ~2^32 distinct grams to matter — same budget as
+    ``duplicate_ngram_stats``).
+
+    Returns ``k`` rows: ``(rank, gram, n_occurrences, n_docs)``.
+    """
+    if n < 1 or k < 1 or min_docs < 1:
+        raise ValueError("n, k and min_docs must all be >= 1")
+    toks = F.filter(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+    )
+    # token-hash array in its own projection (see duplicate_ngram_stats)
+    base = documents.select(
+        "doc_id",
+        toks.alias("__toks"),
+    ).select(
+        "doc_id",
+        "__toks",
+        F.transform(F.col("__toks"), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+
+    def gram_hash(i):
+        return F.xxhash64(*[F.get(th, i + j) for j in range(n)])
+
+    gram_arr = F.when(
+        F.size(th) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(th) - n), gram_hash),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = (
+        base.select("doc_id", "__toks", gram_arr.alias("__g"))
+        .select(
+            "doc_id", "__toks", F.posexplode_outer("__g").alias("pos", "gram")
+        )
+        .where(F.col("pos").isNotNull())
+    )
+    top = (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+    display = (
+        grams.join(F.broadcast(top.select("gram")), "gram")
+        .select(
+            "gram",
+            F.struct(
+                "doc_id",
+                "pos",
+                F.array_join(
+                    F.slice(F.col("__toks"), F.col("pos") + 1, n), " "
+                ).alias("text"),
+            ).alias("__ex"),
+        )
+        .groupBy("gram")
+        .agg(F.min("__ex").alias("__ex"))
+        .select("gram", F.col("__ex.text").alias("gram_text"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("gram_text").asc())
+    return (
+        top.join(display, "gram")
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            F.col("gram_text").alias("gram"),
+            "n_occurrences",
+            "n_docs",
+        )
+    )

@@ -1225,3 +1225,76 @@ def test_gopher_filter_python_oracle_parity(spark):
             want.append("dup_5gram")
         assert verdict[did]["reject_reasons"] == ",".join(want), did
         assert verdict[did]["passes"] == int(not want), did
+
+
+# --------------------------------------------------------------------------
+# top_ngrams (corpus heavy-hitter n-grams)
+# --------------------------------------------------------------------------
+
+def test_top_ngrams_python_parity(spark):
+    """Counts, doc counts, exemplar text and ordering vs a brute-force
+    python oracle; min_docs filters single-document grams."""
+    import random
+    from collections import Counter, defaultdict
+
+    from graphrole_spark.functions.text import top_ngrams
+
+    rng = random.Random(41)
+    boiler = "all rights reserved worldwide"
+    docs = []
+    for i in range(60):
+        words = [rng.choice(["a", "b", "c", "d", "e"]) + str(rng.randint(0, 9))
+                 for _ in range(rng.randint(0, 25))]
+        text = " ".join(words)
+        if i % 3 == 0:
+            text = boiler + " " + text   # planted heavy hitter
+        docs.append((f"d{i:02d}", text))
+    docs.append(("dnull", None))
+    n, k = 2, 8
+    out = top_ngrams(
+        spark.createDataFrame(docs, "doc_id string, text string"),
+        n=n, k=k, min_docs=2,
+    ).collect()
+    # python oracle
+    occ = Counter()
+    in_docs = defaultdict(set)
+    for did, text in docs:
+        toks = [t for t in (text or "").split() if t]
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i: i + n])
+            occ[g] += 1
+            in_docs[g].add(did)
+    elig = {g: c for g, c in occ.items() if len(in_docs[g]) >= 2}
+    want = sorted(elig.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got = [(r["gram"], r["n_occurrences"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+    # boundary ties are hash-cut; compare the strictly-above-boundary
+    # prefix exactly, then multiset counts at the boundary
+    boundary = want[-1][1]
+    got_head = [g for g in got if g[1] > boundary]
+    want_head = [g for g in want if g[1] > boundary]
+    assert got_head == want_head
+    assert sorted(c for _, c in got) == sorted(c for _, c in want)
+    for r in out:
+        assert r["n_docs"] == len(in_docs[r["gram"]]), r["gram"]
+        assert r["n_occurrences"] == occ[r["gram"]], r["gram"]
+    assert got[0][0].startswith("all rights") or occ[got[0][0]] >= occ[
+        "all rights"]
+    with pytest.raises(ValueError, match=">= 1"):
+        top_ngrams(
+            spark.createDataFrame(docs, "doc_id string, text string"), k=0
+        )
+
+
+def test_top_ngrams_empty_and_short(spark):
+    from graphrole_spark.functions.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [("d1", "one two"), ("d2", ""), ("d3", None)],
+        "doc_id string, text string",
+    )
+    # n=3 > every doc's token count: no grams at all
+    assert top_ngrams(df, n=3, k=5).count() == 0
+    # min_docs=1 admits single-doc grams
+    rows = top_ngrams(df, n=2, k=5, min_docs=1).collect()
+    assert [(r["gram"], r["n_occurrences"]) for r in rows] == [("one two", 1)]
