@@ -1678,8 +1678,14 @@ def top_ngrams(
     """
     if n < 1 or k < 1 or min_docs < 1:
         raise ValueError("n, k and min_docs must all be >= 1")
+    # split on ALL whitespace (\s+), not the space-only convention of
+    # tokens(): boilerplate forensics runs over multi-line documents,
+    # and the space-only split would glue line-boundary tokens
+    # ("...17\nboilerplate...") so repeated lines never form repeated
+    # grams. Matches the pytest python oracle's str.split().
     toks = F.filter(
-        tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "",
     )
     # token-hash array in its own projection (see duplicate_ngram_stats)
     base = documents.select(

@@ -375,6 +375,34 @@ def nb_stress(spark, n: int, work_dir: str) -> dict:
     }
 
 
+def topgram_stress(spark, n: int, work_dir: str) -> dict:
+    """Heavy-hitter n-gram scale evidence: the lines_stress corpus (30%
+    of lines from a 50-line boilerplate pool) through top_ngrams(n=3).
+    The scale-sensitive part is the hashed gram aggregate (cardinality
+    ~ total token positions); the display pass touches only the k
+    winners, so wall time should track the gram count near-linearly
+    and the planted boilerplate grams must surface as the top hits."""
+    from pyspark.sql import functions as F
+
+    from graphrole_spark.functions.text import top_ngrams
+
+    pq = os.path.join(work_dir, f"linedocs_{n}")
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
+        lines_stress(spark, n, work_dir)  # synthesizes the corpus
+    docs = spark.read.parquet(pq)
+    t0 = time.time()
+    rows = top_ngrams(docs, n=3, k=20, min_docs=2).collect()
+    sec = round(time.time() - t0, 2)
+    top_boiler = sum(1 for r in rows if r["gram"].startswith("boilerplate"))
+    return {
+        "topgram_docs": n,
+        "topgram_sec": sec,
+        "topgram_rows": len(rows),
+        "topgram_boiler_hits": top_boiler,
+        "topgram_max_occ": int(rows[0]["n_occurrences"]) if rows else 0,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,50000,500000")
@@ -392,6 +420,8 @@ def main() -> None:
                     help="doc counts for the NB classifier stress")
     ap.add_argument("--pack-sizes", default="",
                     help="doc counts for the tokenize-and-pack stress")
+    ap.add_argument("--topgram-sizes", default="",
+                    help="doc counts for the heavy-hitter n-gram stress")
     ap.add_argument("--ingest-batch", type=int, default=5000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--work-dir", default="/tmp/dedup_scale")
@@ -403,6 +433,9 @@ def main() -> None:
     os.makedirs(args.work_dir, exist_ok=True)
     def record(r: dict) -> None:
         r["cpus"] = args.cpus
+        # co-tenant noise context (host 1-min load avg at row-write time;
+        # see BENCH.md protocol — swings of 0.3..28 observed on this host)
+        r["load1"] = round(os.getloadavg()[0], 1)
         print(json.dumps(r), flush=True)
         with open("BENCH_DEDUP_SCALE.jsonl", "a") as f:
             f.write(json.dumps(r) + "\n")
@@ -424,6 +457,8 @@ def main() -> None:
     pack_merges: list = []
     for n in [int(s) for s in args.pack_sizes.split(",") if s]:
         record(pack_stress(spark, n, args.work_dir, merges=pack_merges))
+    for n in [int(s) for s in args.topgram_sizes.split(",") if s]:
+        record(topgram_stress(spark, n, args.work_dir))
 
 
 if __name__ == "__main__":

@@ -1248,6 +1248,11 @@ def test_top_ngrams_python_parity(spark):
         text = " ".join(words)
         if i % 3 == 0:
             text = boiler + " " + text   # planted heavy hitter
+        if i % 7 == 0:
+            # multi-line doc: \n and \t must separate tokens exactly
+            # like the python oracle's str.split() (space-only splitting
+            # would glue line-boundary tokens and lose these grams)
+            text = text.replace(" ", "\n", 2) + "\t" + boiler
         docs.append((f"d{i:02d}", text))
     docs.append(("dnull", None))
     n, k = 2, 8
