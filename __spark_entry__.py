@@ -1932,6 +1932,76 @@ def q_compact_trajectories(spark, sf_dir):
     )
 
 
+def q_scd2(spark, sf_dir):
+    """SCD type-2 dimension history from a change feed
+    (temporal/scd.py::scd2_history): collapse per-key changes into
+    effective-dated versions (valid_from/valid_to/is_current) — the
+    lakehouse MERGE shape that turns the as-of feed into a range-
+    predicate dimension join. One key shuffle, two window passes on one
+    sort. Events view: user_id's event_type as the tracked attribute."""
+    from graphrole_spark.temporal.scd import scd2_history
+
+    events = _events(spark, sf_dir)
+    return scd2_history(events, ["user_id"], "ts", ["event_type"])
+
+
+def q_feature_scale(spark, sf_dir):
+    """Feature normalization (operators/normalize.py): zscore, minmax
+    and robust (median/IQR) scalings of one feature column, each an
+    exact two-pass plan — one map-side-combined moment agg (a few
+    doubles to the driver) + one codegen projection; no shuffle, no
+    window. The post-processing step between the ReFeX feature frame
+    and NMF/classifier consumers."""
+    from graphrole_spark.operators.normalize import normalize_features
+
+    base = _events(spark, sf_dir).select(
+        "event_id", F.col("value").cast("double").alias("value")
+    )
+    out = normalize_features(base, ["value"], "zscore", output_suffix="_z")
+    out = normalize_features(out, ["value"], "minmax", output_suffix="_mm")
+    out = normalize_features(out, ["value"], "robust", output_suffix="_rb")
+    return out.select(
+        "event_id",
+        F.round("value_z", 6).alias("value_z"),
+        F.round("value_mm", 6).alias("value_mm"),
+        F.round("value_rb", 6).alias("value_rb"),
+    )
+
+
+def q_temporal_split(spark, sf_dir):
+    """Leakage-safe TIME-ordered train/val/test split with a 6h embargo
+    (temporal/ops.py::temporal_split): exact time-quantile cutpoints,
+    rows inside (boundary, boundary+embargo] labeled 'embargo' so
+    windowed features can never straddle an evaluation boundary — the
+    time-axis complement of the hash split (split_assign). One fit
+    scan + one codegen projection."""
+    from graphrole_spark.temporal.ops import temporal_split
+
+    events = _events(spark, sf_dir)
+    return temporal_split(
+        events, "ts", 0.8, 0.1, embargo_seconds=6 * 3600.0
+    ).select("event_id", "split")
+
+
+def q_encoding_quality(spark, sf_dir):
+    """Text-encoding health signals (functions/text.py::encoding_quality):
+    U+FFFD replacement chars, C0 control bytes, UTF-8-as-Latin-1
+    mojibake sequences, bad-char ratio + verdict — pure codegen
+    regexp_count, no shuffle. Plants deterministic artifacts on ~1/4 of
+    documents (md5-picked) so every signal fires on clean test data."""
+    from graphrole_spark.functions.text import encoding_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pick = F.substring(F.md5(F.col("text")), 1, 1).isin(*"0123")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            pick, F.concat(F.col("text"), F.lit(" cafÃ© â€™broken â€œquoteâ€�"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return encoding_quality(planted)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2156,6 +2226,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split -> compact -> SFT); end-to-end invariants pytest-pinned
         # in test_curate_transcripts_end_to_end (mirrors corpus_pipeline)
         "transcript_pipeline": q_transcript_pipeline,
+        # scd2: SQL-expressible but past the 50-entry window; full
+        # DuckDB window parity pytest-pinned in
+        # test_scd2_history_vs_duckdb (+ incremental-merge == rebuild)
+        "scd2": q_scd2,
+        # feature_scale: SQL-expressible but past the 50-entry window;
+        # per-method DuckDB value parity pytest-pinned in
+        # test_normalize_vs_duckdb
+        "feature_scale": q_feature_scale,
+        # temporal_split: SQL-expressible but past the 50-entry window;
+        # quantile-cut DuckDB parity + embargo ordering pytest-pinned in
+        # test_temporal_split_vs_duckdb / _embargo_and_order
+        "temporal_split": q_temporal_split,
+        # encoding_quality: SQL-expressible but past the 50-entry
+        # window; full DuckDB regex-count parity pytest-pinned in
+        # test_encoding_quality_vs_duckdb
+        "encoding_quality": q_encoding_quality,
     }
 
 

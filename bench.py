@@ -142,6 +142,10 @@ def main() -> None:
         "render_chat",
         "top_ngrams",
         "transcript_pipeline",
+        "scd2",
+        "feature_scale",
+        "temporal_split",
+        "encoding_quality",
         "dedup_exact",
         "corpus_clean",
         "quality",

@@ -1748,3 +1748,51 @@ def top_ngrams(
             "n_docs",
         )
     )
+
+
+def encoding_quality(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bad_ratio: float = 0.01,
+) -> DataFrame:
+    """Per-document text-encoding health signals + verdict.
+
+    Broken decode chains are a top corpus defect class (ftfy's problem
+    statement): UTF-8 bytes read as Latin-1 leave Ã/Â/â-led
+    artifact sequences, lossy decodes leave U+FFFD replacement chars,
+    and binary spills leave C0 control characters. Pure-codegen
+    ``regexp_count`` signals per document (no Python, no shuffle):
+
+    * ``n_replacement`` -- U+FFFD count;
+    * ``n_control``     -- C0 controls except tab/newline/CR;
+    * ``n_mojibake``    -- UTF-8-as-Latin-1 artifact sequences:
+      ``Ã`` followed by any Latin-1 continuation glyph
+      (U+0080-U+00BF), the ``â€``-family punctuation wrecks,
+      and ``Â`` + non-breaking-space-range glyphs;
+    * ``bad_ratio``     -- (replacement + control + mojibake) / chars;
+    * ``encoding_ok``   -- bad_ratio <= ``max_bad_ratio`` (empty docs
+      pass: nothing decoded means nothing mis-decoded).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_repl = F.regexp_count(t, F.lit("�"))
+    n_ctrl = F.regexp_count(
+        t, F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    )
+    n_moji = F.regexp_count(
+        t,
+        F.lit(
+            "(Ã[\\x80-\\xBF])|(â€.)|(Â[\\xA0-\\xBF])"
+        ),
+    )
+    n_chars = F.length(t)
+    bad = (n_repl + n_ctrl + n_moji).cast("double")
+    ratio = F.when(n_chars > 0, F.round(bad / n_chars, 6)).otherwise(F.lit(0.0))
+    return documents.select(
+        F.col(id_col),
+        n_repl.cast("int").alias("n_replacement"),
+        n_ctrl.cast("int").alias("n_control"),
+        n_moji.cast("int").alias("n_mojibake"),
+        ratio.alias("bad_ratio"),
+        (ratio <= F.lit(float(max_bad_ratio))).alias("encoding_ok"),
+    )

@@ -166,3 +166,51 @@ def prefix_aggregate(
     for name, expr in agg_exprs.items():
         out = out.withColumn(name, expr.over(w))
     return out
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+    embargo_seconds: float = 0.0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe TIME-ordered train/val/test split with an embargo.
+
+    The hash split (``corpus.split_assign``) randomizes WITHIN time —
+    right for i.i.d. documents, wrong for forecasting-style evaluation
+    where the model must be trained strictly before the data it is
+    scored on. This operator cuts on the time axis instead: the earliest
+    ``train_frac`` of rows become ``train``, the next ``val_frac``
+    become ``val``, the rest ``test`` — and rows within
+    ``embargo_seconds`` AFTER each boundary are labeled ``embargo``
+    (dropped by convention), so windowed features computed near a
+    boundary cannot straddle it (the purged/embargoed split of the
+    financial-ML literature).
+
+    Exact quantile cutpoints: one scan to fit two timestamps (tiny
+    driver traffic), one codegen projection to label — no shuffle, no
+    window. Boundary ties: a row exactly at a cut timestamp stays on
+    the earlier side (<=), so the labeling is deterministic under
+    duplicate timestamps.
+    """
+    if not (0.0 < train_frac < 1.0 and 0.0 <= val_frac < 1.0):
+        raise ValueError("fractions must be in (0,1)")
+    if train_frac + val_frac >= 1.0:
+        raise ValueError("train_frac + val_frac must leave room for test")
+    ts_dbl = F.col(ts_col).cast("timestamp").cast("double")
+    cuts = df.agg(
+        F.percentile(ts_dbl, F.lit(float(train_frac))).alias("t1"),
+        F.percentile(ts_dbl, F.lit(float(train_frac + val_frac))).alias("t2"),
+    ).collect()[0]
+    t1, t2 = float(cuts["t1"]), float(cuts["t2"])
+    e = float(embargo_seconds)
+    label = (
+        F.when(ts_dbl <= F.lit(t1), F.lit("train"))
+        .when(ts_dbl <= F.lit(t1 + e), F.lit("embargo"))
+        .when(ts_dbl <= F.lit(t2), F.lit("val"))
+        .when(ts_dbl <= F.lit(t2 + e), F.lit("embargo"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(split_col, label)
