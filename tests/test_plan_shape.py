@@ -157,3 +157,34 @@ def test_dsir_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
     assert plan.count("BroadcastHashJoin") >= 3, plan[:4000]
+
+
+def test_scd2_history_single_exchange(spark, transcripts, tmp_path_factory):
+    """SCD2 history = two window passes over ONE key sort: exactly one
+    hash exchange on the key, and the second window (valid_to lead)
+    must reuse the first's partitioning rather than re-shuffling."""
+    from graphrole_spark.temporal.scd import scd2_history
+
+    p = str(tmp_path_factory.mktemp("scd") / "e.parquet")
+    transcripts.select(
+        F.col("conv_id").alias("k"), F.col("ts").alias("t"),
+        F.col("role").alias("attr"),
+    ).write.parquet(p)
+    changes = spark.read.parquet(p)
+    plan = _plan(scd2_history(changes, ["k"], "t", ["attr"]))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+
+
+def test_normalize_projection_shuffle_free(spark, transcripts, tmp_path_factory):
+    """normalize_features' apply pass is a pure projection: after the
+    driver-side moment fit, the output plan contains NO exchange (the
+    fit itself is a separate one-agg job not part of this plan)."""
+    from graphrole_spark.operators.normalize import normalize_features
+
+    p = str(tmp_path_factory.mktemp("norm") / "f.parquet")
+    transcripts.select(
+        "conv_id", "turn_idx", F.length("text").cast("double").alias("f"),
+    ).write.parquet(p)
+    feats = spark.read.parquet(p)
+    plan = _plan(normalize_features(feats, ["f"], method="zscore"))
+    assert "Exchange" not in plan, plan[:4000]
