@@ -204,6 +204,8 @@ def temporal_split(
         F.percentile(ts_dbl, F.lit(float(train_frac))).alias("t1"),
         F.percentile(ts_dbl, F.lit(float(train_frac + val_frac))).alias("t2"),
     ).collect()[0]
+    if cuts["t1"] is None:
+        raise ValueError("temporal_split on an empty input")
     t1, t2 = float(cuts["t1"]), float(cuts["t2"])
     e = float(embargo_seconds)
     label = (
@@ -214,3 +216,60 @@ def temporal_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn(split_col, label)
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int = 4,
+    base_train_frac: float = 0.5,
+    embargo_seconds: float = 0.0,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest folds — the K-fold
+    generalization of :func:`temporal_split`.
+
+    The time axis after the base-train window is cut into ``n_folds``
+    equal-quantile test segments. Each row gets ONE label:
+
+    * ``0``  — base train window (earliest ``base_train_frac`` rows);
+    * ``i``  (1..K) — row falls in test fold i;
+    * ``-1`` — row falls in the embargo band right after a fold
+      boundary (excluded from both sides).
+
+    Fold i's evaluation convention: train = labels in [0, i-1], test =
+    label i — so the training window expands with the origin and never
+    sees data at or after its own test fold (zero temporal leakage by
+    construction). Compact single-label output: no K-fold row
+    replication, so a 10^12-row table gains one int column, not K
+    copies. One fit scan (K exact quantiles) + one codegen projection.
+    """
+    if n_folds < 1:
+        raise ValueError("n_folds must be >= 1")
+    if not 0.0 < base_train_frac < 1.0:
+        raise ValueError("base_train_frac must be in (0,1)")
+    ts_dbl = F.col(ts_col).cast("timestamp").cast("double")
+    fracs = [
+        base_train_frac + i * (1.0 - base_train_frac) / n_folds
+        for i in range(n_folds)  # upper edge of fold K is +infinity
+    ]
+    row = df.agg(
+        *[
+            F.percentile(ts_dbl, F.lit(float(fr))).alias(f"c{i}")
+            for i, fr in enumerate(fracs)
+        ]
+    ).collect()[0]
+    if row["c0"] is None:
+        raise ValueError("rolling_origin_folds on an empty input")
+    cuts = [float(row[f"c{i}"]) for i in range(n_folds)]
+    e = float(embargo_seconds)
+    # chained CASE, earliest band wins: base train, then per boundary
+    # an embargo band followed by the fold's own segment; the last fold
+    # is open-ended
+    label = F.when(ts_dbl <= F.lit(cuts[0]), F.lit(0))
+    for i in range(1, n_folds + 1):
+        label = label.when(ts_dbl <= F.lit(cuts[i - 1] + e), F.lit(-1))
+        if i < n_folds:
+            label = label.when(ts_dbl <= F.lit(cuts[i]), F.lit(i))
+    label = label.otherwise(F.lit(n_folds))
+    return df.withColumn(fold_col, label.cast("int"))

@@ -134,10 +134,11 @@ def scd2_lookup(
 
     This is the serving join SCD2 exists for: an equi-join on the key
     plus a range predicate — at most one dimension row qualifies per
-    fact, so there is no row explosion. With ``broadcast_dim=True`` (or
-    None and a small dim) the dimension is broadcast and the fact table
-    never shuffles — the right plan when facts are 100 TB and the
-    dimension is millions of versions.
+    fact, so there is no row explosion. ``broadcast_dim`` defaults to
+    broadcasting (None == True): the dimension is typically millions of
+    versions against 100 TB of facts, and the broadcast keeps the fact
+    table from shuffling. Pass ``False`` for a dimension too large to
+    broadcast (Spark then sort-merge-joins on the key).
     """
     key_cols = list(key_cols)
     d = dim.select(

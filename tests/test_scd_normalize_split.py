@@ -244,6 +244,51 @@ def test_temporal_split_embargo_and_order(events):
         temporal_split(events, "ts", 0.9, 0.2)
 
 
+def test_rolling_origin_folds_vs_duckdb(events):
+    from graphrole_spark.temporal.ops import rolling_origin_folds
+
+    got = rolling_origin_folds(events, "ts", n_folds=3, base_train_frac=0.4)
+    got = got.select("event_id", "fold")
+    exp = _duck(
+        """
+        WITH c AS (SELECT quantile_cont(epoch(ts), 0.4) AS c0,
+                          quantile_cont(epoch(ts), 0.6) AS c1,
+                          quantile_cont(epoch(ts), 0.8) AS c2 FROM events)
+        SELECT event_id,
+               CASE WHEN epoch(ts) <= c0 THEN 0
+                    WHEN epoch(ts) <= c1 THEN 1
+                    WHEN epoch(ts) <= c2 THEN 2
+                    ELSE 3 END AS fold
+        FROM events, c
+        """
+    )
+    _compare(got, exp, ["event_id"])
+
+
+def test_rolling_origin_folds_embargo_invariants(events):
+    from graphrole_spark.temporal.ops import rolling_origin_folds
+
+    out = rolling_origin_folds(
+        events, "ts", n_folds=3, base_train_frac=0.4,
+        embargo_seconds=6 * 3600.0,
+    )
+    spans = {
+        r.fold: (r.lo, r.hi)
+        for r in out.groupBy("fold")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()
+    }
+    assert set(spans) == {-1, 0, 1, 2, 3}
+    # expanding-window ordering: every fold's test span starts after all
+    # earlier folds end
+    for i in range(1, 4):
+        for j in range(i):
+            assert spans[j][1] < spans[i][0]
+    assert out.count() == events.count()
+    with pytest.raises(ValueError):
+        rolling_origin_folds(events, "ts", n_folds=0)
+
+
 def test_encoding_quality_signals(spark):
     docs = spark.createDataFrame(
         [
