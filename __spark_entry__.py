@@ -2002,6 +2002,193 @@ def q_encoding_quality(spark, sf_dir):
     return encoding_quality(planted)
 
 
+def _synthetic_annotations(spark, sf_dir):
+    """Deterministic multi-annotator label table over documents: five
+    workers with fixed reliabilities (0.95/0.9/0.7/0.45/0.15 — the last
+    adversarial) vote on a 3-class md5-derived true label. Pure codegen
+    (md5 nibbles drive both truth and corruption), no external data."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    classes = F.array(F.lit("neg"), F.lit("neu"), F.lit("pos"))
+    truth_idx = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 3
+    )
+    acc = F.create_map(
+        F.lit("w0"), F.lit(95), F.lit("w1"), F.lit(90), F.lit("w2"),
+        F.lit(70), F.lit("w3"), F.lit(45), F.lit("w4"), F.lit(15),
+    )
+    ann = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.explode(F.array(*[F.lit(f"w{i}") for i in range(5)])).alias(
+            "worker_id"
+        ),
+        truth_idx.alias("__t"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("item_id").cast("string"),
+                        F.lit("|"),
+                        F.col("worker_id"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    wrong = (F.col("__t") + 1 + u % 2) % 3  # one of the two other classes
+    return ann.select(
+        "item_id",
+        "worker_id",
+        F.element_at(
+            classes,
+            (F.when(u < acc[F.col("worker_id")], F.col("__t")).otherwise(wrong)
+             + 1).cast("int"),
+        ).alias("label"),
+    )
+
+
+def q_label_quality(spark, sf_dir):
+    """Multi-annotator consensus (functions/evaluation.py::majority_vote):
+    modal label with lexicographic tie-break, agreement and margin per
+    item — the first gate on a human-labeled SFT/RLHF set. One
+    (item, label) hash aggregate + one item-keyed window over the
+    contingency rows; raw votes never enter a window."""
+    from graphrole_spark.functions.evaluation import majority_vote
+
+    return majority_vote(_synthetic_annotations(spark, sf_dir))
+
+
+def q_truth_inference(spark, sf_dir):
+    """Dawid-Skene (1979) EM truth inference
+    (functions/evaluation.py::dawid_skene): per-worker confusion
+    matrices upweight reliable annotators, recovering truth where
+    majority vote is fooled by the planted adversary. Iterative —
+    per-iteration one item join + softmax window + a (worker, class,
+    label) aggregate; posteriors localCheckpointed so lineage is O(1)
+    in n_iter. Only the K-class vocabulary reaches the driver."""
+    from graphrole_spark.functions.evaluation import dawid_skene
+
+    assignments, _workers = dawid_skene(
+        _synthetic_annotations(spark, sf_dir), n_iter=4
+    )
+    return assignments
+
+
+def q_retrieval_eval(spark, sf_dir):
+    """Ranking-quality metrics (functions/evaluation.py::
+    retrieval_metrics): per-query precision/recall@k, MRR, MAP, nDCG
+    against a qrels table, trec_eval conventions — closes the loop on
+    bm25_topk. Qrels are derived deterministically (a doc is relevant
+    to a query iff it contains the query's lead token; graded by an
+    md5 nibble), so overlap with the BM25 ranking is genuine. Shape:
+    two query-keyed windows + one (query, doc) equi-join with the
+    small qrels side broadcastable."""
+    from graphrole_spark.functions.evaluation import retrieval_metrics
+    from graphrole_spark.functions.terms import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(
+                    F.split(F.trim(F.coalesce("text", F.lit(""))), " +"), 1, 6
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    results = bm25_topk(docs, queries, k=10)
+    lead = F.element_at(F.split(F.trim(F.col("qtext")), " +"), 1)
+    qrels = (
+        docs.crossJoin(
+            F.broadcast(queries.withColumnRenamed("text", "qtext"))
+        )
+        .where(
+            F.instr(F.coalesce(F.col("text"), F.lit("")), lead) > 0
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("query_id").cast("string"),
+                                F.lit("|"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 3
+                + 1
+            ).alias("grade"),
+        )
+    )
+    return retrieval_metrics(
+        results, qrels, k=10, score_col="bm25", rank_col="rank"
+    )
+
+
+def q_classifier_eval(spark, sf_dir):
+    """Binary scorer evaluation (functions/evaluation.py::
+    binary_metrics): tie-corrected rank AUC, Brier, ECE and thresholded
+    accuracy/precision/recall/F1 per group — closes the loop on the
+    Naive-Bayes quality classifier and any reward-model score. Label
+    and a label-correlated two-decimal score (heavy ties) both derive
+    from md5 nibbles; grouped by an md5-derived split so one group is
+    well-calibrated and one is noisy. ONE hash aggregate to the
+    per-distinct-score histogram; windows touch histogram rows only."""
+    from graphrole_spark.functions.evaluation import binary_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = lambda salt, mod: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+    y = h("|y", 2)
+    u = h("|u", 1000) / 1000.0
+    calibrated = h("|g", 2) == 0
+    scored = docs.select(
+        F.when(calibrated, F.lit("calibrated"))
+        .otherwise(F.lit("noisy"))
+        .alias("model"),
+        y.alias("label"),
+        F.round(
+            F.when(calibrated, 0.7 * y + 0.3 * u).otherwise(
+                0.4 * y + 0.6 * u
+            ),
+            2,
+        ).alias("score"),
+    )
+    return binary_metrics(scored, by="model", threshold=0.5, bins=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2242,6 +2429,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; full DuckDB regex-count parity pytest-pinned in
         # test_encoding_quality_vs_duckdb
         "encoding_quality": q_encoding_quality,
+        # label_quality: SQL-expressible but past the 50-entry window;
+        # full DuckDB window parity pytest-pinned in
+        # test_majority_vote_duckdb_parity (+ python-oracle parity)
+        "label_quality": q_label_quality,
+        # truth_inference: Dawid-Skene EM — iterative float fixpoint,
+        # not SQL (like kmeans_cells); determinism, adversary-robust
+        # truth recovery vs majority vote, and worker-reliability
+        # ordering pytest-pinned in tests/test_evaluation.py
+        "truth_inference": q_truth_inference,
+        # retrieval_eval: SQL-expressible but past the 50-entry window;
+        # trec_eval-convention python-oracle parity (P/R@k, MRR, MAP,
+        # nDCG incl. graded gains + skipped/zero queries) pytest-pinned
+        # in test_retrieval_metrics_python_parity
+        "retrieval_eval": q_retrieval_eval,
+        # classifier_eval: SQL-expressible but past the 50-entry
+        # window; DuckDB histogram-rank parity pytest-pinned in
+        # test_binary_metrics_duckdb_parity (+ tie-heavy python oracle)
+        "classifier_eval": q_classifier_eval,
     }
 
 

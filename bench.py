@@ -194,6 +194,12 @@ def main() -> None:
         "topic_shift",
         "turn_signals",
         "curriculum",
+        "label_quality",
+        # truth_inference excluded like rolx_roles: the Dawid-Skene EM
+        # loop's per-iteration materialization would dominate the suite
+        # total; pytest + the registry still cover it
+        "retrieval_eval",
+        "classifier_eval",
     ]
     queries = entrymod.queries()
     for name in suite:
