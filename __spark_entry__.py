@@ -2056,6 +2056,39 @@ def _synthetic_annotations(spark, sf_dir):
     )
 
 
+def q_bt_leaderboard(spark, sf_dir):
+    """Bradley-Terry arena leaderboard (functions/rewards.py::
+    bt_leaderboard): Hunter's MM fit of per-model strengths from
+    pairwise battles — the Chatbot-Arena aggregation. Battles are
+    synthesized from events: the two contestants and a strength-skewed
+    winner all derive from md5 nibbles, so stronger indices genuinely
+    win more. Pair counts are bounded (10 models) so the auto mode
+    takes the exact driver path over the distributed pair reduction."""
+    from graphrole_spark.functions.rewards import bt_leaderboard
+
+    events = _events(spark, sf_dir)
+    h = lambda salt, mod: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(salt))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+    a = h("|a", 10)
+    b = (a + 1 + h("|b", 9)) % 10
+    a_wins = h("|u", 100) < (50 + 4 * (a - b))
+    battles = events.select(
+        F.concat(F.lit("m"), F.when(a_wins, a).otherwise(b)).alias("winner"),
+        F.concat(F.lit("m"), F.when(a_wins, b).otherwise(a)).alias("loser"),
+    )
+    return bt_leaderboard(battles, n_iter=20)
+
+
 def q_label_quality(spark, sf_dir):
     """Multi-annotator consensus (functions/evaluation.py::majority_vote):
     modal label with lexicographic tie-break, agreement and margin per
@@ -2447,6 +2480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; DuckDB histogram-rank parity pytest-pinned in
         # test_binary_metrics_duckdb_parity (+ tie-heavy python oracle)
         "classifier_eval": q_classifier_eval,
+        # bt_leaderboard: Hunter-MM iterative fixpoint — not SQL (like
+        # kmeans_cells); python-MM parity, driver==distributed path
+        # parity, and regularizer contracts pytest-pinned in
+        # tests/test_rewards.py
+        "bt_leaderboard": q_bt_leaderboard,
     }
 
 

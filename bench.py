@@ -200,6 +200,7 @@ def main() -> None:
         # total; pytest + the registry still cover it
         "retrieval_eval",
         "classifier_eval",
+        "bt_leaderboard",
     ]
     queries = entrymod.queries()
     for name in suite:

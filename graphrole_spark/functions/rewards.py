@@ -85,3 +85,193 @@ def group_advantages(
         rank.cast("int").alias("rank_in_group"),
         F.coalesce((rank == 1).cast("int"), F.lit(0)).alias("is_best"),
     )
+
+
+def bt_leaderboard(
+    battles: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    n_iter: int = 30,
+    reg: float = 0.1,
+    base: float = 1000.0,
+    scale: float = 400.0,
+    mode: str = "auto",
+    driver_max_pairs: int = 2_000_000,
+) -> DataFrame:
+    """Bradley-Terry strength fit over pairwise battle outcomes — the
+    arena-style leaderboard (Chatbot Arena / reward-model preference
+    audits): given one row per comparison ``(winner, loser)``, estimate
+    per-item strengths ``π_i`` maximizing the regularized likelihood
+    ``Π π_w / (π_w + π_l)`` via Hunter's (2004) MM algorithm, the
+    standard monotone-convergent fixed point::
+
+        π_i ← (W_i + λ) / ( Σ_j n_ij / (π_i + π_j)  +  2λ / (π_i + 1) )
+
+    with ``W_i`` = wins of i, ``n_ij`` = battles between i and j, and
+    ``λ = reg`` pseudo-wins-and-losses against a virtual opponent of
+    FIXED strength 1 — the regularizer that keeps never-losing (or
+    never-winning) items finite, makes disconnected comparison graphs
+    identifiable, and pins the scale (so no per-sweep renormalization
+    is needed — the sweep converges straight to the regularized MLE).
+    Init π = 1, synchronous (Jacobi) sweeps — deterministic, no RNG.
+
+    Output: one row per item — ``item``, ``strength`` (fitted π),
+    ``rating`` (Elo-scaled ``base + scale·log10(π)``), ``n_wins`` /
+    ``n_losses`` / ``n_battles``; best first, item tie-break.
+
+    Distribution (100 TB lens): battles collapse ONCE to the
+    ``(i, j, n_ij)`` pair-count frame (map-side combined). When that
+    frame is small (≤ ``driver_max_pairs``, counted exactly — real
+    leaderboards compare thousands of models, not billions), the MM
+    sweeps run driver-side over the collected pair counts (the RolX
+    MDL-grid pattern: tiny exact core, distributed reduction feeding
+    it). Above the budget — an items-scale comparison graph — the same
+    Jacobi sweep runs distributed: one item-keyed join of π onto the
+    pair frame per sweep + one item-keyed aggregate, π
+    localCheckpointed per sweep so lineage is O(1) in ``n_iter`` (the
+    NMF-loop pattern). Both paths compute bit-identical sweeps
+    (parity-tested).
+    """
+    if reg <= 0:
+        raise ValueError("reg must be > 0 (identifiability regularizer)")
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError("mode must be 'auto', 'driver' or 'distributed'")
+    w = F.col(winner_col).cast("string")
+    l = F.col(loser_col).cast("string")
+    outcomes = battles.where(
+        w.isNotNull() & l.isNotNull() & (w != l)
+    ).select(w.alias("__w"), l.alias("__l"))
+
+    # one row per ordered (item, opp): wins of item over opp; the union
+    # with zero rows guarantees every item appears in both directions
+    directed = outcomes.groupBy(
+        F.col("__w").alias("item"), F.col("__l").alias("opp")
+    ).agg(F.count(F.lit(1)).alias("n_wl"))
+    pairs = (
+        directed.select("item", "opp", "n_wl")
+        .unionByName(
+            directed.select(
+                F.col("opp").alias("item"),
+                F.col("item").alias("opp"),
+                F.lit(0).alias("n_wl"),
+            )
+        )
+        .groupBy("item", "opp")
+        .agg(F.sum("n_wl").alias("n_ij_wins"))
+        .localCheckpoint()
+    )
+    spark = battles.sparkSession
+    lam = float(reg)
+    sweeps = max(int(n_iter), 1)
+
+    n_pairs = pairs.count()
+    if mode == "driver" or (mode == "auto" and n_pairs <= driver_max_pairs):
+        rows = pairs.collect()
+        wins: dict = {}
+        n_ij: dict = {}
+        for r in rows:
+            wins[r["item"]] = wins.get(r["item"], 0) + r["n_ij_wins"]
+            key = (r["item"], r["opp"])
+            rev = (r["opp"], r["item"])
+            n_ij[key] = n_ij.get(key, 0) + r["n_ij_wins"]
+            n_ij[rev] = n_ij.get(rev, 0) + r["n_ij_wins"]
+        by_item: dict = {}
+        for (i, j), n in n_ij.items():
+            by_item.setdefault(i, []).append((j, n))
+        pi = {i: 1.0 for i in wins}
+        for _ in range(sweeps):
+            pi = {
+                i: (wins[i] + lam)
+                / (
+                    sum(n / (pi[i] + pi[j]) for j, n in by_item[i])
+                    + 2.0 * lam / (pi[i] + 1.0)
+                )
+                for i in pi
+            }
+        import math as _math
+
+        out_rows = [
+            (
+                i,
+                float(p),
+                float(base + scale * _math.log10(p)),
+                int(wins[i]),
+            )
+            for i, p in pi.items()
+        ]
+        fitted = spark.createDataFrame(
+            out_rows, schema="item string, strength double, rating double, n_wins long"
+        )
+    else:
+        n_ij_df = (
+            pairs.select("item", "opp", F.col("n_ij_wins").alias("n"))
+            .unionByName(
+                pairs.select(
+                    F.col("opp").alias("item"),
+                    F.col("item").alias("opp"),
+                    F.col("n_ij_wins").alias("n"),
+                )
+            )
+            .groupBy("item", "opp")
+            .agg(F.sum("n").alias("n_ij"))
+            .localCheckpoint()
+        )
+        wins_df = pairs.groupBy("item").agg(
+            F.sum("n_ij_wins").alias("n_wins")
+        ).localCheckpoint()
+        pi = wins_df.select("item", F.lit(1.0).alias("pi"))
+        for _ in range(sweeps):
+            opp_pi = pi.select(
+                F.col("item").alias("opp"), F.col("pi").alias("opp_pi")
+            )
+            denom = (
+                n_ij_df.join(pi, "item")
+                .join(opp_pi, "opp")
+                .groupBy("item")
+                .agg(
+                    F.sum(
+                        F.col("n_ij") / (F.col("pi") + F.col("opp_pi"))
+                    ).alias("d")
+                )
+            )
+            pi = (
+                wins_df.join(denom, "item")
+                .join(pi, "item")
+                .select(
+                    "item",
+                    (
+                        (F.col("n_wins") + F.lit(lam))
+                        / (
+                            F.col("d")
+                            + F.lit(2.0 * lam) / (F.col("pi") + 1.0)
+                        )
+                    ).alias("pi"),
+                )
+                .localCheckpoint()
+            )
+        fitted = pi.join(wins_df, "item").select(
+            "item",
+            F.col("pi").alias("strength"),
+            (F.lit(base) + F.lit(scale) * F.log10("pi")).alias("rating"),
+            F.col("n_wins").cast("long").alias("n_wins"),
+        )
+
+    losses = outcomes.groupBy(F.col("__l").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_losses")
+    )
+    return (
+        fitted.join(losses, "item", "left")
+        .select(
+            "item",
+            "strength",
+            "rating",
+            F.col("n_wins").cast("long").alias("n_wins"),
+            F.coalesce(F.col("n_losses"), F.lit(0))
+            .cast("long")
+            .alias("n_losses"),
+            (F.col("n_wins") + F.coalesce(F.col("n_losses"), F.lit(0)))
+            .cast("long")
+            .alias("n_battles"),
+        )
+        .orderBy(F.desc("rating"), F.asc("item"))
+    )

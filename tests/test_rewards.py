@@ -134,3 +134,140 @@ def test_group_advantages_plan_shape(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
     assert "Join" not in plan and "Python" not in plan
+
+
+# --------------------------------------------------------------------------
+# bt_leaderboard (Bradley-Terry MM fit)
+# --------------------------------------------------------------------------
+
+def _bt_oracle(battles, n_iter=30, reg=0.1):
+    """Independent MM implementation (plain dicts, same sweep order)."""
+    items = sorted({w for w, _ in battles} | {l for _, l in battles})
+    n_ij = {}
+    wins = {i: 0 for i in items}
+    for w, l in battles:
+        wins[w] += 1
+        n_ij[(w, l)] = n_ij.get((w, l), 0) + 1
+        n_ij[(l, w)] = n_ij.get((l, w), 0) + 1
+    pi = {i: 1.0 for i in items}
+    for _ in range(n_iter):
+        pi = {
+            i: (wins[i] + reg)
+            / (
+                sum(
+                    n / (pi[i] + pi[j])
+                    for (a, j), n in n_ij.items()
+                    if a == i
+                )
+                + 2 * reg / (pi[i] + 1)
+            )
+            for i in items
+        }
+    return pi, wins
+
+
+def _battles_df(spark, battles):
+    return spark.createDataFrame(battles, schema="winner string, loser string")
+
+
+def test_bt_leaderboard_python_mm_parity(spark):
+    from graphrole_spark.functions.rewards import bt_leaderboard
+
+    rng = random.Random(13)
+    items = [f"m{i}" for i in range(8)]
+    true = {m: 1.5 ** i for i, m in enumerate(items)}
+    battles = []
+    for _ in range(600):
+        a, b = rng.sample(items, 2)
+        p_a = true[a] / (true[a] + true[b])
+        battles.append((a, b) if rng.random() < p_a else (b, a))
+    got = {
+        r["item"]: (r["strength"], r["n_wins"], r["n_losses"])
+        for r in bt_leaderboard(
+            _battles_df(spark, battles), n_iter=20, reg=0.1
+        ).collect()
+    }
+    pi, wins = _bt_oracle(battles, n_iter=20, reg=0.1)
+    assert set(got) == set(pi)
+    for i in pi:
+        assert got[i][0] == pytest.approx(pi[i], rel=1e-9), i
+        assert got[i][1] == wins[i]
+    # strong items rank above weak ones (true strengths are geometric)
+    order = [
+        r["item"]
+        for r in bt_leaderboard(
+            _battles_df(spark, battles), n_iter=20, reg=0.1
+        ).collect()
+    ]
+    assert order.index("m7") < order.index("m2") < order.index("m0")
+
+
+def test_bt_leaderboard_undefeated_and_winless_stay_finite(spark):
+    from graphrole_spark.functions.rewards import bt_leaderboard
+
+    battles = [("champ", "mid", )] * 10 + [("mid", "basement")] * 10
+    out = {
+        r["item"]: r
+        for r in bt_leaderboard(_battles_df(spark, battles), n_iter=40).collect()
+    }
+    assert math.isfinite(out["champ"]["rating"])
+    assert math.isfinite(out["basement"]["rating"])
+    assert (
+        out["champ"]["rating"] > out["mid"]["rating"] > out["basement"]["rating"]
+    )
+    assert out["champ"]["n_battles"] == 10
+    assert out["mid"]["n_wins"] == 10 and out["mid"]["n_losses"] == 10
+
+
+def test_bt_leaderboard_symmetric_battles_tie(spark):
+    from graphrole_spark.functions.rewards import bt_leaderboard
+
+    battles = [("a", "b")] * 5 + [("b", "a")] * 5
+    out = {r["item"]: r for r in
+           bt_leaderboard(_battles_df(spark, battles)).collect()}
+    assert out["a"]["strength"] == pytest.approx(out["b"]["strength"])
+    assert out["a"]["rating"] == pytest.approx(1000.0)
+
+
+def test_bt_leaderboard_drops_null_and_self_battles(spark):
+    from graphrole_spark.functions.rewards import bt_leaderboard
+
+    battles = [("a", "b"), ("a", None), (None, "b"), ("a", "a"), ("a", "b")]
+    out = {r["item"]: r for r in
+           bt_leaderboard(_battles_df(spark, battles)).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n_wins"] == 2 and out["b"]["n_losses"] == 2
+
+
+def test_bt_leaderboard_rejects_bad_reg(spark):
+    from graphrole_spark.functions.rewards import bt_leaderboard
+
+    with pytest.raises(ValueError):
+        bt_leaderboard(_battles_df(spark, [("a", "b")]), reg=0.0)
+    with pytest.raises(ValueError):
+        bt_leaderboard(_battles_df(spark, [("a", "b")]), mode="nope")
+
+
+def test_bt_leaderboard_driver_vs_distributed_parity(spark):
+    """The two physical paths run the same Jacobi sweep — identical
+    strengths to float tolerance on the same battles."""
+    from graphrole_spark.functions.rewards import bt_leaderboard
+
+    rng = random.Random(29)
+    items = [f"m{i}" for i in range(6)]
+    battles = []
+    for _ in range(200):
+        a, b = rng.sample(items, 2)
+        battles.append((a, b) if rng.random() < 0.6 else (b, a))
+    df = _battles_df(spark, battles)
+    drv = {
+        r["item"]: r["strength"]
+        for r in bt_leaderboard(df, n_iter=6, mode="driver").collect()
+    }
+    dist = {
+        r["item"]: r["strength"]
+        for r in bt_leaderboard(df, n_iter=6, mode="distributed").collect()
+    }
+    assert set(drv) == set(dist)
+    for i in drv:
+        assert drv[i] == pytest.approx(dist[i], rel=1e-12), i
