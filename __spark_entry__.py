@@ -2056,6 +2056,62 @@ def _synthetic_annotations(spark, sf_dir):
     )
 
 
+def q_target_encode(spark, sf_dir):
+    """Leakage-safe categorical target encoding (operators/encode.py::
+    target_encode): point-in-time prefix encoding of event_type by the
+    running smoothed mean of value (strictly-earlier RANGE frame — the
+    north-rule zero-leakage discipline) plus the K-fold out-of-fold
+    column (md5 folds on event_id) in one frame. Prefix = one
+    category-keyed exchange; oof = one tiny (cat, fold) aggregate
+    broadcast-joined back."""
+    from graphrole_spark.operators.encode import target_encode
+
+    events = _events(spark, sf_dir).select(
+        "event_id", "event_type", "value", "ts"
+    )
+    pit = target_encode(
+        events, "event_type", "value", method="prefix", ts_col="ts",
+        smoothing=10.0, output_col="enc_pit",
+    )
+    return target_encode(
+        pit, "event_type", "value", method="oof", id_col="event_id",
+        n_folds=5, smoothing=10.0, output_col="enc_oof",
+    ).orderBy("event_id")
+
+
+def q_feature_relevance(spark, sf_dir):
+    """Filter-method feature selection (operators/relevance.py::
+    feature_relevance): MI / chi2 / Pearson of document-derived
+    numeric features against a binary label (doc longer than 200
+    chars): n_chars is perfectly informative by construction,
+    whitespace token count strongly so, an md5-uniform column is
+    noise — the output ranking demonstrates all three regimes. One
+    wide moment aggregate + one melted (feature, bin, label)
+    contingency aggregate; windows touch contingency rows only."""
+    from graphrole_spark.operators.relevance import feature_relevance
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = docs.select(
+        (F.col("n_chars") > 200).cast("double").alias("label"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(F.split(F.trim(F.coalesce("text", F.lit(""))), " +"))
+        .cast("double")
+        .alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+            / 1000.0
+        ).alias("noise"),
+    )
+    return feature_relevance(
+        feats, ["n_chars", "n_tokens", "noise"], "label", bins=10
+    )
+
+
 def q_bt_leaderboard(spark, sf_dir):
     """Bradley-Terry arena leaderboard (functions/rewards.py::
     bt_leaderboard): Hunter's MM fit of per-model strengths from
@@ -2485,6 +2541,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity, and regularizer contracts pytest-pinned in
         # tests/test_rewards.py
         "bt_leaderboard": q_bt_leaderboard,
+        # target_encode: SQL-expressible but past the 50-entry window;
+        # prefix method has full DuckDB RANGE-frame parity and oof has
+        # an exact python leave-one-fold-out oracle, pytest-pinned in
+        # tests/test_target_encode.py
+        "target_encode": q_target_encode,
+        # feature_relevance: SQL-expressible but past the 50-entry
+        # window; full contingency python-oracle parity (MI, full-grid
+        # chi2 identity, numpy Pearson) pytest-pinned in
+        # tests/test_relevance.py
+        "feature_relevance": q_feature_relevance,
     }
 
 

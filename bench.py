@@ -201,6 +201,8 @@ def main() -> None:
         "retrieval_eval",
         "classifier_eval",
         "bt_leaderboard",
+        "target_encode",
+        "feature_relevance",
     ]
     queries = entrymod.queries()
     for name in suite:

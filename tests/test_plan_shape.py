@@ -188,3 +188,36 @@ def test_normalize_projection_shuffle_free(spark, transcripts, tmp_path_factory)
     feats = spark.read.parquet(p)
     plan = _plan(normalize_features(feats, ["f"], method="zscore"))
     assert "Exchange" not in plan, plan[:4000]
+
+
+def test_target_encode_prefix_single_exchange(spark, transcripts, tmp_path_factory):
+    """prefix target encoding is ONE category-keyed exchange (the
+    running-mean RANGE window); the broadcast prior adds no shuffle."""
+    from graphrole_spark.operators.encode import target_encode
+
+    p = str(tmp_path_factory.mktemp("enc") / "e.parquet")
+    transcripts.select(
+        "conv_id", "ts", F.col("role").alias("cat"),
+        F.length("text").cast("double").alias("label"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = _plan(target_encode(df, "cat", "label", method="prefix"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+
+
+def test_target_encode_oof_fact_side_broadcast_join(spark, transcripts, tmp_path_factory):
+    """oof encoding joins the tiny (cat, fold) table back via broadcast:
+    the fact table itself is never hash-exchanged."""
+    from graphrole_spark.operators.encode import target_encode
+
+    p = str(tmp_path_factory.mktemp("enc2") / "e.parquet")
+    transcripts.select(
+        "conv_id", "turn_idx", F.col("role").alias("cat"),
+        F.length("text").cast("double").alias("label"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = target_encode(
+        df, "cat", "label", method="oof", id_col="turn_idx", n_folds=3
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan[:4000]
