@@ -2123,21 +2123,12 @@ def q_bt_leaderboard(spark, sf_dir):
     from graphrole_spark.functions.rewards import bt_leaderboard
 
     events = _events(spark, sf_dir)
-    h = lambda salt, mod: (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(salt))),
-                1,
-                6,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % mod
+    h = lambda salt, mod: F.pmod(
+        F.xxhash64(F.col("event_id"), F.lit(salt)), F.lit(mod)
     )
-    a = h("|a", 10)
-    b = (a + 1 + h("|b", 9)) % 10
-    a_wins = h("|u", 100) < (50 + 4 * (a - b))
+    a = h(1, 10)
+    b = (a + 1 + h(2, 9)) % 10
+    a_wins = h(3, 100) < (50 + 4 * (a - b))
     battles = events.select(
         F.concat(F.lit("m"), F.when(a_wins, a).otherwise(b)).alias("winner"),
         F.concat(F.lit("m"), F.when(a_wins, b).otherwise(a)).alias("loser"),
