@@ -2269,6 +2269,78 @@ def q_classifier_eval(spark, sf_dir):
     return binary_metrics(scored, by="model", threshold=0.5, bins=10)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (functions/corpus.py::weighted_sample, Efraimidis-Spirakis A-ES
+    keys u^(1/w) on the portable md5 uniform): top-40 docs per source
+    stratum, weight-proportional on n_chars. One window exchange on
+    the stratum key; the global mode compiles to
+    TakeOrderedAndProject. Tail entry (registry window full): full
+    DuckDB value parity (global + stratified) pytest-pinned in
+    tests/test_sampling_fusion.py."""
+    from graphrole_spark.functions.corpus import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(
+        docs, n=40, weight_col="n_chars", strata_col="source"
+    )
+
+
+def q_dedup_weights(spark, sf_dir):
+    """Soft dedup (functions/text.py::dedup_weights): collapse exact-
+    content groups to the min-id survivor carrying weight = group
+    size — the loss-reweighting alternative to dropping duplicates.
+    One hash groupBy. Tail entry: DuckDB value parity + corpus-mass
+    conservation pytest-pinned in tests/test_sampling_fusion.py."""
+    from graphrole_spark.functions.text import dedup_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_weights(docs)
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication audit (functions/text.py::
+    source_overlap): for every source pair, distinct content keys
+    present in both plus per-source coverage fractions — catches one
+    crawl re-ingesting another before mixing weights are chosen.
+    Distinct (source, key) aggregate + key equi-join (fan-out bounded
+    by #sources), totals broadcast back. Tail entry: DuckDB value
+    parity pytest-pinned in tests/test_sampling_fusion.py."""
+    from graphrole_spark.functions.text import source_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_overlap(docs)
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid lexical retrieval (functions/terms.py::hybrid_topk):
+    BM25 + lnc tf-idf rankings fused by reciprocal-rank fusion
+    (Cormack et al. 2009, k=60) — the no-model hybrid-search baseline;
+    either leg swaps for an ANN ranking. The (doc, term, tf) aggregate
+    is computed once and shared by both legs. Tail entry: tfidf and
+    rrf legs have full DuckDB value parity and the composition is
+    pinned against manual fusion in tests/test_sampling_fusion.py."""
+    from graphrole_spark.functions.terms import hybrid_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(
+                    F.split(F.trim(F.coalesce("text", F.lit(""))), " +"),
+                    1,
+                    6,
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return hybrid_topk(docs, queries, k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2542,6 +2614,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chi2 identity, numpy Pearson) pytest-pinned in
         # tests/test_relevance.py
         "feature_relevance": q_feature_relevance,
+        # weighted_sample: SQL-expressible but past the 50-entry
+        # window; full DuckDB value parity (global + stratified A-ES
+        # keys) pytest-pinned in tests/test_sampling_fusion.py
+        "weighted_sample": q_weighted_sample,
+        # dedup_weights: SQL-expressible but past the 50-entry window;
+        # DuckDB value parity + mass conservation pytest-pinned in
+        # tests/test_sampling_fusion.py
+        "dedup_weights": q_dedup_weights,
+        # source_overlap: SQL-expressible but past the 50-entry
+        # window; full DuckDB value parity pytest-pinned in
+        # tests/test_sampling_fusion.py
+        "source_overlap": q_source_overlap,
+        # hybrid_search: composes bm25_topk + tfidf_search_topk +
+        # rrf_fuse; each leg has DuckDB value parity and the fusion is
+        # pinned against manual composition in
+        # tests/test_sampling_fusion.py
+        "hybrid_search": q_hybrid_search,
     }
 
 

@@ -187,6 +187,67 @@ def chunk_documents(
     )
 
 
+def weighted_sample(
+    documents: DataFrame,
+    n: int,
+    weight_col: str = "n_chars",
+    strata_col: str | None = None,
+    salt: str = "ws1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row gets key ``u^(1/w)`` with a portable
+    md5-derived uniform ``u`` (:func:`_md5_uniform`) and weight ``w``;
+    the ``n`` largest keys ARE an exact weight-proportional sample
+    without replacement. This is the quality-weighted downsampler — "cut
+    the corpus to n documents, preferring high quality scores" — that
+    plain ``df.sample`` (Bernoulli, replacement-free only per row, no
+    weights, partition-order dependent) cannot express.
+
+    Determinism: ``u`` depends only on ``id || salt``, so the chosen
+    sample is stable across runs, partitionings and cluster sizes, and
+    an external engine reproduces it exactly (the DuckDB oracle repeats
+    the same md5 arithmetic). Rows with NULL or non-positive weight are
+    excluded (A-ES assigns them key 0 in the limit — they can never
+    out-rank a positive-weight row and a 0^0 corner would be
+    engine-dependent). Keys are rounded to 12 decimals before ranking
+    with the id as tie-break, so cross-engine float noise in ``pow``
+    cannot flip a rank.
+
+    Plan (100 TB lens): global mode compiles to TakeOrderedAndProject —
+    every partition keeps its local top-``n`` and only ``partitions×n``
+    rows reach the driver-side merge; no full sort, no single-partition
+    window. Stratified mode (``strata_col``) is one window exchange on
+    the stratum key — ``n`` per stratum, same key arithmetic.
+
+    Returns ``(doc_id[, stratum], weight, samp_key, rank)``.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = _md5_uniform(F.col(id_col), salt)
+    key = F.round(F.pow(u, F.lit(1.0) / w), 12)
+    base = documents.where(w.isNotNull() & (w > 0)).select(
+        id_col,
+        *([F.col(strata_col).alias("stratum")] if strata_col else []),
+        w.alias("weight"),
+        key.alias("samp_key"),
+    )
+    if strata_col is None:
+        out = base.orderBy(F.desc("samp_key"), F.asc(id_col)).limit(n)
+        win = Window.orderBy(F.desc("samp_key"), F.asc(id_col))
+        # rank over the already-limited n rows — the window sees ≤ n rows,
+        # so the single-partition window is bounded, not a corpus sort
+        return out.withColumn("rank", F.row_number().over(win))
+    win = Window.partitionBy("stratum").orderBy(
+        F.desc("samp_key"), F.asc(id_col)
+    )
+    return (
+        base.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= n)
+    )
+
+
 def split_assign(
     documents: DataFrame,
     val_frac: float = 0.1,

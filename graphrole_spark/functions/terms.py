@@ -158,6 +158,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     query_text_col: str = "text",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query under Okapi BM25 (Robertson &
     Walker, SIGIR 1994) with the Lucene non-negative idf variant —
@@ -175,6 +176,9 @@ def bm25_topk(
     with N = documents containing ≥1 token, dl the document token
     count and avgdl its corpus mean.  Only documents sharing ≥1 term
     with the query are scored (standard inverted-index semantics).
+    ``tf`` optionally injects a precomputed, persisted
+    ``(doc_id, term, tf)`` frame so multi-leg callers
+    (:func:`hybrid_topk`) pay the corpus explode once.
 
     Plan (100 TB lens): ONE corpus explode feeds the pinned
     (doc, term, tf) aggregate; dl / avgdl / N / df all derive from that
@@ -188,10 +192,13 @@ def bm25_topk(
     Returns ``(query_id, doc_id, n_matched, bm25, rank)`` with
     rank ≤ k.
     """
-    inst = _doc_terms(documents, text_col)
-    tf = (
-        inst.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
-    )
+    if tf is None:
+        inst = _doc_terms(documents, text_col)
+        tf = (
+            inst.groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .persist()
+        )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("__dl"))
     stats = dl.agg(
         F.count("*").alias("__n_docs"), F.avg("__dl").alias("__avgdl")
@@ -230,6 +237,168 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    rankings,
+    k: int = 60,
+    topn: int | None = None,
+    id_cols=("query_id", "doc_id"),
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    the standard way to combine heterogeneous retrieval rankings
+    (lexical BM25 + embedding ANN, the "hybrid search" pattern) without
+    score calibration: fused score = Σ_lists 1/(k + rank), summed over
+    the lists where the document appears.
+
+    ``rankings`` is a sequence of DataFrames each carrying ``id_cols``
+    and an integer ``rank_col`` (1-based, as produced by
+    :func:`bm25_topk`, :func:`tfidf_topk` and the similarity top-k
+    family). ``k=60`` is the published default; ``topn`` truncates the
+    fused ranking per query.
+
+    Plan (100 TB lens): union the (already top-k-bounded) rankings —
+    each contributes ≤ queries×k rows — then ONE partial-aggregated
+    groupBy on ``id_cols`` and one per-query window. The fused score is
+    rounded to 9 decimals before ranking with the doc id as tie-break
+    (engine-portable, same convention as the retrieval operators).
+
+    Returns ``id_cols + (n_lists, rrf, rank)``.
+    """
+    rankings = list(rankings)
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    if k <= 0:
+        raise ValueError("k must be positive (RRF denominator k + rank)")
+    id_cols = list(id_cols)
+    cols = id_cols + [rank_col]
+    unioned = rankings[0].select(*cols)
+    for r in rankings[1:]:
+        unioned = unioned.unionByName(r.select(*cols))
+    fused = (
+        unioned.groupBy(*id_cols)
+        .agg(
+            F.count("*").cast("int").alias("n_lists"),
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))), 9
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy(id_cols[0]).orderBy(
+        F.desc("rrf"), *[F.asc(c) for c in id_cols[1:]]
+    )
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if topn is not None:
+        out = out.where(F.col("rank") <= topn)
+    return out
+
+
+def tfidf_search_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    query_text_col: str = "text",
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` documents per query under classic SMART lnc-style
+    tf-idf retrieval (Salton & Buckley 1988)::
+
+        score(q, d) = Σ_{t ∈ q ∩ d} (1 + ln tf) · ln(N / df) / sqrt(dl)
+
+    — sublinear term frequency, idf weighting, sqrt-length
+    normalization, query-side term frequency ignored (matching
+    :func:`bm25_topk`'s Lucene convention). The second lexical leg for
+    :func:`hybrid_topk`: it length-normalizes harder and damps tf
+    faster than BM25, so the two rankings disagree exactly where RRF
+    fusion helps.
+
+    Plan: identical shuffle shape to :func:`bm25_topk` — one pinned
+    (doc, term, tf) aggregate feeds df/dl/N, the distinct query-term
+    probe is broadcast, one (query, doc) partial-aggregated sum, one
+    per-query window. Scores round to 6 decimals, doc id tie-break.
+
+    Returns ``(query_id, doc_id, n_matched, tfidf, rank)``.
+    """
+    if tf is None:
+        inst = _doc_terms(documents, text_col)
+        tf = (
+            inst.groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .persist()
+        )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("__dl"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("__n_docs"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = (
+        queries.select(
+            "query_id", F.explode(tokens(F.col(query_text_col))).alias("term")
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    contrib = (
+        (1 + F.log(F.col("tf")))
+        * F.log(F.col("__n_docs") / F.col("df"))
+        / F.sqrt(F.col("__dl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(F.sum(contrib), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("tfidf"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hybrid_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Hybrid lexical retrieval: fuse :func:`bm25_topk` and
+    :func:`tfidf_search_topk` rankings for the same queries with
+    :func:`rrf_fuse`. BM25 rewards rare-term matches under mild length
+    normalization; lnc tf-idf damps tf and normalizes length harder —
+    their RRF fusion is the no-model "hybrid search" baseline (swap
+    either leg for an ANN ranking when an embedding model exists;
+    :func:`rrf_fuse` is leg-agnostic).
+
+    Both legs share retrieval depth ``k`` and the fused ranking is
+    truncated to ``k`` per query; the (doc, term, tf) aggregate is
+    computed ONCE and injected into both legs, so the corpus explode
+    runs a single time (the PERF fan-out rule).
+    """
+    tf = (
+        _doc_terms(documents, text_col)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    bm = bm25_topk(
+        documents, queries, k=k,
+        text_col=text_col, query_text_col=query_text_col, tf=tf,
+    )
+    ti = tfidf_search_topk(
+        documents, queries, k=k,
+        text_col=text_col, query_text_col=query_text_col, tf=tf,
+    )
+    return rrf_fuse([bm, ti], k=rrf_k, topn=k)
 
 
 def score_buckets(

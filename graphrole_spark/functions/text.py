@@ -294,6 +294,101 @@ def cap_duplicates(
     ).withColumn("keep", (F.col("dup_rank") <= k).cast("int"))
 
 
+def dedup_weights(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft dedup: collapse each exact-content group to its canonical
+    (min-id) survivor carrying ``weight = group size`` — the
+    loss-reweighting alternative to dropping duplicates outright.
+    Training on the survivor with a per-example weight preserves the
+    corpus' empirical distribution (a document seen 50 times still
+    contributes 50 examples' worth of gradient) while the dataset
+    itself shrinks to distinct content; downstream samplers
+    (:func:`~graphrole_spark.functions.corpus.weighted_sample`) and
+    loss-weighted trainers consume the weight column directly.
+
+    One hash groupBy (identical shuffle shape to
+    :func:`exact_duplicates`); NULL text forms its own group, matching
+    :func:`cap_duplicates`. Returns ``(doc_id, content_hash, weight)``
+    with one row per distinct content.
+    """
+    h = F.when(F.col(text_col).isNotNull(), F.md5(F.col(text_col)))
+    return (
+        documents.select(h.alias("content_hash"), id_col)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").cast("long").alias("weight"),
+        )
+        .select(id_col, "content_hash", "weight")
+    )
+
+
+def source_overlap(
+    documents: DataFrame,
+    key=None,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct content keys appear in BOTH — the audit that catches one
+    crawl re-ingesting another (or an eval set leaking into a training
+    source) before mixing weights are chosen.
+
+    ``key`` is the content key expression (default: md5 of the raw
+    text). Pass a coarser key — a normalized-prefix hash, a minhash
+    band, a fingerprint — to measure near-boilerplate overlap instead
+    of byte-exact overlap.
+
+    Plan (100 TB lens): dedupe to distinct ``(source, key)`` pairs
+    (one hash aggregate), then self-equi-join on the key — the join
+    fan-out per key is bounded by the number of sources carrying it
+    (never all-pairs over documents), and the pair aggregate is
+    partial-aggregated map-side. A second tiny aggregate (per-source
+    distinct-key totals, broadcast back) turns shared counts into
+    coverage fractions. Returns
+    ``(source_a, source_b, n_shared, frac_a, frac_b)`` with
+    ``source_a < source_b``, fractions rounded to 6.
+    """
+    if key is None:
+        key = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    if not isinstance(key, Column):
+        raise TypeError("key must be a Column expression or None")
+    base = documents
+    pairs = (
+        base.select(F.col(source_col).alias("source"), key.alias("__k"))
+        .distinct()
+    )
+    totals = pairs.groupBy("source").agg(
+        F.count("*").cast("long").alias("__total")
+    )
+    a = pairs.select(F.col("source").alias("source_a"), "__k")
+    b = pairs.select(F.col("source").alias("source_b"), "__k")
+    shared = (
+        a.join(b, "__k")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ta = F.broadcast(totals.select(F.col("source").alias("source_a"),
+                                   F.col("__total").alias("__ta")))
+    tb = F.broadcast(totals.select(F.col("source").alias("source_b"),
+                                   F.col("__total").alias("__tb")))
+    return (
+        shared.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("__ta"), 6).alias("frac_a"),
+            F.round(F.col("n_shared") / F.col("__tb"), 6).alias("frac_b"),
+        )
+    )
+
+
 def dedup_lines(
     documents: DataFrame,
     text_col: str = "text",
