@@ -203,6 +203,10 @@ def main() -> None:
         "bt_leaderboard",
         "target_encode",
         "feature_relevance",
+        "weighted_sample",
+        "dedup_weights",
+        "source_overlap",
+        "hybrid_search",
     ]
     queries = entrymod.queries()
     for name in suite:
