@@ -2341,6 +2341,42 @@ def q_hybrid_search(spark, sf_dir):
     return hybrid_topk(docs, queries, k=10)
 
 
+def q_dq_checks(spark, sf_dir):
+    """Declarative data-quality expectations (functions/expectations.py
+    ::expect) over orders + documents: not_null / in_set / in_range /
+    regex / key-uniqueness / row-count band compile into ONE
+    conditional-aggregate scan per table (inline explode, plan-shape
+    pytest-pinned), plus the orders→customer foreign-key anti-join —
+    the validate-before-training gate. Tail entry: full DuckDB value
+    parity pytest-pinned in tests/test_expectations.py."""
+    from graphrole_spark.functions.expectations import expect
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    doc_checks = expect(
+        docs,
+        [
+            {"check": "not_null", "column": "text"},
+            {"check": "unique", "columns": ["doc_id"]},
+            {"check": "in_range", "column": "n_chars", "min": 0},
+            {"check": "row_count", "min": 1},
+        ],
+    ).select(F.lit("documents").alias("table"), "*")
+    order_checks = expect(
+        orders,
+        [
+            {"check": "not_null", "column": "o_custkey"},
+            {"check": "in_set", "column": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"check": "unique", "columns": ["o_orderkey"]},
+            {"check": "fk", "column": "o_custkey", "ref": customer,
+             "ref_column": "c_custkey"},
+        ],
+    ).select(F.lit("orders").alias("table"), "*")
+    return doc_checks.unionByName(order_checks)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2631,6 +2667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned against manual composition in
         # tests/test_sampling_fusion.py
         "hybrid_search": q_hybrid_search,
+        # dq_checks: SQL-expressible but past the 50-entry window;
+        # full DuckDB value parity + single-scan plan shape
+        # pytest-pinned in tests/test_expectations.py
+        "dq_checks": q_dq_checks,
     }
 
 

@@ -207,6 +207,7 @@ def main() -> None:
         "dedup_weights",
         "source_overlap",
         "hybrid_search",
+        "dq_checks",
     ]
     queries = entrymod.queries()
     for name in suite:
