@@ -2377,6 +2377,23 @@ def q_dq_checks(spark, sf_dir):
     return doc_checks.unionByName(order_checks)
 
 
+def q_resample(spark, sf_dir):
+    """Regular-grid resampling with gap fill (temporal/ops.py::
+    resample): per-user event values onto a 30-minute grid, linear
+    interpolation across missing buckets, no extrapolation past either
+    end — the pandas-resample / time_bucket_gapfill twin that
+    regularizes bursty event streams for sequence models. Grid rows
+    come from sequence-explode of each present bucket's run (cost ∝
+    output), never a grid cross-join. Tail entry: full DuckDB value
+    parity + plan shape pytest-pinned in tests/test_resample.py."""
+    from graphrole_spark.temporal.ops import resample
+
+    events = _events(spark, sf_dir)
+    return resample(
+        events, ["user_id"], "ts", ["value"], every_seconds=1800
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2671,6 +2688,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full DuckDB value parity + single-scan plan shape
         # pytest-pinned in tests/test_expectations.py
         "dq_checks": q_dq_checks,
+        # resample: SQL-expressible but past the 50-entry window;
+        # full DuckDB value parity + two-exchange plan shape
+        # pytest-pinned in tests/test_resample.py
+        "resample": q_resample,
     }
 
 

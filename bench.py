@@ -208,6 +208,7 @@ def main() -> None:
         "source_overlap",
         "hybrid_search",
         "dq_checks",
+        "resample",
     ]
     queries = entrymod.queries()
     for name in suite:

@@ -273,3 +273,120 @@ def rolling_origin_folds(
             label = label.when(ts_dbl <= F.lit(cuts[i]), F.lit(i))
     label = label.otherwise(F.lit(n_folds))
     return df.withColumn(fold_col, label.cast("int"))
+
+
+def resample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    every_seconds: int,
+    agg: str = "last",
+    fill: str = "interpolate",
+) -> DataFrame:
+    """Resample an irregular per-key time series onto a regular
+    ``every_seconds`` grid and fill the gaps — pandas ``resample`` /
+    TimescaleDB ``time_bucket_gapfill``, engine-native. The regular-grid
+    prerequisite for sequence models and rolling features over event
+    streams whose raw timestamps are bursty.
+
+    Semantics per key:
+
+    1. each row lands in bucket ``floor(epoch(ts)/every)*every``;
+    2. buckets aggregate with ``agg`` — ``"last"`` (value at the max ts
+       in the bucket, ``max_by``), ``"mean"``, ``"min"``, ``"max"`` or
+       ``"sum"``;
+    3. every missing bucket strictly between two present buckets is
+       emitted with ``filled = 1`` and its value from ``fill``:
+       ``"interpolate"`` (linear between the surrounding present
+       buckets, rounded to 9 decimals — engine-portable),
+       ``"ffill"`` (previous present value) or ``"null"``.
+
+    The grid spans min..max present bucket per key — no extrapolation
+    beyond either end, so downstream point-in-time joins see no
+    fabricated future.
+
+    Plan (10^12-turn lens): the (key, bucket) aggregate shuffles
+    map-side-combined partials (bursty buckets collapse before the
+    wire); the gap window then re-hashes the already-bucket-sized
+    frame on the bare key — two exchanges, but the second moves
+    aggregate-sized data, which beats shuffling raw rows once (the
+    repartition-by-key-first alternative loses the combine). The grid
+    comes from ``sequence``-explode of each present bucket's run to
+    its successor — cost proportional to OUTPUT rows, never a per-key
+    driver loop or a grid cross-join. Dense keys explode at most
+    ``span/every`` rows; a key with one bucket emits one row.
+
+    Returns ``key_cols + (bucket_ts timestamp, <value_cols>..., filled
+    int)`` with one row per grid point.
+    """
+    aggs_fns = {
+        "last": lambda c: F.max_by(F.col(c), F.col("__ts")),
+        "mean": lambda c: F.avg(c),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+        "sum": lambda c: F.sum(c),
+    }
+    if agg not in aggs_fns:
+        raise ValueError(f"agg must be one of {sorted(aggs_fns)}")
+    if fill not in ("interpolate", "ffill", "null"):
+        raise ValueError("fill must be 'interpolate', 'ffill' or 'null'")
+    if every_seconds < 1:
+        raise ValueError("every_seconds must be >= 1")
+    every = int(every_seconds)
+
+    # TIMESTAMP_NTZ: hop through TIMESTAMP for the numeric epoch (UTC
+    # session, session.py)
+    ts_num = F.col(ts_col).cast("timestamp").cast("double")
+    bucket = (F.floor(ts_num / every) * every).cast("long")
+    bucketed = (
+        df.select(
+            *key_cols,
+            ts_num.alias("__ts"),
+            bucket.alias("__b"),
+            *value_cols,
+        )
+        .groupBy(*key_cols, "__b")
+        .agg(*[aggs_fns[agg](c).cast("double").alias(f"__v_{c}") for c in value_cols])
+    )
+    w = Window.partitionBy(*key_cols).orderBy("__b")
+    nxt = bucketed.select(
+        *key_cols,
+        "__b",
+        *[F.col(f"__v_{c}") for c in value_cols],
+        F.lead("__b").over(w).alias("__nb"),
+        *[F.lead(f"__v_{c}").over(w).alias(f"__nv_{c}") for c in value_cols],
+    )
+    # explode each present bucket's run [b, next_b) on the grid; the
+    # final bucket of a key (no successor) emits exactly itself
+    grid = nxt.withColumn(
+        "__g",
+        F.explode(
+            F.sequence(
+                F.col("__b"),
+                F.coalesce(F.col("__nb") - every, F.col("__b")),
+                F.lit(every),
+            )
+        ),
+    )
+    is_gap = F.col("__g") > F.col("__b")
+    vals = []
+    for c in value_cols:
+        v, nv = F.col(f"__v_{c}"), F.col(f"__nv_{c}")
+        if fill == "interpolate":
+            gap_val = F.round(
+                v + (nv - v) * (F.col("__g") - F.col("__b"))
+                / (F.col("__nb") - F.col("__b")),
+                9,
+            )
+        elif fill == "ffill":
+            gap_val = v
+        else:
+            gap_val = F.lit(None).cast("double")
+        vals.append(F.when(is_gap, gap_val).otherwise(v).alias(c))
+    return grid.select(
+        *key_cols,
+        F.col("__g").cast("timestamp").alias("bucket_ts"),
+        *vals,
+        is_gap.cast("int").alias("filled"),
+    )
