@@ -2394,6 +2394,23 @@ def q_resample(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered-step funnel (temporal/funnel.py): per-user
+    view→click→purchase conversion timestamps plus the per-step
+    summary (counts, conversion fractions, median seconds from step
+    1). One shuffle: k chained running-min windows over one sort, the
+    final groupBy reuses the partitioning (plan-shape pytest-pinned) —
+    never the k-way self-join funnel. Tail entry: full DuckDB
+    chained-window parity pytest-pinned in tests/test_funnel.py."""
+    from graphrole_spark.temporal.funnel import funnel
+
+    events = _events(spark, sf_dir)
+    return funnel(
+        events, ["user_id"], "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2692,6 +2709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full DuckDB value parity + two-exchange plan shape
         # pytest-pinned in tests/test_resample.py
         "resample": q_resample,
+        # funnel: SQL-expressible but past the 50-entry window; full
+        # DuckDB chained-running-min parity + one-exchange plan shape
+        # pytest-pinned in tests/test_funnel.py
+        "funnel": q_funnel,
     }
 
 

@@ -209,6 +209,7 @@ def main() -> None:
         "hybrid_search",
         "dq_checks",
         "resample",
+        "funnel",
     ]
     queries = entrymod.queries()
     for name in suite:
