@@ -2411,6 +2411,25 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Distributed PageRank (operators/pagerank.py) over the part->
+    supplier shipment graph (weights = quantities): share-normalized
+    transition edges computed once and pre-hashed on src, each
+    iteration one co-partitioned join + one dst aggregate, lineage
+    localCheckpoint-bounded, uniform dangling redistribution. Iterative
+    float fixpoint -- not SQL (like kmeans_cells); numpy
+    power-iteration parity pytest-pinned in tests/test_pagerank.py."""
+    from graphrole_spark.operators.pagerank import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        F.col("l_quantity").alias("weight"),
+    )
+    return pagerank(edges, n_iter=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2713,6 +2732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB chained-running-min parity + one-exchange plan shape
         # pytest-pinned in tests/test_funnel.py
         "funnel": q_funnel,
+        # pagerank: iterative float fixpoint -- not SQL (like
+        # kmeans_cells); numpy power-iteration parity (weighted,
+        # dangling, tol) pytest-pinned in tests/test_pagerank.py
+        "pagerank": q_pagerank,
     }
 
 

@@ -1,0 +1,178 @@
+"""Distributed PageRank over an edge DataFrame — the global-importance
+companion to the reference's local/egonet seed features (GraphRole
+computes degree-family features only, graphrole/graph/interface.py;
+role-discovery practice (ReFeX/RolX, Henderson et al. KDD'11/'12)
+routinely appends centrality columns to the regional feature matrix,
+and `pagerank_features` plugs straight into the engine's seed frame).
+
+Semantics: standard damped PageRank (Brin & Page 1998) with weighted
+out-edge distribution and uniform dangling-mass redistribution —
+``networkx.pagerank`` parity (same fixpoint, same dangling rule).
+
+Plan (100 TB lens): the transition structure is computed ONCE — one
+out-weight aggregate joined back to edges, the share-normalized edge
+frame persisted and hash-partitioned by ``src``. Each iteration is
+then exactly one co-partitioned join (ranks are hashed on the same
+key) + one ``dst`` aggregate + two scalar reductions (dangling mass,
+L1 delta when ``tol`` is set); rank lineage is truncated with
+``localCheckpoint`` every few iterations so the plan stays O(1) in
+``n_iter`` (the NMF/Dawid-Skene discipline). No driver-side graph —
+only per-iteration scalars reach the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CHECKPOINT_EVERY = 5
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 20,
+    tol: Optional[float] = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: Optional[str] = "weight",
+) -> DataFrame:
+    """PageRank scores for every node appearing as ``src`` or ``dst``.
+
+    * ``damping`` — teleport 1−d to a uniform jump (d in (0, 1)).
+    * ``n_iter`` — fixed iteration budget.
+    * ``tol`` — optional early stop when the L1 rank delta falls below
+      it (costs one extra scalar reduction per iteration).
+    * ``weight_col`` — out-edge mass is distributed ∝ weight
+      (``None`` → unweighted). Non-positive / NULL weights are
+      dropped — a node reachable ONLY via dropped edges does not
+      appear in the output at all; parallel edges accumulate.
+    * dangling nodes (no out-edges) spread their mass uniformly over
+      ALL nodes each iteration — the ``networkx.pagerank`` rule, so
+      ranks sum to 1 at every step.
+
+    Returns ``(node, rank)`` with ``sum(rank) = 1``.
+
+    Reference scope note: GraphRole itself stops at degree/egonet
+    features (graphrole/graph/interface.py:60-150); this operator is
+    part of the engine's beyond-reference graph layer.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if tol is not None and tol <= 0:
+        raise ValueError("tol must be positive")
+
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    if weight_col is not None:
+        e = e.where(F.col("w").isNotNull() & (F.col("w") > 0))
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+
+    out_w = e.groupBy("src").agg(F.sum("w").alias("__ow"))
+    # share-normalized transition edges: computed once, pinned, and
+    # pre-hashed on src so every iteration's join is co-partitioned
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("__ow")).alias("share"))
+        .repartition("src")
+        .persist()
+    )
+    trans.count()
+    # dangling = nodes with no out-edges (left-anti against src set)
+    dangling = nodes.join(
+        trans.select(F.col("src").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    ).persist()
+
+    d = float(damping)
+    base = (1.0 - d) / n
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n).alias("rank")
+    ).repartition("node").persist()
+    ranks.count()
+
+    for it in range(n_iter):
+        dang_mass = (
+            dangling.join(ranks, "node").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            trans.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("__c"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("__c"), F.lit(0.0))
+                       + F.lit(dang_mass / n))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % _CHECKPOINT_EVERY == 0 or it == n_iter - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks = new_ranks.repartition("node").persist()
+            new_ranks.count()
+        if tol is not None:
+            delta = (
+                ranks.withColumnRenamed("rank", "__old")
+                .join(new_ranks, "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
+                .collect()[0][0]
+            )
+            if delta is not None and delta < tol:
+                ranks.unpersist()
+                ranks = new_ranks
+                break
+        ranks.unpersist()
+        ranks = new_ranks
+
+    return ranks.select("node", F.round("rank", 12).alias("rank"))
+
+
+def pagerank_features(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: Optional[str] = "weight",
+) -> DataFrame:
+    """:func:`pagerank` shaped like a seed-feature frame
+    (``node, pagerank``) so it concatenates with
+    ``operators/seeds.py`` outputs on the ``node`` key."""
+    return pagerank(
+        edges,
+        damping=damping,
+        n_iter=n_iter,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=weight_col,
+    ).withColumnRenamed("rank", "pagerank")
