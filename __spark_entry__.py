@@ -2430,6 +2430,36 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, n_iter=8)
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle (temporal/cohort.py): weekly first-
+    seen cohorts x offset with activity counts and retention
+    fractions -- the return-behavior companion to the funnel. One
+    (key, period) distinct aggregate, cohort via per-key window, one
+    (cohort, offset) count; output is cohorts x offsets rows. Tail
+    entry: full DuckDB value parity pytest-pinned in
+    tests/test_cohort_anomaly.py."""
+    from graphrole_spark.temporal.cohort import cohort_retention
+
+    events = _events(spark, sf_dir)
+    return cohort_retention(events, ["user_id"], "ts", period="week")
+
+
+def q_rolling_anomalies(spark, sf_dir):
+    """Leakage-safe rolling z-score anomaly flags (temporal/ops.py::
+    rolling_anomalies): each event scored against the mean/std of the
+    20 rows strictly before it per user (frame [-20,-1] -- the current
+    value never inflates its own baseline). One window exchange;
+    mean/std/count share a frame. Tail entry: full DuckDB value parity
+    pytest-pinned in tests/test_cohort_anomaly.py."""
+    from graphrole_spark.temporal.ops import rolling_anomalies
+
+    events = _events(spark, sf_dir)
+    return rolling_anomalies(
+        events.select("event_id", "user_id", "ts", "value"),
+        ["user_id"], "ts", "value", window=20, z_thresh=3.0,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2736,6 +2766,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kmeans_cells); numpy power-iteration parity (weighted,
         # dangling, tol) pytest-pinned in tests/test_pagerank.py
         "pagerank": q_pagerank,
+        # cohort_retention: SQL-expressible but past the 50-entry
+        # window; full DuckDB value parity pytest-pinned in
+        # tests/test_cohort_anomaly.py
+        "cohort_retention": q_cohort_retention,
+        # rolling_anomalies: SQL-expressible but past the 50-entry
+        # window; full DuckDB value parity pytest-pinned in
+        # tests/test_cohort_anomaly.py
+        "rolling_anomalies": q_rolling_anomalies,
     }
 
 

@@ -210,6 +210,8 @@ def main() -> None:
         "dq_checks",
         "resample",
         "funnel",
+        "cohort_retention",
+        "rolling_anomalies",
     ]
     queries = entrymod.queries()
     for name in suite:

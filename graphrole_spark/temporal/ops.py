@@ -390,3 +390,62 @@ def resample(
         *vals,
         is_gap.cast("int").alias("filled"),
     )
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    window: int = 20,
+    z_thresh: float = 3.0,
+    min_periods: int = 5,
+) -> DataFrame:
+    """Leakage-safe rolling z-score anomaly flags: each row is scored
+    against the mean/std of the ``window`` rows STRICTLY BEFORE it in
+    its key's time order (frame ``[-window, -1]`` — the current value
+    never contributes to its own baseline, the same zero-leakage
+    discipline as ``prefix_aggregate``). The first-gate monitoring
+    signal for metric streams and per-conversation feature drift.
+
+    Rows with fewer than ``min_periods`` predecessors, or a zero/NULL
+    trailing std, get ``z = NULL`` and ``is_anomaly = 0`` (a cold
+    start is not an anomaly). ``z`` is rounded to 9 decimals
+    (engine-portable); ties in ``ts`` are ordered by the remaining
+    ``df`` columns' first key for determinism — pass a unique
+    tie-break column as the last entry of ``key_cols``'s ordering via
+    ``ts_col`` tuples upstream if needed.
+
+    One window exchange on ``key_cols``; mean/std/count share one
+    frame so Catalyst evaluates them in a single pass.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if min_periods < 1:
+        raise ValueError("min_periods must be >= 1")
+    if z_thresh <= 0:
+        raise ValueError("z_thresh must be positive")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col))
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col).cast("double")
+    mean = F.avg(v).over(w)
+    std = F.stddev_samp(v).over(w)
+    n = F.count(v).over(w)
+    z = F.when(
+        (n >= min_periods) & std.isNotNull() & (std > 0),
+        F.round((v - mean) / std, 9),
+    )
+    return (
+        df.withColumn("trail_n", n.cast("int"))
+        .withColumn("trail_mean", F.round(mean, 9))
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            (F.abs(F.col("z")) > F.lit(float(z_thresh)))
+            .cast("int"),
+        )
+        .fillna({"is_anomaly": 0})
+    )

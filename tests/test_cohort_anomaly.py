@@ -1,0 +1,155 @@
+"""Tests for temporal/cohort.py::cohort_retention and
+temporal/ops.py::rolling_anomalies (DuckDB parity + invariants)."""
+
+import datetime as dt
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+
+def _events_pdf(seed=17, n_users=60):
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(n_users):
+        start = rng.randint(0, 21)  # first-seen day over 3 weeks
+        for _ in range(rng.randint(1, 15)):
+            d = start + rng.randint(0, 40)
+            rows.append(
+                (u, base + dt.timedelta(days=d, seconds=rng.randint(0, 86399)),
+                 round(rng.uniform(0, 100), 2))
+            )
+    return pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+
+
+def test_cohort_retention_duckdb_parity(spark):
+    from graphrole_spark.temporal.cohort import cohort_retention
+
+    pdf = _events_pdf()
+    df = spark.createDataFrame(pdf)
+    got = (
+        cohort_retention(df, ["user_id"], "ts", period="week")
+        .orderBy("cohort_ts", "offset")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    oracle = con.execute("""
+        WITH a AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS b
+          FROM t),
+        c AS (
+          SELECT *, min(b) OVER (PARTITION BY user_id) AS cohort FROM a),
+        o AS (
+          SELECT cohort, CAST((b - cohort) / 604800 AS INT) AS off
+          FROM c),
+        cnt AS (
+          SELECT cohort, off, CAST(count(*) AS BIGINT) AS n_active
+          FROM o GROUP BY 1, 2),
+        sz AS (
+          SELECT *, max(CASE WHEN off = 0 THEN n_active END)
+                      OVER (PARTITION BY cohort) AS cohort_size
+          FROM cnt)
+        SELECT cohort, off AS offset_, n_active, cohort_size,
+               round(n_active / cohort_size, 6) AS retention
+        FROM sz ORDER BY cohort, off
+    """).df()
+    assert [x.timestamp() for x in got["cohort_ts"]] == oracle[
+        "cohort"
+    ].tolist()
+    assert got["offset"].tolist() == oracle["offset_"].tolist()
+    for c in ["n_active", "cohort_size"]:
+        assert got[c].tolist() == oracle[c].tolist(), c
+    assert got["retention"].tolist() == pytest.approx(
+        oracle["retention"].tolist(), abs=1e-9
+    )
+    # offset-0 rows are retention 1 by construction
+    assert (got.loc[got["offset"] == 0, "retention"] == 1.0).all()
+    # retention never exceeds 1
+    assert (got["retention"] <= 1.0).all()
+
+
+def test_cohort_retention_max_offset_and_validation(spark):
+    from graphrole_spark.temporal.cohort import cohort_retention
+
+    pdf = _events_pdf(seed=3)
+    df = spark.createDataFrame(pdf)
+    got = cohort_retention(
+        df, ["user_id"], "ts", period="day", max_offset=7
+    ).toPandas()
+    assert got["offset"].max() <= 7
+    with pytest.raises(ValueError):
+        cohort_retention(df, ["user_id"], "ts", period="month")
+    with pytest.raises(ValueError):
+        cohort_retention(df, ["user_id"], "ts", max_offset=-1)
+
+
+def test_rolling_anomalies_duckdb_parity(spark):
+    from graphrole_spark.temporal.ops import rolling_anomalies
+
+    pdf = _events_pdf(seed=23)
+    # unique ts per user (dedupe) so both engines' sorts agree
+    pdf = pdf.drop_duplicates(subset=["user_id", "ts"]).reset_index(drop=True)
+    df = spark.createDataFrame(pdf)
+    got = (
+        rolling_anomalies(
+            df, ["user_id"], "ts", "value", window=5, z_thresh=1.5,
+            min_periods=3,
+        )
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    oracle = con.execute("""
+        SELECT user_id, ts, value,
+               CAST(count(value) OVER w AS INT) AS trail_n,
+               round(avg(value) OVER w, 9) AS trail_mean,
+               CASE WHEN count(value) OVER w >= 3
+                         AND stddev_samp(value) OVER w > 0
+                    THEN round((value - avg(value) OVER w)
+                               / stddev_samp(value) OVER w, 9)
+               END AS z
+        FROM t
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+        ORDER BY user_id, ts
+    """).df()
+    assert got["trail_n"].tolist() == oracle["trail_n"].tolist()
+    gz = [None if pd.isna(x) else x for x in got["z"]]
+    oz = [None if pd.isna(x) else x for x in oracle["z"]]
+    assert len(gz) == len(oz)
+    for a, b in zip(gz, oz):
+        if a is None or b is None:
+            assert a is None and b is None
+        else:
+            assert a == pytest.approx(b, abs=1e-8)
+    # flags consistent with |z| > 1.5; cold starts are never anomalies
+    want_flags = [0 if x is None else int(abs(x) > 1.5) for x in gz]
+    assert got["is_anomaly"].tolist() == want_flags
+
+
+def test_rolling_anomalies_leakage_free_and_validation(spark):
+    from graphrole_spark.temporal.ops import rolling_anomalies
+
+    # a huge spike must NOT suppress its own z by inflating the
+    # baseline — the trailing frame excludes the current row
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(minutes=i), 10.0 + (i % 3) * 0.5)
+            for i in range(10)]
+    rows.append((1, base + dt.timedelta(minutes=10), 1000.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = (
+        rolling_anomalies(df, ["user_id"], "ts", "value", window=5,
+                          z_thresh=3.0)
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert got.iloc[-1]["is_anomaly"] == 1
+    assert got.iloc[-1]["z"] > 100  # baseline untouched by the spike
+    for bad in (dict(window=0), dict(min_periods=0), dict(z_thresh=0)):
+        with pytest.raises(ValueError):
+            rolling_anomalies(df, ["user_id"], "ts", "value", **bad)
