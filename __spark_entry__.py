@@ -2460,6 +2460,55 @@ def q_rolling_anomalies(spark, sf_dir):
     )
 
 
+def q_ab_test(spark, sf_dir):
+    """A/B rollout adjudication (functions/experiment.py::ab_test):
+    deterministic md5 variant assignment over events, CUPED-adjusted
+    (pre-metric = a correlated md5-noise covariate) Welch z-test vs
+    control. ONE moment aggregate per variant, pooled-theta and
+    control rows broadcast back. Tail entry: plain-mode DuckDB parity
+    + CUPED python-oracle/variance-reduction contracts pytest-pinned
+    in tests/test_experiment.py."""
+    from graphrole_spark.functions.experiment import ab_test
+
+    events = _events(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    assigned = events.select(
+        F.concat(F.lit("v"), (h % 3).cast("string")).alias("variant"),
+        F.col("value").alias("metric"),
+        # correlated pre-period covariate: value + deterministic noise
+        (F.col("value") + (h % 100) / 10.0).alias("pre"),
+    )
+    return ab_test(
+        assigned, "variant", "metric", control="v0", pre_metric_col="pre"
+    )
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival (functions/experiment.py::kaplan_meier):
+    per-event-type time-to-event curves over events (duration = value,
+    right-censoring from an md5 bit). One (group, duration) count
+    aggregate + one ordered window pass; the running product is
+    exp(sum(log)) with an exact zero-factor flag. Tail entry: python
+    product-limit parity + censoring/zero goldens pytest-pinned in
+    tests/test_experiment.py."""
+    from graphrole_spark.functions.experiment import kaplan_meier
+
+    events = _events(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    obs = events.select(
+        "event_type",
+        F.round(F.col("value"), 1).alias("duration"),
+        (h % 10 < 7).cast("int").alias("event"),
+    )
+    return kaplan_meier(
+        obs, "duration", "event", group_cols=["event_type"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2774,6 +2823,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; full DuckDB value parity pytest-pinned in
         # tests/test_cohort_anomaly.py
         "rolling_anomalies": q_rolling_anomalies,
+        # ab_test: SQL-expressible but past the 50-entry window;
+        # plain-mode DuckDB parity + CUPED python oracle pytest-pinned
+        # in tests/test_experiment.py
+        "ab_test": q_ab_test,
+        # kaplan_meier: SQL-expressible but past the 50-entry window;
+        # python product-limit parity pytest-pinned in
+        # tests/test_experiment.py
+        "kaplan_meier": q_kaplan_meier,
     }
 
 

@@ -212,6 +212,8 @@ def main() -> None:
         "funnel",
         "cohort_retention",
         "rolling_anomalies",
+        "ab_test",
+        "kaplan_meier",
     ]
     queries = entrymod.queries()
     for name in suite:
