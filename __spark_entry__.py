@@ -2509,6 +2509,33 @@ def q_kaplan_meier(spark, sf_dir):
     )
 
 
+def q_skew_join(spark, sf_dir):
+    """Hot-key salted equi-join (operators/joins.py::salted_join):
+    events (fact) joined to a per-user dimension with the heaviest
+    user spread over 8 salt sub-keys, then aggregated per user --
+    result rows identical to the plain join (parity pytest-pinned),
+    only the physical distribution changes. skew_stats picks the hot
+    key the same way a pipeline would. Tail entry: exact plain-join
+    parity (inner/left/NULL-key) pytest-pinned in
+    tests/test_salted_join.py."""
+    from graphrole_spark.operators.joins import salted_join
+
+    events = _events(spark, sf_dir)
+    dim = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("user_events"),
+        F.round(F.avg("value"), 6).alias("user_mean_value"),
+    )
+    hot = [r[0] for r in
+           events.groupBy("user_id").count()
+           .orderBy(F.desc("count"), F.asc("user_id")).limit(1).collect()]
+    joined = salted_join(events, dim, "user_id", salt=8, hot_keys=hot)
+    return (
+        joined.groupBy("user_id", "user_events", "user_mean_value")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_joined"))
+        .orderBy("user_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2831,6 +2858,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # python product-limit parity pytest-pinned in
         # tests/test_experiment.py
         "kaplan_meier": q_kaplan_meier,
+        # skew_join: SQL-expressible (it IS a plain join, semantically)
+        # but past the 50-entry window; exact plain-join parity
+        # pytest-pinned in tests/test_salted_join.py
+        "skew_join": q_skew_join,
     }
 
 

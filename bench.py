@@ -214,6 +214,7 @@ def main() -> None:
         "rolling_anomalies",
         "ab_test",
         "kaplan_meier",
+        "skew_join",
     ]
     queries = entrymod.queries()
     for name in suite:
