@@ -2536,6 +2536,39 @@ def q_skew_join(spark, sf_dir):
     )
 
 
+def q_split_leakage(spark, sf_dir):
+    """Split-leakage audit (functions/dedup_graph.py::split_leakage):
+    duplicate pairs (each non-canonical doc paired with its exact-
+    content canonical) checked against the hash train/val/test
+    assignment -- counts per unordered split pair with a leaking flag,
+    unassigned endpoints surfaced rather than dropped. Two equi-joins
+    of the bounded pair list + one tiny aggregate. Tail entry: full
+    DuckDB value parity pytest-pinned in tests/test_dedup_graph.py."""
+    from graphrole_spark.functions.corpus import split_assign
+    from graphrole_spark.functions.dedup_graph import split_leakage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # near-dup key = 24-char prefix hash (boilerplate-style): the
+    # synthetic corpus has almost no byte-exact duplicates, so the
+    # coarser key exercises the audit at every SF
+    groups = docs.select(
+        F.md5(F.substring(F.coalesce("text", F.lit("")), 1, 24)).alias(
+            "content_hash"
+        ),
+        "doc_id",
+    )
+    canon = groups.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id_a")
+    )
+    pairs = (
+        groups.join(canon, "content_hash")
+        .where(F.col("doc_id") != F.col("doc_id_a"))
+        .select("doc_id_a", F.col("doc_id").alias("doc_id_b"))
+    )
+    assignment = split_assign(docs, val_frac=0.1, test_frac=0.1)
+    return split_leakage(pairs, assignment)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2862,6 +2895,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # but past the 50-entry window; exact plain-join parity
         # pytest-pinned in tests/test_salted_join.py
         "skew_join": q_skew_join,
+        # split_leakage: SQL-expressible but past the 50-entry window;
+        # full DuckDB value parity pytest-pinned in
+        # tests/test_dedup_graph.py
+        "split_leakage": q_split_leakage,
     }
 
 

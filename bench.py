@@ -215,6 +215,7 @@ def main() -> None:
         "ab_test",
         "kaplan_meier",
         "skew_join",
+        "split_leakage",
     ]
     queries = entrymod.queries()
     for name in suite:

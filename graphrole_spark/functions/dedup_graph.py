@@ -228,3 +228,58 @@ def dedup_keep(
         F.count("*").over(wsz).alias("cluster_size"),
         (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )
+
+
+def split_leakage(
+    pairs: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    pair_cols: tuple[str, str] = ("doc_id_a", "doc_id_b"),
+) -> DataFrame:
+    """Audit an EXISTING train/val/test assignment against a near-dup
+    pair list: count pairs whose endpoints landed in different splits
+    — the leakage the group-aware splitters (`conversations.py::
+    split_conversations`, `corpus.split_assign` on cluster keys)
+    prevent by construction, and the first thing to check on a split
+    you inherited rather than built.
+
+    Returns one row per unordered split pair:
+    ``(split_a, split_b, n_pairs, leaking)`` with ``split_a <=
+    split_b`` and ``leaking = 1`` iff the splits differ (diagonal rows
+    are the benign within-split duplicate counts, kept for context).
+    Pairs with an endpoint missing from ``assignment`` are counted
+    under split ``"(unassigned)"`` — silent drops would hide exactly
+    the rows most likely to be wrong.
+
+    Plan: two broadcast-or-shuffle equi-joins of the (bounded,
+    candidate-sized) pair list against the assignment, one tiny
+    aggregate. The assignment side is (id, split) only — column-pruned
+    at the scan.
+    """
+    a_col, b_col = pair_cols
+    asg = assignment.select(
+        F.col(id_col).alias("__id"), F.col(split_col).alias("__s")
+    )
+    joined = (
+        pairs.select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .join(asg.withColumnRenamed("__id", "__a")
+              .withColumnRenamed("__s", "__sa"), "__a", "left")
+        .join(asg.withColumnRenamed("__id", "__b")
+              .withColumnRenamed("__s", "__sb"), "__b", "left")
+    )
+    sa = F.coalesce(F.col("__sa"), F.lit("(unassigned)"))
+    sb = F.coalesce(F.col("__sb"), F.lit("(unassigned)"))
+    return (
+        joined.select(
+            F.least(sa, sb).alias("split_a"),
+            F.greatest(sa, sb).alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn(
+            "leaking",
+            (F.col("split_a") != F.col("split_b")).cast("int"),
+        )
+        .orderBy("split_a", "split_b")
+    )

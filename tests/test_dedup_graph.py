@@ -179,3 +179,52 @@ def test_cc_plan_has_no_nested_loop_join(spark):
         plan = _star_round(edges, large=large)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_leakage_duckdb_parity_and_unassigned(spark):
+    """functions/dedup_graph.py::split_leakage — cross-split near-dup
+    audit with (unassigned) passthrough; DuckDB value parity."""
+    import duckdb
+    import pandas as pd
+
+    from graphrole_spark.functions.dedup_graph import split_leakage
+
+    pairs = pd.DataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7), (8, 99)],
+        columns=["doc_id_a", "doc_id_b"],
+    )
+    asg = pd.DataFrame(
+        [(1, "train"), (2, "train"), (3, "test"), (4, "train"),
+         (5, "val"), (6, "test"), (7, "test"), (8, "train")],
+        columns=["doc_id", "split"],
+    )
+    got = split_leakage(
+        spark.createDataFrame(pairs), spark.createDataFrame(asg)
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("p", pairs)
+    con.register("a", asg)
+    oracle = con.execute("""
+        WITH j AS (
+          SELECT coalesce(sa.split, '(unassigned)') AS s1,
+                 coalesce(sb.split, '(unassigned)') AS s2
+          FROM p
+          LEFT JOIN a sa ON p.doc_id_a = sa.doc_id
+          LEFT JOIN a sb ON p.doc_id_b = sb.doc_id)
+        SELECT least(s1, s2) AS split_a, greatest(s1, s2) AS split_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(least(s1, s2) <> greatest(s1, s2) AS INT) AS leaking
+        FROM j GROUP BY 1, 2, 4 ORDER BY 1, 2
+    """).df()
+    for c in ["split_a", "split_b", "n_pairs", "leaking"]:
+        assert got[c].tolist() == oracle[c].tolist(), c
+    # the known layout: 1-2 within train, 2-3 leaks, 4-5 leaks,
+    # 6-7 within test, 8-99 hits (unassigned)
+    by = {(r["split_a"], r["split_b"]): r["n_pairs"]
+          for _, r in got.iterrows()}
+    assert by[("train", "train")] == 1
+    assert by[("test", "train")] == 1
+    assert by[("train", "val")] == 1
+    assert by[("(unassigned)", "train")] == 1
+    leak_total = got.loc[got["leaking"] == 1, "n_pairs"].sum()
+    assert leak_total == 3  # 2-3, 4-5, and the unassigned pair
