@@ -2569,6 +2569,31 @@ def q_split_leakage(spark, sf_dir):
     return split_leakage(pairs, assignment)
 
 
+def q_rank_normalize(spark, sf_dir):
+    """Rank-gauss feature normalization (operators/normalize.py::
+    rank_normalize): document n_chars and whitespace token count
+    mapped through their approximate empirical CDF (256-point
+    equiprobable percentile_approx grid, ONE mergeable-sketch fit
+    aggregate) and the codegen Acklam inverse-normal -- heavy-tailed
+    features become standard-normal in a pure projection, no joins or
+    windows. Tail entry: python interpolation parity + stdlib
+    inverse-normal parity + distribution-shape properties pytest-
+    pinned in tests/test_rank_normalize.py."""
+    from graphrole_spark.operators.normalize import rank_normalize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(F.split(F.trim(F.coalesce("text", F.lit(""))), " +"))
+        .cast("double")
+        .alias("n_tokens"),
+    )
+    return rank_normalize(
+        feats, ["n_chars", "n_tokens"], bins=256, method="gauss"
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2899,6 +2924,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full DuckDB value parity pytest-pinned in
         # tests/test_dedup_graph.py
         "split_leakage": q_split_leakage,
+        # rank_normalize: approximate-sketch fit (percentile_approx)
+        # has no SQL twin; interpolation + inverse-normal python
+        # parity pytest-pinned in tests/test_rank_normalize.py
+        "rank_normalize": q_rank_normalize,
     }
 
 

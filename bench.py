@@ -216,6 +216,7 @@ def main() -> None:
         "kaplan_meier",
         "skew_join",
         "split_leakage",
+        "rank_normalize",
     ]
     queries = entrymod.queries()
     for name in suite:
