@@ -2594,6 +2594,48 @@ def q_rank_normalize(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_pass_at_k(spark, sf_dir):
+    """Unbiased pass@k (functions/evaluation.py::pass_at_k, Chen et
+    al. 2021) over a deterministic best-of-n sample set synthesized
+    from events (problem = user, correctness from an md5 bit with
+    per-problem difficulty): per-problem pass@{1,5,10} + the mean
+    summary row. The binomial ratio is a k-term codegen product (no
+    lgamma needed); ONE problem aggregate + one summary aggregate.
+    Tail entry: math.comb python parity + undefined-k and golden
+    contracts pytest-pinned in tests/test_passk_multiclass.py."""
+    from graphrole_spark.functions.evaluation import pass_at_k
+
+    events = _events(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    difficulty = F.pmod(F.xxhash64(F.col("user_id")), F.lit(80)) + 10
+    samples = events.select(
+        F.col("user_id").alias("problem_id"),
+        (h % 100 < difficulty).cast("int").alias("is_correct"),
+    )
+    return pass_at_k(samples, ks=(1, 5, 10))
+
+
+def q_multiclass_eval(spark, sf_dir):
+    """Multiclass precision/recall/F1 (functions/evaluation.py::
+    multiclass_metrics): language-ID confusion over documents -- true
+    class = stored lang, prediction = the engine's language_guess
+    heuristic; per-class rows + (macro)/(micro) summaries,
+    scikit-learn zero-division conventions. ONE contingency aggregate;
+    raw rows touched once. Tail entry: hand-contingency python parity
+    pytest-pinned in tests/test_passk_multiclass.py."""
+    from graphrole_spark.functions.evaluation import multiclass_metrics
+    from graphrole_spark.functions.text import language_guess_frame
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = language_guess_frame(docs).select(
+        F.col("lang").alias("label"),
+        F.col("lang_guess").alias("prediction"),
+    )
+    return multiclass_metrics(scored)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2928,6 +2970,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # has no SQL twin; interpolation + inverse-normal python
         # parity pytest-pinned in tests/test_rank_normalize.py
         "rank_normalize": q_rank_normalize,
+        # pass_at_k: SQL-expressible but past the 50-entry window;
+        # math.comb python parity pytest-pinned in
+        # tests/test_passk_multiclass.py
+        "pass_at_k": q_pass_at_k,
+        # multiclass_eval: SQL-expressible but past the 50-entry
+        # window; hand-contingency python parity pytest-pinned in
+        # tests/test_passk_multiclass.py
+        "multiclass_eval": q_multiclass_eval,
     }
 
 

@@ -217,6 +217,8 @@ def main() -> None:
         "skew_join",
         "split_leakage",
         "rank_normalize",
+        "pass_at_k",
+        "multiclass_eval",
     ]
     queries = entrymod.queries()
     for name in suite:

@@ -663,3 +663,139 @@ def binary_metrics(
         f1.alias("f1"),
     )
     return out.orderBy(by) if by else out
+
+
+def pass_at_k(
+    samples: DataFrame,
+    ks: "Sequence[int]" = (1, 5, 10),
+    problem_col: str = "problem_id",
+    correct_col: str = "is_correct",
+) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, HumanEval appendix) per
+    problem and summarized: with ``n`` samples of which ``c`` are
+    correct, ``pass@k = 1 − C(n−c, k)/C(n, k)`` — the probability
+    that at least one of ``k`` drawn samples is correct. The standard
+    metric for code/RL sample sets and best-of-n reward data.
+
+    Numerics: the binomial ratio is expanded to the k-term product
+    ``Π_{i=0..k−1} (n−c−i)/(n−i)`` — ``k`` is a plan-time constant, so
+    the product is a short codegen expression (no lgamma, which Spark
+    SQL lacks; no overflow, every factor ≤ 1). Problems with
+    ``n − c < k`` score exactly 1; problems with ``n < k`` get NULL
+    for that k (the estimator is undefined — fewer samples than
+    draws) rather than a silently-biased number.
+
+    Plan: ONE (problem) aggregate + one tiny summary aggregate.
+    Returns one row per problem: ``(problem_id, n_samples, n_correct,
+    pass_at_<k>...)`` plus a ``"(mean)"`` summary row (problem id
+    NULL, per-k means over defined problems) — the headline numbers.
+    """
+    ks = sorted(set(int(k) for k in ks))
+    if not ks or ks[0] < 1:
+        raise ValueError("ks must be positive integers")
+    per = samples.groupBy(problem_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(F.col(correct_col).cast("int")).cast("long").alias("n_correct"),
+    )
+    n, c = F.col("n_samples"), F.col("n_correct")
+    for k in ks:
+        prod = F.lit(1.0)
+        for i in range(k):
+            prod = prod * (n - c - i) / (n - i)
+        expr = (
+            F.when(n < k, F.lit(None).cast("double"))
+            .when(n - c < k, F.lit(1.0))
+            .otherwise(F.round(1.0 - prod, 9))
+        )
+        per = per.withColumn(f"pass_at_{k}", expr)
+    summary = per.agg(
+        F.lit(None).cast(per.schema[problem_col].dataType).alias(problem_col),
+        F.sum("n_samples").alias("n_samples"),
+        F.sum("n_correct").alias("n_correct"),
+        *[F.round(F.avg(f"pass_at_{k}"), 9).alias(f"pass_at_{k}") for k in ks],
+    )
+    return per.unionByName(summary)
+
+
+def multiclass_metrics(
+    scored: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "prediction",
+) -> DataFrame:
+    """Per-class precision/recall/F1 from the (label, prediction)
+    contingency, plus ``"(macro)"`` (unweighted class means, the
+    imbalance-robust summary) and ``"(micro)"`` (pooled counts —
+    precision = recall = F1 = accuracy in single-label
+    classification) rows. The multiclass companion to
+    :func:`binary_metrics`.
+
+    Convention (scikit-learn's): a class with no predicted rows has
+    precision 0, no true rows recall 0, and F1 0 when either is 0 —
+    never NULL/NaN, so macro means stay defined. Classes appearing
+    only as predictions still get a row.
+
+    Plan: ONE (label, prediction) hash aggregate — contingency-sized,
+    ≤ |classes|² rows — then per-class conditional sums over it;
+    raw rows are touched once.
+    """
+    cont = scored.groupBy(
+        F.col(label_col).alias("__l"), F.col(pred_col).alias("__p")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    classes = (
+        cont.select(F.col("__l").alias("cls"))
+        .unionByName(cont.select(F.col("__p").alias("cls")))
+        .distinct()
+    )
+    tp = cont.where(F.col("__l") == F.col("__p")).select(
+        F.col("__l").alias("cls"), F.col("__n").alias("tp")
+    )
+    true_tot = cont.groupBy(F.col("__l").alias("cls")).agg(
+        F.sum("__n").alias("n_true")
+    )
+    pred_tot = cont.groupBy(F.col("__p").alias("cls")).agg(
+        F.sum("__n").alias("n_pred")
+    )
+    per = (
+        classes.join(tp, "cls", "left")
+        .join(true_tot, "cls", "left")
+        .join(pred_tot, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true")).otherwise(0.0)
+    per = per.withColumn("precision", F.round(prec, 9)).withColumn(
+        "recall", F.round(rec, 9)
+    )
+    f1 = F.when(
+        (F.col("precision") + F.col("recall")) > 0,
+        2 * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(0.0)
+    per = per.withColumn("f1", F.round(f1, 9)).withColumn(
+        "cls", F.col("cls").cast("string")
+    )
+    macro = per.agg(
+        F.lit("(macro)").alias("cls"),
+        F.sum("n_true").alias("n_true"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("tp").alias("tp"),
+        F.round(F.avg("precision"), 9).alias("precision"),
+        F.round(F.avg("recall"), 9).alias("recall"),
+        F.round(F.avg("f1"), 9).alias("f1"),
+    )
+    micro_val = F.round(F.sum("tp") / F.sum("n_true"), 9)
+    micro = per.agg(
+        F.lit("(micro)").alias("cls"),
+        F.sum("n_true").alias("n_true"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("tp").alias("tp"),
+        micro_val.alias("precision"),
+        micro_val.alias("recall"),
+        micro_val.alias("f1"),
+    )
+    return per.unionByName(macro).unionByName(micro)
