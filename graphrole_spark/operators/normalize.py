@@ -155,18 +155,25 @@ def rank_normalize(
 
     Fit: ONE aggregate computing a ``bins``-point equiprobable
     quantile grid per column (``percentile_approx``, mergeable sketch
-    — map-side combined, ``bins`` doubles per column to the driver).
-    Transform: pure projection — the bucket index is a short
-    higher-order ``filter`` over the broadcast cutpoint array
-    (interpreted, O(bins) per value: budget it like the simhash fold,
-    PERF rule 15 — keep ``bins`` ≤ a few hundred) followed by linear
-    interpolation inside the bucket, all other arithmetic codegen. No
-    joins, no windows, no shuffle — the same two-pass shape as
-    :func:`normalize_features`, so it runs at full scan speed on any
-    row count.
+    — map-side combined, ``bins`` doubles per column to the driver),
+    which the driver inverts into a ``grid_points``-slot UNIFORM-value
+    CDF table (pure Python over ≤ a few thousand floats). Transform:
+    pure projection — two O(1) ``element_at`` lookups into the
+    broadcast table + linear interpolation, all codegen. (A first cut
+    bucket-searched the quantile array with a higher-order ``filter``
+    lambda — 26M interpreted lambda evals at sf0.1, 12 s for 100k
+    rows, PERF rule 15 exactly; the uniform-grid inversion moves the
+    search to the driver at fit time and took the transform to scan
+    speed.) No joins, no windows, no shuffle — the same two-pass
+    shape as :func:`normalize_features`.
 
+    Accuracy: within-slot linear interpolation of a monotone CDF —
+    error bounded by the CDF mass of one uniform slot; raise
+    ``grid_points`` (cost: fit-time Python + ``grid_points`` doubles
+    broadcast per column) for extremely concentrated distributions.
     CDF positions are clamped to ``[1/(2·bins), 1 − 1/(2·bins)]``
-    before Φ⁻¹ so tails stay finite. NULLs pass through. Constant
+    before Φ⁻¹ so tails stay finite. NULLs pass through; values
+    outside the fitted [min, max] clamp to the edges. Constant
     columns (degenerate grid) map to 0.5 (cdf) / 0.0 (gauss).
     """
     if method not in ("cdf", "gauss"):
@@ -185,33 +192,85 @@ def rank_normalize(
     ).collect()[0]
 
     eps = 1.0 / (2.0 * bins)
-    out_cols = [F.col(c) for c in df.columns]
+    grid_points = max(1024, 4 * bins)
+    # STAGE 1: one projection computing the interpolated CDF per
+    # column. Staging matters twice over: (a) the grid lives in value
+    # space warped by signed log1p, so heavy-tailed columns get grid
+    # resolution where their mass is; (b) the CDF lands in a NAMED
+    # column — inlining it into Φ⁻¹ (which references its argument ~14
+    # times) would replicate the 1000-literal array subtree 14× and
+    # blow the expression tree / codegen method size (measured: 5.3 s
+    # of plan+compile for 5k rows before staging, 0.6 s after).
+    cdf_cols = []
     for c in cols:
         cuts = [float(x) for x in (fit[f"__q_{c}"] or [])]
         v = F.col(c).cast("double")
         if not cuts or cuts[0] == cuts[-1]:
             cdf = F.when(v.isNotNull(), F.lit(0.5))
         else:
-            arr = F.lit(cuts)
-            # strictly-below count = bucket index (values at a cutpoint
-            # land at the bucket's left edge; duplicates in the grid —
-            # heavy ties — collapse to the same index, giving the tied
-            # value one consistent rank)
-            idx = F.size(F.filter(arr, lambda e: e < v))
-            lo = F.element_at(arr, F.greatest(idx, F.lit(1)))
-            hi = F.element_at(
-                arr, F.least(idx + 1, F.lit(len(cuts)))
+            ucuts = [_slog(x) for x in cuts]
+            lo_u, hi_u = ucuts[0], ucuts[-1]
+            grid = _uniform_cdf_grid(ucuts, grid_points)
+            step = (hi_u - lo_u) / grid_points
+            arr = F.lit(grid)
+            u = F.signum(v) * F.log1p(F.abs(v))
+            pos = (u - F.lit(lo_u)) / F.lit(step)
+            pos = F.greatest(
+                F.least(pos, F.lit(float(grid_points) - 1e-9)), F.lit(0.0)
             )
-            frac = F.when(hi > lo, (v - lo) / (hi - lo)).otherwise(
-                F.lit(0.0)
+            j = F.floor(pos).cast("int")
+            frac = pos - j
+            g0 = F.element_at(arr, j + 1)  # element_at is 1-based
+            g1 = F.element_at(arr, j + 2)
+            cdf = g0 + frac * (g1 - g0)
+            # greatest/least SKIP nulls, so the clamp would turn a
+            # NULL value into the bound — guard explicitly
+            cdf = F.when(
+                v.isNotNull(),
+                F.greatest(F.least(cdf, F.lit(1.0 - eps)), F.lit(eps)),
             )
-            cdf = (idx - 1 + frac) / F.lit(float(bins))
-            cdf = F.greatest(
-                F.least(cdf, F.lit(1.0 - eps)), F.lit(eps)
-            )
-        if method == "gauss":
-            expr = F.when(v.isNotNull(), inv_normal_cdf(cdf))
-        else:
-            expr = F.when(v.isNotNull(), cdf)
+        cdf_cols.append(cdf.alias(f"__cdf_{c}"))
+    staged = df.select("*", *cdf_cols)
+
+    # STAGE 2: the (small) Φ⁻¹ / rounding expressions over the named
+    # CDF columns
+    out_cols = [F.col(c) for c in df.columns]
+    for c in cols:
+        p = F.col(f"__cdf_{c}")
+        expr = inv_normal_cdf(p) if method == "gauss" else p
         out_cols.append(F.round(expr, 9).alias(f"{c}{output_suffix}"))
-    return df.select(*out_cols)
+    return staged.select(*out_cols)
+
+
+def _slog(x: float) -> float:
+    """Signed log1p — the monotone warp that gives the uniform CDF
+    grid resolution where a heavy-tailed column's mass actually is."""
+    import math
+
+    return math.copysign(math.log1p(abs(x)), x)
+
+
+def _uniform_cdf_grid(cuts: "list[float]", grid_points: int) -> "list[float]":
+    """Invert an equiprobable quantile grid (value at prob i/bins)
+    into CDF values at ``grid_points + 1`` UNIFORM value positions
+    between cuts[0] and cuts[-1] — driver-side fit work that buys the
+    executors an O(1) lookup. Within a run of duplicate cutpoints
+    (heavy ties) the highest probability wins, giving the tied value
+    one consistent rank."""
+    import bisect
+
+    bins = len(cuts) - 1
+    lo, hi = cuts[0], cuts[-1]
+    out = []
+    for j in range(grid_points + 1):
+        x = lo + (hi - lo) * j / grid_points
+        # rightmost cut <= x (ties: last index), then interpolate
+        i = bisect.bisect_right(cuts, x) - 1
+        i = max(0, min(i, bins))
+        if i >= bins:
+            out.append(1.0)
+            continue
+        c0, c1 = cuts[i], cuts[i + 1]
+        frac = (x - c0) / (c1 - c0) if c1 > c0 else 0.0
+        out.append((i + frac) / bins)
+    return out

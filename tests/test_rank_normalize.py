@@ -26,15 +26,24 @@ def test_inv_normal_cdf_matches_stdlib(spark):
         assert g == pytest.approx(nd.inv_cdf(p), abs=5e-8), p
 
 
-def _python_rank(values, cuts, bins, v):
-    """Reference interpolation: strictly-below count + in-bucket
-    linear fraction, clamped to [eps, 1-eps]."""
+def _python_rank(cuts, bins, v):
+    """Reference for the shipped semantics: the SAME slog-warped
+    uniform CDF grid the operator broadcasts, interpolated in python."""
+    from graphrole_spark.operators.normalize import (
+        _slog,
+        _uniform_cdf_grid,
+    )
+
     eps = 1.0 / (2 * bins)
-    idx = sum(1 for e in cuts if e < v)
-    lo = cuts[max(idx, 1) - 1]
-    hi = cuts[min(idx + 1, len(cuts)) - 1]
-    frac = (v - lo) / (hi - lo) if hi > lo else 0.0
-    cdf = (idx - 1 + frac) / bins
+    gp = max(1024, 4 * bins)
+    ucuts = [_slog(c) for c in cuts]
+    grid = _uniform_cdf_grid(ucuts, gp)
+    lo, hi = ucuts[0], ucuts[-1]
+    step = (hi - lo) / gp
+    pos = min(max((_slog(v) - lo) / step, 0.0), gp - 1e-9)
+    j = int(pos)
+    frac = pos - j
+    cdf = grid[j] + frac * (grid[j + 1] - grid[j])
     return min(max(cdf, eps), 1 - eps)
 
 
@@ -56,7 +65,7 @@ def test_rank_normalize_python_parity(spark):
         )
     ).collect()[0][0]
     cuts = [float(c) for c in cuts]
-    want = [_python_rank(vals, cuts, bins, v) for v in vals]
+    want = [_python_rank(cuts, bins, v) for v in vals]
     assert out["x_rank"].tolist() == pytest.approx(want, abs=1e-8)
     # monotone: sorting by value sorts by rank
     s = out.sort_values("x")
