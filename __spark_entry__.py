@@ -2636,6 +2636,26 @@ def q_multiclass_eval(spark, sf_dir):
     return multiclass_metrics(scored)
 
 
+def q_future_label(spark, sf_dir):
+    """Forward-horizon label generation (temporal/ops.py::
+    future_window_label): will this user hit an error event within 3
+    days -- labels look strictly FORWARD (the mirror of the zero-
+    leakage feature rule) via an exact microsecond RANGE frame, plus
+    the right-censoring flag for rows whose horizon exceeds the
+    observed span. One exchange. Tail entry: full DuckDB RANGE-frame
+    parity pytest-pinned in tests/test_cohort_anomaly.py."""
+    from graphrole_spark.temporal.ops import future_window_label
+
+    events = _events(spark, sf_dir)
+    flagged = events.select(
+        "event_id", "user_id", "ts",
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    return future_window_label(
+        flagged, ["user_id"], "ts", "is_err", horizon_seconds=86400 * 3
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -2978,6 +2998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; hand-contingency python parity pytest-pinned in
         # tests/test_passk_multiclass.py
         "multiclass_eval": q_multiclass_eval,
+        # future_label: SQL-expressible but past the 50-entry window;
+        # full DuckDB RANGE-frame parity pytest-pinned in
+        # tests/test_cohort_anomaly.py
+        "future_label": q_future_label,
     }
 
 

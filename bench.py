@@ -219,6 +219,7 @@ def main() -> None:
         "rank_normalize",
         "pass_at_k",
         "multiclass_eval",
+        "future_label",
     ]
     queries = entrymod.queries()
     for name in suite:

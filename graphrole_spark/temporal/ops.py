@@ -449,3 +449,53 @@ def rolling_anomalies(
         )
         .fillna({"is_anomaly": 0})
     )
+
+
+def future_window_label(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    event_col: str,
+    horizon_seconds: float,
+    out_col: str = "label",
+) -> DataFrame:
+    """Supervised label generation: ``label = 1`` iff any row with
+    ``event_col`` truthy occurs in ``(t, t + horizon]`` within the
+    key — "will this user churn / convert / abandon within H?". The
+    forward-looking mirror of ``prefix_aggregate``'s rule: FEATURES
+    must only look backward (zero leakage), LABELS must only look
+    forward — this pairs with the point-in-time feature frame to form
+    a training set where nothing crosses the cutoff in either
+    direction.
+
+    Also emits ``<out_col>_censored = 1`` when the key's LAST observed
+    timestamp is inside the row's horizon: a 0-label there means "no
+    event observed YET", not "no event" — train on censored rows and
+    the model learns that the dataset ends, not that users stop.
+    Filter on the flag (or hand such rows to :func:`~graphrole_spark.
+    functions.experiment.kaplan_meier`, which models the censoring
+    instead of dropping it).
+
+    One exchange: the RANGE window (strictly-after, numeric seconds)
+    and the per-key max share the hash partitioning.
+    """
+    if horizon_seconds <= 0:
+        raise ValueError("horizon_seconds must be positive")
+    # microsecond longs: RANGE frames take integer bounds, and the
+    # (1, h_us) frame is EXACTLY "strictly after t, within horizon"
+    h_us = int(round(float(horizon_seconds) * 1_000_000))
+    out = df.withColumn(
+        "__ts_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    wk = Window.partitionBy(*key_cols)
+    w = wk.orderBy("__ts_us").rangeBetween(1, h_us)
+    ev = F.col(event_col).cast("int")
+    label = F.coalesce(F.max(ev).over(w), F.lit(0))
+    censored = (
+        F.col("__ts_us") + F.lit(h_us) > F.max("__ts_us").over(wk)
+    ).cast("int")
+    return (
+        out.withColumn(out_col, label)
+        .withColumn(f"{out_col}_censored", censored)
+        .drop("__ts_us")
+    )

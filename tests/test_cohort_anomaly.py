@@ -153,3 +153,54 @@ def test_rolling_anomalies_leakage_free_and_validation(spark):
     for bad in (dict(window=0), dict(min_periods=0), dict(z_thresh=0)):
         with pytest.raises(ValueError):
             rolling_anomalies(df, ["user_id"], "ts", "value", **bad)
+
+
+def test_future_window_label_duckdb_parity(spark):
+    """temporal/ops.py::future_window_label — forward-horizon labels
+    + censoring flags; DuckDB RANGE-frame parity."""
+    import duckdb
+
+    from graphrole_spark.temporal.ops import future_window_label
+
+    pdf = _events_pdf(seed=41)
+    pdf = pdf.drop_duplicates(subset=["user_id", "ts"]).reset_index(drop=True)
+    pdf["is_err"] = (pdf["value"] > 80).astype(int)
+    df = spark.createDataFrame(pdf)
+    got = (
+        future_window_label(
+            df, ["user_id"], "ts", "is_err", horizon_seconds=86400 * 3
+        )
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    oracle = con.execute("""
+        SELECT user_id, ts,
+               coalesce(max(is_err) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 1 FOLLOWING AND 259200000000 FOLLOWING
+               ), 0) AS label,
+               CAST(epoch_us(ts) + 259200000000 >
+                    max(epoch_us(ts)) OVER (PARTITION BY user_id)
+                 AS INT) AS label_censored
+        FROM t ORDER BY user_id, ts
+    """).df()
+    assert got["label"].tolist() == oracle["label"].tolist()
+    assert got["label_censored"].tolist() == oracle[
+        "label_censored"
+    ].tolist()
+    # labels only look FORWARD: the event row itself is excluded
+    one = pdf[pdf["is_err"] == 1].iloc[0]
+    row = got[(got["user_id"] == one["user_id"]) & (got["ts"] == one["ts"])]
+    # its own label depends only on LATER events, not itself
+    later = pdf[
+        (pdf["user_id"] == one["user_id"]) & (pdf["ts"] > one["ts"])
+        & (pdf["ts"] <= one["ts"] + pd.Timedelta(days=3))
+    ]
+    assert row["label"].iloc[0] == int(later["is_err"].any())
+    # the last row of every key is always censored
+    last = got.sort_values("ts").groupby("user_id").tail(1)
+    assert (last["label_censored"] == 1).all()
+    with pytest.raises(ValueError):
+        future_window_label(df, ["user_id"], "ts", "is_err", 0)
