@@ -58,12 +58,22 @@ def funnel(
         raise ValueError("within_seconds must be positive")
 
     ts_num = F.col(ts_col).cast("timestamp").cast("double")
+    # deterministic tie order at equal ts: earlier funnel steps sort
+    # first (prio = step index, non-step rows last), so "an event at
+    # the same timestamp as its predecessor counts as progression" is
+    # a GUARANTEE, not an accident of the shuffle's tie order
+    prio = F.lit(len(steps))
+    for i, s_ in reversed(list(enumerate(steps))):
+        prio = F.when(F.col(step_col) == s_, F.lit(i)).otherwise(prio)
     base = events.select(
-        *key_cols, ts_num.alias("__ts"), F.col(step_col).alias("__step")
+        *key_cols,
+        ts_num.alias("__ts"),
+        F.col(step_col).alias("__step"),
+        prio.alias("__prio"),
     )
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("__ts")
+        .orderBy("__ts", "__prio")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = base
