@@ -2656,6 +2656,42 @@ def q_future_label(spark, sf_dir):
     )
 
 
+def q_calibrate(spark, sf_dir):
+    """Score calibration (functions/calibration.py): a deterministic
+    squashed-sigmoid scorer over documents (label correlated via md5
+    nibbles) fitted with Platt (Newton on exact log-loss, one tiny
+    aggregate per iteration) AND isotonic PAV (driver pass over the
+    distinct-score histogram); output = per-distinct-score comparison
+    frame (score, platt, isotonic). Apply paths are pure projections
+    (isotonic = balanced binary-search WHEN-tree, O(log blocks)/row).
+    Tail entry: python Newton/PAV parity + improves-ECE property
+    pytest-pinned in tests/test_calibration.py."""
+    from graphrole_spark.functions.calibration import (
+        isotonic_apply, isotonic_fit, platt_apply, platt_fit,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = lambda salt, mod: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
+                1, 6,
+            ), 16, 10,
+        ).cast("long") % mod
+    )
+    s_ = F.round(h("|s", 101) / 100.0, 2)
+    p_true = F.lit(1.0) / (F.lit(1.0) + F.exp(-(4.0 * s_ - 2.0)))
+    scored = docs.select(
+        s_.alias("score"),
+        (h("|y", 10000) / 10000.0 < p_true).cast("int").alias("label"),
+    )
+    a, b = platt_fit(scored)
+    mapping = isotonic_fit(scored)
+    distinct = scored.select("score").distinct()
+    out = platt_apply(distinct, a, b, out_col="platt")
+    return isotonic_apply(out, mapping, out_col="isotonic").orderBy("score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3002,6 +3038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full DuckDB RANGE-frame parity pytest-pinned in
         # tests/test_cohort_anomaly.py
         "future_label": q_future_label,
+        # calibrate: iterative Newton fit + sequential PAV -- not SQL
+        # (like kmeans_cells); python Newton/PAV parity + ECE property
+        # pytest-pinned in tests/test_calibration.py
+        "calibrate": q_calibrate,
     }
 
 

@@ -220,6 +220,7 @@ def main() -> None:
         "pass_at_k",
         "multiclass_eval",
         "future_label",
+        "calibrate",
     ]
     queries = entrymod.queries()
     for name in suite:
