@@ -2692,6 +2692,44 @@ def q_calibrate(spark, sf_dir):
     return isotonic_apply(out, mapping, out_col="isotonic").orderBy("score")
 
 
+def q_role_align(spark, sf_dir):
+    """Role alignment across separately-fitted RolX models (roles/
+    align.py): model A is fitted on the EARLY half of the observation
+    window, model B on the full window (NMF role indices are
+    permutation-arbitrary between fits, and the fits see different
+    data); greedy max-cosine matching over the role->feature factors
+    reconciles B's roles into A's vocabulary. Output: the mapping
+    table (role_b, role_a, similarity, matched). Driver-side numpy
+    over tiny factors -- rows-only by nature (iterative NMF
+    upstream); permutation-recovery and relabel contracts
+    pytest-pinned in tests/test_role_align.py."""
+    from graphrole_spark.pipeline import extract_transcript_features
+    from graphrole_spark.roles.align import align_roles
+    from graphrole_spark.roles.extract import RoleExtractor
+
+    t = _events_as_transcripts(spark, sf_dir)
+    cutoff = t.agg(
+        F.percentile(F.col("ts").cast("timestamp").cast("double"), F.lit(0.5))
+    ).collect()[0][0]
+    early = t.where(F.col("ts").cast("timestamp").cast("double") <= cutoff)
+
+    def fit(frame):
+        feats = extract_transcript_features(frame, max_generations=2)
+        vcols = [c for c in feats.columns if c not in ("conv_id", "turn_idx")]
+        node = feats.select(
+            F.concat_ws("#", "conv_id", "turn_idx").alias("node"), *vcols
+        ).localCheckpoint()
+        ext = RoleExtractor(n_roles=3)
+        ext.extract_role_factors(node)
+        return ext
+
+    a, b = fit(early), fit(t)
+    mapping = align_roles(a.role_feature_factor, b.role_feature_factor)
+    return spark.createDataFrame(
+        mapping.fillna({"role_a": "", "similarity": -1.0})
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3042,6 +3080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (like kmeans_cells); python Newton/PAV parity + ECE property
         # pytest-pinned in tests/test_calibration.py
         "calibrate": q_calibrate,
+        # role_align: driver-side factor matching downstream of
+        # iterative NMF -- rows-only by nature; permutation-recovery
+        # contracts pytest-pinned in tests/test_role_align.py
+        "role_align": q_role_align,
     }
 
 

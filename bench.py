@@ -221,6 +221,8 @@ def main() -> None:
         "multiclass_eval",
         "future_label",
         "calibrate",
+        # role_align excluded like rolx_roles: two NMF fits per
+        # invocation; pytest + registry cover it
     ]
     queries = entrymod.queries()
     for name in suite:
