@@ -38,6 +38,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: Optional[str] = "weight",
+    personalize: Optional[DataFrame] = None,
 ) -> DataFrame:
     """PageRank scores for every node appearing as ``src`` or ``dst``.
 
@@ -52,6 +53,14 @@ def pagerank(
     * dangling nodes (no out-edges) spread their mass uniformly over
       ALL nodes each iteration — the ``networkx.pagerank`` rule, so
       ranks sum to 1 at every step.
+    * ``personalize`` — optional ``(node, weight)`` frame: teleport
+      (and dangling mass) lands on these nodes ∝ weight instead of
+      uniformly — personalized PageRank, the "nodes similar to this
+      seed set" primitive (networkx ``personalization=`` semantics:
+      weights normalized to 1; listed nodes missing from the graph
+      are ignored; graph nodes absent from the list get reset mass
+      0). The reset vector rides the same hash partitioning as the
+      ranks, so iterations stay one join + one aggregate.
 
     Returns ``(node, rank)`` with ``sum(rank) = 1``.
 
@@ -105,8 +114,29 @@ def pagerank(
     ).persist()
 
     d = float(damping)
-    base = (1.0 - d) / n
-    ranks = nodes.select(
+    if personalize is not None:
+        pz = personalize.select(
+            F.col("node"), F.col("weight").cast("double").alias("__pw")
+        ).where(F.col("__pw").isNotNull() & (F.col("__pw") > 0))
+        pz = nodes.join(pz, "node", "inner")
+        ptot = pz.agg(F.sum("__pw")).collect()[0][0]
+        if not ptot:
+            raise ValueError("personalization has no positive-weight graph nodes")
+        reset = (
+            nodes.join(pz, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("__pw"), F.lit(0.0)) / F.lit(float(ptot))).alias("__p0"),
+            )
+            .repartition("node")
+            .persist()
+        )
+    else:
+        reset = nodes.select(
+            "node", F.lit(1.0 / n).alias("__p0")
+        ).repartition("node").persist()
+    reset.count()
+    ranks = reset.select(
         "node", F.lit(1.0 / n).alias("rank")
     ).repartition("node").persist()
     ranks.count()
@@ -124,14 +154,14 @@ def pagerank(
             .agg(F.sum(F.col("share") * F.col("rank")).alias("__c"))
         )
         new_ranks = (
-            nodes.join(contribs, "node", "left")
+            reset.join(contribs, "node", "left")
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit(1.0 - d) * F.col("__p0")
                     + F.lit(d)
                     * (F.coalesce(F.col("__c"), F.lit(0.0))
-                       + F.lit(dang_mass / n))
+                       + F.lit(dang_mass) * F.col("__p0"))
                 ).alias("rank"),
             )
         )

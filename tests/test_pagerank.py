@@ -107,3 +107,53 @@ def test_pagerank_features_column_shape(spark):
     )
     out = pagerank_features(df, n_iter=3)
     assert out.columns == ["node", "pagerank"]
+
+
+def _numpy_ppr(edges, seeds, d=0.85, n_iter=20):
+    """Personalized variant: teleport + dangling mass land on the
+    normalized seed vector (networkx personalization semantics)."""
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for s, t, w in edges:
+        M[idx[t], idx[s]] += w
+    out = M.sum(axis=0)
+    dangling = out == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        M = np.where(out > 0, M / out, 0.0)
+    p0 = np.zeros(n)
+    for v, w in seeds.items():
+        if v in idx:
+            p0[idx[v]] += w
+    p0 /= p0.sum()
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        r = (1 - d) * p0 + d * (M @ r + r[dangling].sum() * p0)
+    return dict(zip(nodes, r))
+
+
+def test_personalized_pagerank_numpy_parity(spark):
+    from graphrole_spark.operators.pagerank import pagerank
+
+    edges = _random_edges(seed=15)
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    seeds = {"n0": 2.0, "n7": 1.0, "ghost": 5.0}  # ghost not in graph
+    pz = spark.createDataFrame(
+        list(seeds.items()), "node string, weight double"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=15, personalize=pz).collect()
+    }
+    want = _numpy_ppr(edges, {"n0": 2.0, "n7": 1.0}, n_iter=15)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # seeds' neighborhoods outrank the global average
+    assert got["n0"] > 1.0 / len(got)
+    with pytest.raises(ValueError):
+        pagerank(df, personalize=spark.createDataFrame(
+            [("ghost", 1.0)], "node string, weight double"
+        )).collect()
