@@ -2730,6 +2730,33 @@ def q_role_align(spark, sf_dir):
     )
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts + clustering coefficient (operators/
+    triangles.py): degree-ordered orientation (Suri-Vassilvitskii) so
+    each triangle is generated once and hub wedge fan-out is bounded
+    by the ORIENTED out-degree -- O(m^1.5) wedges, hub-proof. Graph =
+    deterministic ring-with-chords over doc_ids (edges i->i+1, i->i+2
+    mod n: every i closes a triangle), since the TPC-H-ish relational
+    graphs are bipartite/path-shaped and triangle-free. Tail entry:
+    brute-force python parity incl. a full-degree hub pytest-pinned
+    in tests/test_triangles.py."""
+    from graphrole_spark.operators.triangles import triangle_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").alias("i"))
+    edges = ids.select(
+        F.col("i").cast("string").alias("src"),
+        ((F.col("i") + 1) % n).cast("string").alias("dst"),
+    ).unionByName(
+        ids.select(
+            F.col("i").cast("string").alias("src"),
+            ((F.col("i") + 2) % n).cast("string").alias("dst"),
+        )
+    )
+    return triangle_counts(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3084,6 +3111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative NMF -- rows-only by nature; permutation-recovery
         # contracts pytest-pinned in tests/test_role_align.py
         "role_align": q_role_align,
+        # triangles: SQL-expressible (joins) but past the 50-entry
+        # window; brute-force python parity pytest-pinned in
+        # tests/test_triangles.py
+        "triangles": q_triangles,
     }
 
 

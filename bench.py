@@ -221,6 +221,7 @@ def main() -> None:
         "multiclass_eval",
         "future_label",
         "calibrate",
+        "triangles",
         # role_align excluded like rolx_roles: two NMF fits per
         # invocation; pytest + registry cover it
     ]
