@@ -12,12 +12,12 @@ out-edge distribution and uniform dangling-mass redistribution —
 Plan (100 TB lens): the transition structure is computed ONCE — one
 out-weight aggregate joined back to edges, the share-normalized edge
 frame persisted and hash-partitioned by ``src``. Each iteration is
-then exactly one co-partitioned join (ranks are hashed on the same
-key) + one ``dst`` aggregate + two scalar reductions (dangling mass,
-L1 delta when ``tol`` is set); rank lineage is truncated with
-``localCheckpoint`` every few iterations so the plan stays O(1) in
-``n_iter`` (the NMF/Dawid-Skene discipline). No driver-side graph —
-only per-iteration scalars reach the driver.
+one co-partitioned join (ranks are hashed on the same key) + one
+``dst`` aggregate, with the dangling mass riding along as a lazy
+broadcast 1-row frame; ranks are ``localCheckpoint``-ed each
+iteration (one driver job per iteration, lineage O(1) — see the
+in-loop note for why chaining iterations lazily is a trap). No
+driver-side graph.
 """
 
 from __future__ import annotations
@@ -26,8 +26,6 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-_CHECKPOINT_EVERY = 5
 
 
 def pagerank(
@@ -142,9 +140,18 @@ def pagerank(
     ranks.count()
 
     for it in range(n_iter):
-        dang_mass = (
-            dangling.join(ranks, "node").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # dangling mass as a LAZY broadcast 1-row frame off the
+        # PREVIOUS (checkpointed) ranks — no separate collect job.
+        # NOTE a tempting non-fix: letting several iterations chain
+        # lazily between checkpoints goes QUADRATIC, because each
+        # iteration's dang broadcast re-executes its whole un-
+        # materialized prefix (Spark does not reuse subplans across a
+        # broadcast boundary) — measured 17.7 s -> 67 s at 1M edges.
+        # One checkpoint per iteration keeps every subplan reference
+        # one materialized step away: one driver job per iteration.
+        dang = (
+            dangling.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         )
         contribs = (
             trans.join(
@@ -155,21 +162,18 @@ def pagerank(
         )
         new_ranks = (
             reset.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
                     F.lit(1.0 - d) * F.col("__p0")
                     + F.lit(d)
                     * (F.coalesce(F.col("__c"), F.lit(0.0))
-                       + F.lit(dang_mass) * F.col("__p0"))
+                       + F.col("__dm") * F.col("__p0"))
                 ).alias("rank"),
             )
         )
-        if (it + 1) % _CHECKPOINT_EVERY == 0 or it == n_iter - 1:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        else:
-            new_ranks = new_ranks.repartition("node").persist()
-            new_ranks.count()
+        new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol is not None:
             delta = (
                 ranks.withColumnRenamed("rank", "__old")
@@ -178,10 +182,8 @@ def pagerank(
                 .collect()[0][0]
             )
             if delta is not None and delta < tol:
-                ranks.unpersist()
                 ranks = new_ranks
                 break
-        ranks.unpersist()
         ranks = new_ranks
 
     return ranks.select("node", F.round("rank", 12).alias("rank"))
