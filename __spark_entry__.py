@@ -2757,6 +2757,22 @@ def q_triangles(spark, sf_dir):
     return triangle_counts(edges)
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap confidence intervals (functions/evaluation.py
+    ::bootstrap_ci, Chamandy et al. 2012): 95% percentile CI on the
+    mean event value per event_type, 200 deterministic md5-Poisson(1)
+    replicates. The exploded stream partial-combines map-side so the
+    shuffle carries groups x n_boot rows only. Tail entry: full DuckDB
+    value parity (md5 ladder + quantile_cont) pytest-pinned in
+    tests/test_passk_multiclass.py."""
+    from graphrole_spark.functions.evaluation import bootstrap_ci
+
+    events = _events(spark, sf_dir)
+    return bootstrap_ci(
+        events, "value", ["event_type"], n_boot=200, id_col="event_id"
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3115,6 +3131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; brute-force python parity pytest-pinned in
         # tests/test_triangles.py
         "triangles": q_triangles,
+        # bootstrap_ci: SQL-expressible but past the 50-entry window;
+        # full DuckDB value parity pytest-pinned in
+        # tests/test_passk_multiclass.py
+        "bootstrap_ci": q_bootstrap_ci,
     }
 
 

@@ -222,6 +222,7 @@ def main() -> None:
         "future_label",
         "calibrate",
         "triangles",
+        "bootstrap_ci",
         # role_align excluded like rolx_roles: two NMF fits per
         # invocation; pytest + registry cover it
     ]

@@ -799,3 +799,121 @@ def multiclass_metrics(
         micro_val.alias("f1"),
     )
     return per.unionByName(macro).unionByName(micro)
+
+
+# Poisson(1) inverse-CDF thresholds: P(K <= k) for k = 0..7 (tail mass
+# beyond 8 is < 1e-8 — absorbed into the last bucket). Poisson
+# bootstrap (Chamandy et al. 2012): resample weights drawn per
+# (row, replicate) independently, no global n needed — THE bootstrap
+# formulation that distributes, since multinomial resampling requires
+# coordinated draws.
+_POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+)
+
+
+def _poisson1(u):
+    """Portable Poisson(1) draw from a uniform column via the CDF
+    ladder — 8 codegen comparisons, reproducible in any engine."""
+    k = F.lit(8)
+    for i in range(len(_POISSON1_CDF) - 1, -1, -1):
+        k = F.when(u < F.lit(_POISSON1_CDF[i]), F.lit(i)).otherwise(k)
+    return k
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "Sequence[str]" = (),
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    id_col: "Optional[str]" = None,
+    salt: str = "bs1",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the MEAN of
+    ``value_col`` (per group): Poisson(1) resample weights per
+    (row, replicate), replicate means, empirical ``alpha/2`` /
+    ``1 − alpha/2`` quantiles. The error bar every eval-layer metric
+    table should carry before two model versions are declared
+    different.
+
+    Determinism: weights derive from ``md5(id ‖ replicate ‖ salt)``
+    (``id_col`` defaults to the value's row via ``id_col=None`` →
+    requires an explicit id column for reproducibility; pass your
+    primary key). Same inputs → same intervals, any partitioning.
+
+    Plan (100 TB lens): explode ``n_boot`` replicates per row BUT the
+    (group, replicate) aggregate partial-combines map-side, so the
+    shuffle carries ``groups × n_boot`` rows — the exploded stream
+    never hits the wire. One further tiny aggregate takes the
+    replicate-mean quantiles (exact ``percentile`` over ``n_boot``
+    values per group). Empty-weight replicates (possible in tiny
+    groups) are excluded from the quantile.
+
+    Returns ``group_cols + (n, mean, ci_lo, ci_hi)`` (9-dp rounded).
+    """
+    if id_col is None:
+        raise ValueError(
+            "pass id_col (a stable unique row id) — bootstrap weights "
+            "must be reproducible across partitionings"
+        )
+    if n_boot < 10:
+        raise ValueError("n_boot must be >= 10")
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *g, v.alias("__v"), F.col(id_col).cast("string").alias("__id")
+    )
+    rep = base.select(
+        *g,
+        "__v",
+        "__id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("__id"),
+                        F.lit("|"),
+                        F.col("__b").cast("string"),
+                        F.lit("|"),
+                        F.lit(salt),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16 ** 8))
+    )
+    wtd = rep.select(*g, "__b", "__v", _poisson1(u).alias("__w"))
+    reps = (
+        wtd.groupBy(*g, "__b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__v")).alias("__swv"),
+            F.sum("__w").alias("__sw"),
+        )
+        .where(F.col("__sw") > 0)
+        .select(*g, (F.col("__swv") / F.col("__sw")).alias("__m"))
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    cis = reps.groupBy(*g).agg(
+        F.round(F.percentile("__m", F.lit(lo)), 9).alias("ci_lo"),
+        F.round(F.percentile("__m", F.lit(hi)), 9).alias("ci_hi"),
+    )
+    points = base.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("__v"), 9).alias("mean"),
+    )
+    joined = (
+        points.join(cis, g) if g else points.crossJoin(cis)
+    )
+    return joined.select(*g, "n", "mean", "ci_lo", "ci_hi")

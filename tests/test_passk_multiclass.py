@@ -110,3 +110,64 @@ def test_multiclass_metrics_python_parity(spark):
         assert got.loc["(micro)", c] == pytest.approx(acc, abs=1e-8)
     # class "e" appears only as a prediction: recall 0, f1 0, row kept
     assert got.loc["e", "n_true"] == 0 and got.loc["e", "recall"] == 0.0
+
+
+def test_bootstrap_ci_duckdb_parity(spark):
+    """evaluation.py::bootstrap_ci — full DuckDB twin of the md5
+    Poisson ladder + replicate means + percentile interval."""
+    import duckdb
+
+    from graphrole_spark.functions.evaluation import bootstrap_ci
+
+    rng = random.Random(17)
+    rows = [
+        (i, "g1" if i % 2 else "g2", round(rng.gauss(10, 3), 4))
+        for i in range(400)
+    ]
+    pdf = pd.DataFrame(rows, columns=["rid", "grp", "val"])
+    df = spark.createDataFrame(pdf)
+    got = (
+        bootstrap_ci(df, "val", ["grp"], n_boot=50, id_col="rid")
+        .orderBy("grp")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    cdf = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+           0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+           0.9999167588507119, 0.9999897508033253]
+    ladder = "CASE " + " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(cdf)
+    ) + " ELSE 8 END"
+    oracle = con.execute(f"""
+        WITH rep AS (
+          SELECT grp, val, rid, b FROM t,
+                 unnest(generate_series(0, 49)) AS s(b)),
+        uu AS (
+          SELECT grp, val, b,
+                 CAST(concat('0x', substr(md5(concat(CAST(rid AS VARCHAR),
+                      '|', CAST(b AS VARCHAR), '|bs1')), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS u
+          FROM rep),
+        w AS (SELECT grp, val, b, {ladder} AS w FROM uu),
+        m AS (SELECT grp, b, sum(w * val) / sum(w) AS m
+              FROM w GROUP BY grp, b HAVING sum(w) > 0)
+        SELECT grp,
+               round(quantile_cont(m, 0.025), 9) AS ci_lo,
+               round(quantile_cont(m, 0.975), 9) AS ci_hi
+        FROM m GROUP BY grp ORDER BY grp
+    """).df()
+    assert got["ci_lo"].tolist() == pytest.approx(
+        oracle["ci_lo"].tolist(), abs=1e-8
+    )
+    assert got["ci_hi"].tolist() == pytest.approx(
+        oracle["ci_hi"].tolist(), abs=1e-8
+    )
+    # interval brackets the point estimate and is sane for n=200/group
+    for _, r in got.iterrows():
+        assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+        assert 0.1 < r["ci_hi"] - r["ci_lo"] < 2.5
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "val", ["grp"], id_col=None)
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "val", ["grp"], n_boot=5, id_col="rid")
