@@ -127,7 +127,8 @@ def test_bootstrap_ci_duckdb_parity(spark):
     pdf = pd.DataFrame(rows, columns=["rid", "grp", "val"])
     df = spark.createDataFrame(pdf)
     got = (
-        bootstrap_ci(df, "val", ["grp"], n_boot=50, id_col="rid")
+        bootstrap_ci(df, "val", ["grp"], n_boot=50, id_col="rid",
+                     hash_fn="md5")
         .orderBy("grp")
         .toPandas()
     )
@@ -171,3 +172,20 @@ def test_bootstrap_ci_duckdb_parity(spark):
         bootstrap_ci(df, "val", ["grp"], id_col=None)
     with pytest.raises(ValueError):
         bootstrap_ci(df, "val", ["grp"], n_boot=5, id_col="rid")
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "val", ["grp"], id_col="rid", hash_fn="sha1")
+    # fast xxhash64 path: deterministic across partitionings, interval
+    # statistically consistent with the md5 universe
+    fast = (
+        bootstrap_ci(df, "val", ["grp"], n_boot=50, id_col="rid")
+        .orderBy("grp").toPandas()
+    )
+    again = (
+        bootstrap_ci(df.repartition(7), "val", ["grp"], n_boot=50,
+                     id_col="rid")
+        .orderBy("grp").toPandas()
+    )
+    assert fast["ci_lo"].tolist() == again["ci_lo"].tolist()
+    for f, m in zip(fast.itertuples(), got.itertuples()):
+        assert abs(f.ci_lo - m.ci_lo) < 0.5
+        assert abs(f.ci_hi - m.ci_hi) < 0.5
