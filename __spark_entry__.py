@@ -2773,6 +2773,40 @@ def q_bootstrap_ci(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_json_profile(spark, sf_dir):
+    """JSON payload schema profiling (functions/jsonprof.py::
+    json_profile): a deterministic tool-call-style payload column is
+    synthesized from events via to_json(struct(...)) -- with md5-
+    selected rows made malformed / missing / null-valued / string-
+    numeric so every type lane and the accounting sentinels fire --
+    then profiled per top-level key (presence rate + value-type
+    distribution). ONE from_json map pass + map explode + (key, type)
+    aggregate. Tail entry: DuckDB json_keys/json_type value parity +
+    coercion-limit contracts pytest-pinned in tests/test_jsonprof.py."""
+    from graphrole_spark.functions.jsonprof import json_profile
+
+    events = _events(spark, sf_dir)
+    h = lambda salt, mod: F.pmod(
+        F.xxhash64(F.col("event_id"), F.lit(salt)), F.lit(mod)
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("tool"),
+            F.when(h(1, 10) < 7, F.col("value")).alias("latency_ms"),
+            F.when(h(2, 10) < 3, h(3, 5)).alias("retries"),
+            F.when(h(4, 10) < 2, F.col("user_id").cast("string")).alias(
+                "user"
+            ),
+        )
+    )
+    j = (
+        F.when(h(5, 100) < 3, F.lit("{broken"))
+        .when(h(5, 100) < 6, F.lit(None).cast("string"))
+        .otherwise(payload)
+    )
+    return json_profile(events.select(j.alias("payload")), "payload")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3135,6 +3169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full DuckDB value parity pytest-pinned in
         # tests/test_passk_multiclass.py
         "bootstrap_ci": q_bootstrap_ci,
+        # json_profile: SQL-expressible but past the 50-entry window;
+        # DuckDB json_keys/json_type parity pytest-pinned in
+        # tests/test_jsonprof.py
+        "json_profile": q_json_profile,
     }
 
 

@@ -223,6 +223,7 @@ def main() -> None:
         "calibrate",
         "triangles",
         "bootstrap_ci",
+        "json_profile",
         # role_align excluded like rolx_roles: two NMF fits per
         # invocation; pytest + registry cover it
     ]
