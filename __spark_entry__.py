@@ -2807,6 +2807,27 @@ def q_json_profile(spark, sf_dir):
     return json_profile(events.select(j.alias("payload")), "payload")
 
 
+def q_cooccur_pmi(spark, sf_dir):
+    """Co-occurrence graph + PMI association (functions/cooccur.py):
+    event types co-occurring within a (user, day) context, PPMI-
+    scored -- the relational-to-graph bridge (the edge list feeds
+    pagerank/triangles/ReFeX directly). Distinct-per-context items,
+    C(k,2) cap guard, one pair aggregate + vocabulary-sized count
+    joins. Tail entry: full DuckDB value parity (edges + PMI)
+    pytest-pinned in tests/test_cooccur.py."""
+    from graphrole_spark.functions.cooccur import pmi_scores
+
+    events = _events(spark, sf_dir)
+    ctx = events.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+    )
+    return pmi_scores(
+        ctx, ["user_id", "day"], "event_type", positive=True
+    ).orderBy("src", "dst")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3173,6 +3194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB json_keys/json_type parity pytest-pinned in
         # tests/test_jsonprof.py
         "json_profile": q_json_profile,
+        # cooccur_pmi: SQL-expressible but past the 50-entry window;
+        # full DuckDB value parity pytest-pinned in
+        # tests/test_cooccur.py
+        "cooccur_pmi": q_cooccur_pmi,
     }
 
 

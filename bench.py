@@ -224,6 +224,7 @@ def main() -> None:
         "triangles",
         "bootstrap_ci",
         "json_profile",
+        "cooccur_pmi",
         # role_align excluded like rolx_roles: two NMF fits per
         # invocation; pytest + registry cover it
     ]
