@@ -2823,8 +2823,11 @@ def q_cooccur_pmi(spark, sf_dir):
         F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
         "event_type",
     )
+    # positive=False: the synthetic event types are near-independent,
+    # so PPMI would clip everything to 0 — raw PMI keeps the (small,
+    # negative) associations visible and the PPMI clip is pytest-pinned
     return pmi_scores(
-        ctx, ["user_id", "day"], "event_type", positive=True
+        ctx, ["user_id", "day"], "event_type", positive=False
     ).orderBy("src", "dst")
 
 
