@@ -2831,6 +2831,40 @@ def q_cooccur_pmi(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
+def q_link_prediction(spark, sf_dir):
+    """Link-prediction training-set prep (operators/linkpred.py):
+    common-neighbor / Jaccard / Adamic-Adar scores over candidate
+    two-hop pairs of the event-type co-occurrence graph (wedge
+    generation through shared neighbors -- never all-pairs; hub cap)
+    UNION deterministic hashed negative pairs (label 0, anti-joined
+    against true edges; bucketed dense index, no global sort). Tail
+    entry: brute-force score parity + sampling contracts pytest-pinned
+    in tests/test_linkpred.py."""
+    from graphrole_spark.functions.cooccur import cooccurrence_edges
+    from graphrole_spark.operators.linkpred import link_scores, negative_edges
+
+    events = _events(spark, sf_dir)
+    ctx = events.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+    )
+    edges = cooccurrence_edges(ctx, ["user_id", "day"], "event_type")
+    edges = edges.localCheckpoint()  # consumed by two branches below
+    scores = link_scores(edges).select(
+        "node_a", "node_b",
+        F.lit(1).alias("label"),
+        "common_neighbors", "jaccard", "adamic_adar",
+    )
+    neg = negative_edges(edges, k_per_node=3).select(
+        "node_a", "node_b", "label",
+        F.lit(0).cast("long").alias("common_neighbors"),
+        F.lit(0.0).alias("jaccard"),
+        F.lit(0.0).alias("adamic_adar"),
+    )
+    return scores.unionByName(neg).orderBy("node_a", "node_b", "label")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3201,6 +3235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full DuckDB value parity pytest-pinned in
         # tests/test_cooccur.py
         "cooccur_pmi": q_cooccur_pmi,
+        # link_prediction: SQL-expressible (joins) but past the
+        # 50-entry window; brute-force parity + sampling contracts
+        # pytest-pinned in tests/test_linkpred.py
+        "link_prediction": q_link_prediction,
     }
 
 

@@ -225,6 +225,7 @@ def main() -> None:
         "bootstrap_ci",
         "json_profile",
         "cooccur_pmi",
+        "link_prediction",
         # role_align excluded like rolx_roles: two NMF fits per
         # invocation; pytest + registry cover it
     ]
