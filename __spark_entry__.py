@@ -2834,22 +2834,29 @@ def q_cooccur_pmi(spark, sf_dir):
 def q_link_prediction(spark, sf_dir):
     """Link-prediction training-set prep (operators/linkpred.py):
     common-neighbor / Jaccard / Adamic-Adar scores over candidate
-    two-hop pairs of the event-type co-occurrence graph (wedge
+    two-hop pairs of the sparse ring-with-chords doc graph (wedge
     generation through shared neighbors -- never all-pairs; hub cap)
     UNION deterministic hashed negative pairs (label 0, anti-joined
     against true edges; bucketed dense index, no global sort). Tail
     entry: brute-force score parity + sampling contracts pytest-pinned
     in tests/test_linkpred.py."""
-    from graphrole_spark.functions.cooccur import cooccurrence_edges
     from graphrole_spark.operators.linkpred import link_scores, negative_edges
 
-    events = _events(spark, sf_dir)
-    ctx = events.select(
-        "user_id",
-        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
-        "event_type",
+    # sparse deterministic graph (the q_triangles ring-with-chords over
+    # doc ids); the event-type co-occurrence graph is complete at small
+    # SF (5 types), leaving nothing to predict
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").alias("i"))
+    edges = ids.select(
+        F.col("i").cast("string").alias("src"),
+        ((F.col("i") + 1) % n).cast("string").alias("dst"),
+    ).unionByName(
+        ids.select(
+            F.col("i").cast("string").alias("src"),
+            ((F.col("i") + 2) % n).cast("string").alias("dst"),
+        )
     )
-    edges = cooccurrence_edges(ctx, ["user_id", "day"], "event_type")
     edges = edges.localCheckpoint()  # consumed by two branches below
     scores = link_scores(edges).select(
         "node_a", "node_b",
