@@ -31,7 +31,7 @@ def _simulate(rows, within=None):
                     if (
                         s == STEPS[i]
                         and m[i - 1] is not None
-                        and (within is None or t <= m[0] + within)
+                        and (within is None or t <= m[0] + dt.timedelta(seconds=within))
                     ):
                         m[i] = t if m[i] is None else min(m[i], t)
         if m[0] is not None:
