@@ -2872,6 +2872,25 @@ def q_link_prediction(spark, sf_dir):
     return scores.unionByName(neg).orderBy("node_a", "node_b", "label")
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity privacy audit (functions/expectations.py::
+    k_anonymity): customer quasi-identifier classes (nation, market
+    segment, account-balance sign) with class sizes and k=5 violation
+    flags, worst exposures first -- the gate before demographic-ish
+    columns leave the pipeline. ONE map-side-combined aggregate;
+    output is class-table-sized. Tail entry: DuckDB value parity
+    pytest-pinned in tests/test_expectations.py."""
+    from graphrole_spark.functions.expectations import k_anonymity
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    quasi = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.signum("c_acctbal").cast("int").alias("bal_sign"),
+    )
+    return k_anonymity(quasi, ["c_nationkey", "c_mktsegment", "bal_sign"], k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3246,6 +3265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-entry window; brute-force parity + sampling contracts
         # pytest-pinned in tests/test_linkpred.py
         "link_prediction": q_link_prediction,
+        # k_anonymity: SQL-expressible but past the 50-entry window;
+        # DuckDB value parity pytest-pinned in tests/test_expectations.py
+        "k_anonymity": q_k_anonymity,
     }
 
 

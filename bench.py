@@ -226,6 +226,7 @@ def main() -> None:
         "json_profile",
         "cooccur_pmi",
         "link_prediction",
+        "k_anonymity",
         # role_align excluded like rolx_roles: two NMF fits per
         # invocation; pytest + registry cover it
     ]

@@ -195,3 +195,35 @@ def expect(table: DataFrame, checks: list[dict]) -> DataFrame:
     return out.withColumn(
         "passed", (F.col("n_violations") == 0).cast("int")
     ).orderBy("check_id")
+
+
+def k_anonymity(
+    table: DataFrame,
+    quasi_cols: "list[str]",
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (Sweeney
+    2002): every row whose (quasi_cols) equivalence class has fewer
+    than ``k`` members is re-identifiable to that class size — the
+    privacy gate before a dataset with demographic-ish columns leaves
+    the pipeline. Returns the per-class audit:
+    ``quasi_cols + (class_size, violates)`` for every DISTINCT class
+    (one row per class, not per row — at 100 TB the class table is
+    the small output), ordered smallest class first so the worst
+    exposures lead. NULL is a value like any other (a NULL-laden rare
+    combination identifies just as well).
+
+    One hash aggregate with map-side combine. Suppression/
+    generalization is the caller's policy decision; the audit joined
+    back on the quasi columns marks the rows to drop.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return (
+        table.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .withColumn("violates", (F.col("class_size") < k).cast("int"))
+        .orderBy("class_size", *quasi_cols)
+    )

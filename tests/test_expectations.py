@@ -129,3 +129,32 @@ def test_expect_validation_and_empty_table(spark):
     # empty table: no row violations, but row_count min=1 fails by 1
     assert got["n_violations"].tolist() == [0, 0, 1]
     assert got["passed"].tolist() == [1, 1, 0]
+
+
+def test_k_anonymity_duckdb_parity(spark):
+    from graphrole_spark.functions.expectations import k_anonymity
+
+    rows = [
+        ("us", "1980", "m"), ("us", "1980", "m"), ("us", "1980", "m"),
+        ("us", "1985", "f"), ("us", "1985", "f"),
+        ("de", "1990", None), ("de", None, None),
+    ]
+    pdf = pd.DataFrame(rows, columns=["country", "yob", "gender"])
+    df = spark.createDataFrame(pdf)
+    got = k_anonymity(df, ["country", "yob", "gender"], k=3).toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    oracle = con.execute("""
+        SELECT country, yob, gender,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(count(*) < 3 AS INT) AS violates
+        FROM t GROUP BY 1, 2, 3
+        ORDER BY class_size, country, yob, gender
+    """).df()
+    for c in ["class_size", "violates"]:
+        assert got[c].tolist() == oracle[c].tolist(), c
+    # the two singletons + the pair violate at k=3; the triple passes
+    assert got["violates"].tolist() == [1, 1, 1, 0]
+    for bad in (([], 3), (["country"], 1)):
+        with pytest.raises(ValueError):
+            k_anonymity(df, bad[0], k=bad[1])
