@@ -2891,6 +2891,26 @@ def q_k_anonymity(spark, sf_dir):
     return k_anonymity(quasi, ["c_nationkey", "c_mktsegment", "bal_sign"], k=5)
 
 
+def q_communities(spark, sf_dir):
+    """Label-propagation communities (operators/communities.py):
+    deterministic semi-synchronous LPA (md5-parity checkerboard
+    half-steps -- no random order, no sync two-cycles) over the part->
+    supplier shipment graph; per-iteration one join + one tally
+    aggregate + one argmax window, localCheckpoint-bounded. Iterative
+    fixpoint -- not SQL (like kmeans_cells); exact python-replica
+    parity + clique-bridge goldens pytest-pinned in
+    tests/test_communities.py."""
+    from graphrole_spark.operators.communities import label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        F.col("l_quantity").alias("weight"),
+    )
+    return label_propagation(edges, n_iter=6, weight_col="weight")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3268,6 +3288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k_anonymity: SQL-expressible but past the 50-entry window;
         # DuckDB value parity pytest-pinned in tests/test_expectations.py
         "k_anonymity": q_k_anonymity,
+        # communities: iterative fixpoint -- not SQL (like
+        # kmeans_cells); python-replica parity pytest-pinned in
+        # tests/test_communities.py
+        "communities": q_communities,
     }
 
 

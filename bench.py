@@ -228,7 +228,9 @@ def main() -> None:
         "link_prediction",
         "k_anonymity",
         # role_align excluded like rolx_roles: two NMF fits per
-        # invocation; pytest + registry cover it
+        # invocation; pytest + registry cover it. communities (LPA)
+        # excluded for the same reason: 6 checkpointed half-steps per
+        # invocation would dominate its slot
     ]
     queries = entrymod.queries()
     for name in suite:
