@@ -221,3 +221,62 @@ def test_target_encode_oof_fact_side_broadcast_join(spark, transcripts, tmp_path
     )
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan, plan[:4000]
+
+
+def test_weighted_sample_global_is_take_ordered(spark):
+    """Global weighted_sample compiles to TakeOrderedAndProject — each
+    partition keeps its local top-n, no corpus-wide sort (the
+    docstring's claimed plan)."""
+    from graphrole_spark.functions.corpus import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 7 + 1)) for i in range(100)], "doc_id long, w double"
+    )
+    plan = _plan(weighted_sample(docs, n=5, weight_col="w"))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    # the only full Sort allowed is the bounded <=n-row rank window
+    assert plan.count("Exchange rangepartitioning") == 0, plan[:2000]
+
+
+def test_bootstrap_ci_partial_combines_before_shuffle(spark):
+    """The exploded (row × replicate) stream must partial-aggregate
+    map-side: the shuffle carries groups × n_boot rows, never the
+    exploded stream."""
+    from graphrole_spark.functions.evaluation import bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(50)], "rid long, grp string, v double"
+    )
+    plan = _plan(bootstrap_ci(df, "v", ["grp"], n_boot=20, id_col="rid"))
+    assert "Generate explode" in plan
+    assert "partial_sum" in plan, plan[:3000]
+
+
+def test_cooccurrence_no_cartesian(spark):
+    """The pair join is an equi-join on the context key — no
+    cartesian/broadcast-nested-loop anywhere in the plan."""
+    from graphrole_spark.functions.cooccur import cooccurrence_edges
+
+    df = spark.createDataFrame(
+        [(i % 9, f"i{i % 4}") for i in range(60)], "ctx long, item string"
+    )
+    plan = _plan(cooccurrence_edges(df, ["ctx"], "item"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_isotonic_apply_is_pure_projection(spark):
+    """The step-function apply is a WHEN-tree projection: no joins, no
+    exchanges added beyond the input's own plan."""
+    from graphrole_spark.functions.calibration import isotonic_apply
+
+    scored = spark.createDataFrame(
+        [(float(i),) for i in range(20)], "score double"
+    )
+    mapping = spark.createDataFrame(
+        [(0.0, 0.1), (5.0, 0.4), (12.0, 0.9)],
+        "score_from double, calibrated double",
+    )
+    plan = _plan(isotonic_apply(scored, mapping))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
