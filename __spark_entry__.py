@@ -2911,6 +2911,31 @@ def q_communities(spark, sf_dir):
     return label_propagation(edges, n_iter=6, weight_col="weight")
 
 
+def q_fuzzy_link(spark, sf_dir):
+    """Fuzzy record linkage (functions/linkage.py::fuzzy_match):
+    customer names linked against a deterministically-perturbed copy
+    of themselves (md5-selected rows get a suffix appended or the
+    last characters dropped, everything re-cased/punctuated) --
+    blocked normalized-Levenshtein best-match, the no-key catalog
+    join. Tail entry: full DuckDB levenshtein parity + blocking
+    contracts pytest-pinned in tests/test_linkage.py."""
+    from graphrole_spark.functions.linkage import fuzzy_match
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    h = F.pmod(F.xxhash64("c_custkey", F.lit("fz")), F.lit(10))
+    perturbed = cust.select(
+        (F.col("c_custkey") + 100000).alias("alt_id"),
+        F.when(h < 3, F.concat(F.upper("c_name"), F.lit(" INC.")))
+        .when(h < 6, F.expr("substring(c_name, 1, length(c_name) - 2)"))
+        .otherwise(F.translate("c_name", "#", "-"))
+        .alias("alt_name"),
+    )
+    return fuzzy_match(
+        cust, perturbed, "c_custkey", "alt_id", "c_name", "alt_name",
+        min_similarity=0.7, block_chars=8,
+    ).orderBy("left_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3292,6 +3317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kmeans_cells); python-replica parity pytest-pinned in
         # tests/test_communities.py
         "communities": q_communities,
+        # fuzzy_link: SQL-expressible but past the 50-entry window;
+        # full DuckDB levenshtein parity pytest-pinned in
+        # tests/test_linkage.py
+        "fuzzy_link": q_fuzzy_link,
     }
 
 

@@ -227,6 +227,7 @@ def main() -> None:
         "cooccur_pmi",
         "link_prediction",
         "k_anonymity",
+        "fuzzy_link",
         # role_align excluded like rolx_roles: two NMF fits per
         # invocation; pytest + registry cover it. communities (LPA)
         # excluded for the same reason: 6 checkpointed half-steps per

@@ -1,0 +1,114 @@
+"""Fuzzy record linkage (entity resolution lite): block, compare with
+normalized Levenshtein, keep each probe's best match over a threshold
+— the "same supplier spelled three ways" / "join these two catalogs
+without a key" operator every data-integration pipeline needs.
+
+Scale design (the classic blocking discipline): candidate pairs are
+generated ONLY within a blocking key (default: lowercased first
+characters of the normalized name — swap in a phonetic code or an
+LSH band via ``block_expr`` for harder data), so the quadratic
+comparison space collapses to Σ_blocks |L_b|·|R_b|; a per-block
+candidate cap guards degenerate blocks. The comparison itself is
+JVM ``levenshtein`` (codegen, no Python), similarity normalized by
+the longer string; one window picks the best match per probe with
+similarity-then-id determinism.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(c: Column) -> Column:
+    # lowercase, collapse whitespace, strip punctuation-ish chars —
+    # the standard pre-normalization that absorbs formatting noise so
+    # edit distance measures real differences
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^\p{L}\p{Nd} ]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+def fuzzy_match(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    min_similarity: float = 0.85,
+    block_chars: int = 3,
+    block_expr: Optional[Column] = None,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Best fuzzy match in ``right`` for every ``left`` record.
+
+    * similarity = ``1 − levenshtein(a, b) / max(len(a), len(b))``
+      over the NORMALIZED texts (lowercased, punctuation stripped,
+      whitespace collapsed); exact normalized equality scores 1.0.
+    * blocking: candidates share a block key — default the first
+      ``block_chars`` characters of the normalized text (records whose
+      first characters differ never meet; that is the deliberate
+      recall/scale trade every blocked linkage makes — pass a custom
+      ``block_expr`` (phonetic code, sorted-token prefix, minhash
+      band) to trade differently).
+    * blocks larger than ``max_block_size`` on EITHER side are dropped
+      (degenerate keys — empty strings, boilerplate prefixes).
+    * ties (equal similarity) break toward the smallest right id.
+
+    Returns ``(left_id, right_id, similarity)`` — one row per left
+    record that found a match ≥ ``min_similarity``; similarity rounded
+    to 9. Self-linkage (dedup within one table) is
+    ``fuzzy_match(t, t, ...)`` plus filtering ``left_id != right_id``
+    downstream.
+    """
+    if not 0.0 < min_similarity <= 1.0:
+        raise ValueError("min_similarity must be in (0, 1]")
+    if block_expr is None and block_chars < 1:
+        raise ValueError("block_chars must be >= 1")
+    if max_block_size < 1:
+        raise ValueError("max_block_size must be >= 1")
+
+    def prep(df, id_col, text_col, side):
+        t = _norm(F.col(text_col))
+        blk = (
+            block_expr
+            if block_expr is not None
+            else F.substring(t, 1, block_chars)
+        )
+        out = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            t.alias(f"__t_{side}"),
+            blk.alias("__blk"),
+        ).where(F.length(f"__t_{side}") > 0)
+        w = Window.partitionBy("__blk")
+        return (
+            out.withColumn("__bs", F.count(F.lit(1)).over(w))
+            .where(F.col("__bs") <= max_block_size)
+            .drop("__bs")
+        )
+
+    l = prep(left, left_id, left_text, "left")
+    r = prep(right, right_id, right_text, "right")
+    sim = 1.0 - F.levenshtein("__t_left", "__t_right") / F.greatest(
+        F.length("__t_left"), F.length("__t_right")
+    )
+    cand = (
+        l.join(r, "__blk")
+        .withColumn("similarity", F.round(sim, 9))
+        .where(F.col("similarity") >= min_similarity)
+    )
+    wbest = Window.partitionBy("left_id").orderBy(
+        F.desc("similarity"), F.asc("right_id")
+    )
+    return (
+        cand.withColumn("__rank", F.row_number().over(wbest))
+        .where(F.col("__rank") == 1)
+        .select("left_id", "right_id", "similarity")
+    )
