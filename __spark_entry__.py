@@ -2936,6 +2936,27 @@ def q_fuzzy_link(spark, sf_dir):
     ).orderBy("left_id")
 
 
+def q_seasonal_anomalies(spark, sf_dir):
+    """Seasonal baseline + residual anomalies (temporal/seasonal.py):
+    per-user hour-of-day profiles fitted in one aggregate (keys x 24
+    rows), events scored by residual z against their slot -- the
+    calendar-aware complement to rolling_anomalies. Unseen/thin slots
+    score NULL, not anomalous. Tail entry: full DuckDB fit parity +
+    planted-spike detection pytest-pinned in
+    tests/test_cohort_anomaly.py."""
+    from graphrole_spark.temporal.seasonal import (
+        seasonal_anomalies, seasonal_profile,
+    )
+
+    events = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    prof = seasonal_profile(events, ["user_id"], "ts", "value",
+                            period="hour_of_day")
+    return seasonal_anomalies(
+        events, prof, ["user_id"], "ts", "value",
+        period="hour_of_day", min_slot_n=2,
+    ).orderBy("event_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3321,6 +3342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full DuckDB levenshtein parity pytest-pinned in
         # tests/test_linkage.py
         "fuzzy_link": q_fuzzy_link,
+        # seasonal_anomalies: SQL-expressible but past the 50-entry
+        # window; full DuckDB parity pytest-pinned in
+        # tests/test_cohort_anomaly.py
+        "seasonal_anomalies": q_seasonal_anomalies,
     }
 
 

@@ -228,6 +228,7 @@ def main() -> None:
         "link_prediction",
         "k_anonymity",
         "fuzzy_link",
+        "seasonal_anomalies",
         # role_align excluded like rolx_roles: two NMF fits per
         # invocation; pytest + registry cover it. communities (LPA)
         # excluded for the same reason: 6 checkpointed half-steps per

@@ -204,3 +204,73 @@ def test_future_window_label_duckdb_parity(spark):
     assert (last["label_censored"] == 1).all()
     with pytest.raises(ValueError):
         future_window_label(df, ["user_id"], "ts", "is_err", 0)
+
+
+def test_seasonal_profile_and_anomalies_duckdb_parity(spark):
+    """temporal/seasonal.py — fit/score parity against a DuckDB twin
+    (hour_of_day slots) + planted-spike detection."""
+    import duckdb
+
+    from graphrole_spark.temporal.seasonal import (
+        seasonal_anomalies,
+        seasonal_profile,
+    )
+
+    rng = random.Random(31)
+    base = dt.datetime(2024, 2, 5)  # Monday
+    rows = []
+    for day in range(14):
+        for hour in range(24):
+            for k in ("a", "b"):
+                # daily shape: high at hour 12, low at night + noise
+                level = 50 + 30 * (1 if 9 <= hour <= 17 else -1)
+                rows.append(
+                    (k, base + dt.timedelta(days=day, hours=hour),
+                     round(level + rng.gauss(0, 3), 3))
+                )
+    # plant a clear violation: nighttime value at daytime level
+    spike_ts = base + dt.timedelta(days=13, hours=3)
+    rows.append(("a", spike_ts + dt.timedelta(minutes=1), 80.0))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "value"])
+    df = spark.createDataFrame(pdf)
+    prof = seasonal_profile(df, ["k"], "ts", "value", period="hour_of_day")
+    got_prof = prof.orderBy("k", "slot").toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    oracle = con.execute("""
+        SELECT k, CAST(floor(epoch(ts) / 3600) % 24 AS INT) AS slot,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 9) AS mean,
+               round(stddev_samp(value), 9) AS std
+        FROM t GROUP BY 1, 2 ORDER BY k, slot
+    """).df()
+    for c in ["k", "slot", "n"]:
+        assert got_prof[c].tolist() == oracle[c].tolist(), c
+    assert got_prof["mean"].tolist() == pytest.approx(
+        oracle["mean"].tolist(), abs=1e-8
+    )
+    assert got_prof["std"].tolist() == pytest.approx(
+        oracle["std"].tolist(), abs=1e-8
+    )
+    scored = seasonal_anomalies(
+        df, prof, ["k"], "ts", "value", period="hour_of_day"
+    ).toPandas()
+    flagged = scored[scored["is_anomaly"] == 1]
+    # the planted spike is flagged; the regular stream mostly is not
+    assert len(flagged) >= 1
+    assert any(
+        r["k"] == "a" and abs(r["value"] - 80.0) < 1e-9
+        for _, r in flagged.iterrows()
+    )
+    assert len(flagged) < 0.02 * len(scored)
+    # unseen-slot rows (no profile for key 'c') score NULL / 0
+    extra = spark.createDataFrame(
+        [("c", dt.datetime(2024, 2, 5, 3), 99.0)], "k string, ts timestamp, value double"
+    )
+    sc = seasonal_anomalies(
+        extra, prof, ["k"], "ts", "value", period="hour_of_day"
+    ).toPandas()
+    assert pd.isna(sc["resid_z"][0]) and sc["is_anomaly"][0] == 0
+    for bad in (dict(period="month"), dict(z_thresh=0), dict(min_slot_n=0)):
+        with pytest.raises(ValueError):
+            seasonal_anomalies(df, prof, ["k"], "ts", "value", **bad)
