@@ -388,6 +388,8 @@ def q_vocab_coverage(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_degree_undirected(spark, sf_dir):
+    """Undirected weighted degree (reference L1) over the part-supplier
+    shipment graph -- one symmetrized edge aggregate."""
     from graphrole_spark.operators.seeds import degree_features, node_set
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -402,6 +404,9 @@ def q_degree_undirected(spark, sf_dir):
 
 
 def q_degree_directed(spark, sf_dir):
+    """Directed in/out/total weighted degree (reference L2) over the
+    part->supplier shipment graph -- per-endpoint aggregates joined on
+    the node key."""
     from graphrole_spark.operators.seeds import degree_features, node_set
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -419,6 +424,8 @@ def q_degree_directed(spark, sf_dir):
 
 
 def q_chain_seeds(spark, sf_dir):
+    """Closed-form conversation-chain seed features (degree/ego) --
+    window arithmetic on the path graph, zero joins (pipeline.py)."""
     from graphrole_spark.pipeline import chain_seed_features
 
     t = _events_as_transcripts(spark, sf_dir)
@@ -431,6 +438,8 @@ def q_chain_seeds(spark, sf_dir):
 
 
 def q_refex_gen1(spark, sf_dir):
+    """One ReFeX recursive generation (neighbor sum/mean aggregation,
+    reference R1/R3/R4) over the transcript chain graph."""
     from graphrole_spark.operators.aggregate import neighbor_aggregate
     from graphrole_spark.operators.seeds import symmetrize
     from graphrole_spark.pipeline import chain_seed_features
@@ -619,6 +628,9 @@ def q_pit_training_set(spark, sf_dir):
 
 
 def q_egonet(spark, sf_dir):
+    """Egonet internal/external edge counts (reference L3/L4) on the
+    part-supplier graph -- membership join + semi/anti joins, the
+    general-graph path (closed forms cover chains)."""
     from graphrole_spark.operators.seeds import egonet_features, node_set
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -893,6 +905,8 @@ def q_media_features(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact-content dedup groups (md5 hash groupBy): canonical min id
+    + duplicate count per distinct content."""
     from graphrole_spark.functions.text import exact_duplicates
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1116,6 +1130,9 @@ def q_decontaminate(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs: threshold-fitted bands over
+    32-hash signatures, banded equi-join (never all-pairs), exact
+    Jaccard verify on candidates."""
     from graphrole_spark.functions.text import minhash_near_duplicates
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1138,6 +1155,9 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_rolling_fingerprint(spark, sf_dir):
+    """Rabin-Karp rolling-hash document fingerprints (vectorized Arrow
+    kernel): per-doc min/max/count of window hashes -- the span-level
+    dedup primitive. Rows-only (hash-family values)."""
     from graphrole_spark.functions.text import rolling_fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1147,6 +1167,9 @@ def q_rolling_fingerprint(spark, sf_dir):
 
 
 def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-duplicate pairs: 64-bit signatures via fused
+    conditional sums, 16-bit chunk banding, Hamming-distance verify.
+    Rows-only (hash-family values)."""
     from graphrole_spark.functions.text import simhash_near_duplicates
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1437,6 +1460,9 @@ def q_dedup_spans(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate nearest neighbors: sign-bucket
+    candidates + exact cosine re-rank; recall vs brute force is
+    pytest-pinned. Rows-only (hash-family values)."""
     from graphrole_spark.functions.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1591,6 +1617,10 @@ def q_kmeans_cells(spark, sf_dir):
 
 
 def q_refex_pipeline(spark, sf_dir):
+    """FLAGSHIP: full ReFeX point-in-time feature extraction over the
+    transcript view (seeds -> recursive aggregation -> binning ->
+    Chebyshev pruning, 2 generations) -- the north_star pipeline at
+    driver-check scale."""
     from graphrole_spark.pipeline import extract_transcript_features
 
     t = _events_as_transcripts(spark, sf_dir).drop("event_id")
@@ -2622,7 +2652,10 @@ def q_multiclass_eval(spark, sf_dir):
     multiclass_metrics): language-ID confusion over documents -- true
     class = stored lang, prediction = the engine's language_guess
     heuristic; per-class rows + (macro)/(micro) summaries,
-    scikit-learn zero-division conventions. ONE contingency aggregate;
+    scikit-learn zero-division conventions. NOTE the synthetic corpus
+    labels lang metadata on ENGLISH word-soup text (no linguistic
+    signal to recover), so low accuracy here measures the fixture,
+    not the heuristic -- the entry demonstrates the metric surface. ONE contingency aggregate;
     raw rows touched once. Tail entry: hand-contingency python parity
     pytest-pinned in tests/test_passk_multiclass.py."""
     from graphrole_spark.functions.evaluation import multiclass_metrics
