@@ -229,6 +229,7 @@ def main() -> None:
         "k_anonymity",
         "fuzzy_link",
         "seasonal_anomalies",
+        "injection_signals",
         # role_align excluded like rolx_roles: two NMF fits per
         # invocation; pytest + registry cover it. communities (LPA)
         # excluded for the same reason: 6 checkpointed half-steps per

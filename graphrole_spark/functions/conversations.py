@@ -1554,3 +1554,90 @@ def turn_signals(
         .otherwise(F.lit(0.0))
         .alias("caps_ratio"),
     )
+
+
+def injection_signals(
+    transcripts: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Prompt-injection / jailbreak heuristic flags per turn — the
+    safety-curation companion to :func:`turn_signals`: agent-transcript
+    corpora routinely contain injection ATTEMPTS (in user turns and in
+    tool outputs carrying untrusted web content), and a curation pass
+    wants them surfaced — to exclude, downweight, or deliberately keep
+    as adversarial training data — not silently mixed in.
+
+    Heuristic regex families (documented, auditable, codegen-only —
+    a cheap FIRST gate, not a safety classifier; all case-insensitive
+    over ``coalesce(text, '')``):
+
+    * ``override_attempt`` — "ignore/disregard/forget (all) previous/
+      prior/above instructions", "new instructions:";
+    * ``exfil_attempt`` — "reveal/print/show/repeat your (system)
+      prompt/instructions";
+    * ``persona_attempt`` — "you are now", "act as if", "pretend to
+      be", "developer mode", "DAN mode";
+    * ``encoding_evasion`` — base64-ish runs ≥ 40 chars, "decode the
+      following", "rot13";
+    * ``injection_score`` — the flag count (0-4), the sortable
+      triage column.
+
+    Pure projection: no shuffle, linear at any scale. Per-conversation
+    rollups are one groupBy away; the per-turn grain keeps the
+    evidence attached to the turn that carried it.
+    """
+    txt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    override = (
+        F.regexp_count(
+            txt,
+            F.lit(
+                r"(ignore|disregard|forget)\s+(all\s+)?"
+                r"(previous|prior|above|earlier)\s+"
+                r"(instructions?|prompts?|rules?|context)"
+                r"|new instructions\s*:"
+            ),
+        )
+        > 0
+    )
+    exfil = (
+        F.regexp_count(
+            txt,
+            F.lit(
+                r"(reveal|print|show|repeat|output|leak)\s+(me\s+)?"
+                r"(your|the)\s+(system\s+)?(prompt|instructions?)"
+            ),
+        )
+        > 0
+    )
+    persona = (
+        F.regexp_count(
+            txt,
+            F.lit(
+                r"you are now|act as if|pretend (to be|you are)"
+                r"|developer mode|dan mode|jailbreak"
+            ),
+        )
+        > 0
+    )
+    encoding = (
+        F.regexp_count(
+            txt,
+            F.lit(r"[a-z0-9+/]{40,}={0,2}|decode the following|rot13"),
+        )
+        > 0
+    )
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        override.alias("override_attempt"),
+        exfil.alias("exfil_attempt"),
+        persona.alias("persona_attempt"),
+        encoding.alias("encoding_evasion"),
+        (
+            override.cast("int")
+            + exfil.cast("int")
+            + persona.cast("int")
+            + encoding.cast("int")
+        ).alias("injection_score"),
+    )
