@@ -6,7 +6,7 @@ without a key" operator every data-integration pipeline needs.
 Scale design (the classic blocking discipline): candidate pairs are
 generated ONLY within a blocking key (default: lowercased first
 characters of the normalized name — swap in a phonetic code or an
-LSH band via ``block_expr`` for harder data), so the quadratic
+LSH band via ``block_fn`` for harder data), so the quadratic
 comparison space collapses to Σ_blocks |L_b|·|R_b|; a per-block
 candidate cap guards degenerate blocks. The comparison itself is
 JVM ``levenshtein`` (codegen, no Python), similarity normalized by
@@ -16,7 +16,7 @@ similarity-then-id determinism.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -44,7 +44,7 @@ def fuzzy_match(
     right_text: str,
     min_similarity: float = 0.85,
     block_chars: int = 3,
-    block_expr: Optional[Column] = None,
+    block_fn: Optional[Callable[[Column], Column]] = None,
     max_block_size: int = 10_000,
 ) -> DataFrame:
     """Best fuzzy match in ``right`` for every ``left`` record.
@@ -55,9 +55,12 @@ def fuzzy_match(
     * blocking: candidates share a block key — default the first
       ``block_chars`` characters of the normalized text (records whose
       first characters differ never meet; that is the deliberate
-      recall/scale trade every blocked linkage makes — pass a custom
-      ``block_expr`` (phonetic code, sorted-token prefix, minhash
-      band) to trade differently).
+      recall/scale trade every blocked linkage makes). ``block_fn``
+      swaps the key: a callable receiving the NORMALIZED text column
+      and returning the block column (phonetic code, sorted-token
+      prefix, suffix, minhash band — e.g.
+      ``lambda t: F.substring(t, -4, 4)`` for id-suffixed catalogs
+      whose shared prefix would otherwise collapse into one block).
     * blocks larger than ``max_block_size`` on EITHER side are dropped
       (degenerate keys — empty strings, boilerplate prefixes).
     * ties (equal similarity) break toward the smallest right id.
@@ -70,7 +73,7 @@ def fuzzy_match(
     """
     if not 0.0 < min_similarity <= 1.0:
         raise ValueError("min_similarity must be in (0, 1]")
-    if block_expr is None and block_chars < 1:
+    if block_fn is None and block_chars < 1:
         raise ValueError("block_chars must be >= 1")
     if max_block_size < 1:
         raise ValueError("max_block_size must be >= 1")
@@ -78,8 +81,8 @@ def fuzzy_match(
     def prep(df, id_col, text_col, side):
         t = _norm(F.col(text_col))
         blk = (
-            block_expr
-            if block_expr is not None
+            block_fn(t)
+            if block_fn is not None
             else F.substring(t, 1, block_chars)
         )
         out = df.select(
