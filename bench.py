@@ -231,9 +231,11 @@ def main() -> None:
         "seasonal_anomalies",
         "injection_signals",
         # role_align excluded like rolx_roles: two NMF fits per
-        # invocation; pytest + registry cover it. communities (LPA)
-        # excluded for the same reason: 6 checkpointed half-steps per
-        # invocation would dominate its slot
+        # invocation; pytest + registry cover it. communities (LPA, 6
+        # checkpointed half-steps) and pagerank (8 checkpointed
+        # iterations) excluded for the same reason; both remain
+        # driver-registry entries and have their own scale sweeps
+        # (BENCH_GRAPH_SCALE.jsonl)
     ]
     queries = entrymod.queries()
     for name in suite:
