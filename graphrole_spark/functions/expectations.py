@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_ROW_CHECKS = ("not_null", "in_set", "in_range", "matches")
+_ROW_CHECKS = ("not_null", "in_set", "in_range", "matches", "finite")
 _ALL_CHECKS = _ROW_CHECKS + ("unique", "row_count", "fk")
 
 
@@ -53,6 +53,12 @@ def _violation_expr(spec: dict):
         return c.isNotNull() & cond
     if kind == "matches":
         return c.isNotNull() & ~c.rlike(spec["pattern"])
+    if kind == "finite":
+        # NaN/±Inf slip through in_range (NaN compares false, Inf is
+        # in-range of a one-sided bound) and silently poison feature
+        # matrices — audit them explicitly
+        d = c.cast("double")
+        return d.isNotNull() & (F.isnan(d) | (F.abs(d) == float("inf")))
     raise ValueError(f"unknown row check {kind!r}")
 
 
@@ -79,6 +85,9 @@ def expect(table: DataFrame, checks: list[dict]) -> DataFrame:
       either bound optional; non-NULL values outside ``[lo, hi]``.
     * ``{"check": "matches", "column": c, "pattern": regex}`` —
       non-NULL values not matching (Java regex, ``rlike``).
+    * ``{"check": "finite", "column": c}`` — non-NULL numeric values
+      that are NaN or ±Inf (the feature-matrix poison ``in_range``
+      cannot see: NaN compares false everywhere).
     * ``{"check": "unique", "columns": [c, ...]}`` — violations =
       ``n_rows − n_distinct`` over the key (0 iff the key is unique).
     * ``{"check": "row_count", "min": lo, "max": hi}`` — violations =

@@ -158,3 +158,23 @@ def test_k_anonymity_duckdb_parity(spark):
     for bad in (([], 3), (["country"], 1)):
         with pytest.raises(ValueError):
             k_anonymity(df, bad[0], k=bad[1])
+
+
+def test_expect_finite_check(spark):
+    from graphrole_spark.functions.expectations import expect
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (float("inf",),), (float("-inf"),),
+         (None,), (2.5,)],
+        "x double",
+    )
+    got = expect(df, [{"check": "finite", "column": "x"}]).toPandas()
+    assert got["n_violations"].tolist() == [3]  # nan, inf, -inf
+    assert got["passed"].tolist() == [0]
+    # still rides the single-aggregate plan
+    plan = expect(
+        df,
+        [{"check": "finite", "column": "x"},
+         {"check": "not_null", "column": "x"}],
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1
