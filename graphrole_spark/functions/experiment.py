@@ -105,7 +105,11 @@ def ab_test(
             ).alias("rel_effect"),
             F.round(se, 9).alias("se"),
             F.round(z, 6).alias("z"),
-            (F.abs(z) > 1.96).cast("int").alias("significant"),
+            # a variant too small for a variance (n=1 -> NULL z) must
+            # read "not significant", never NULL
+            F.coalesce((F.abs(z) > 1.96).cast("int"), F.lit(0)).alias(
+                "significant"
+            ),
         )
         .orderBy("variant")
     )

@@ -37,6 +37,7 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: Optional[str] = "weight",
     personalize: Optional[DataFrame] = None,
+    init_ranks: Optional[DataFrame] = None,
 ) -> DataFrame:
     """PageRank scores for every node appearing as ``src`` or ``dst``.
 
@@ -59,6 +60,12 @@ def pagerank(
       are ignored; graph nodes absent from the list get reset mass
       0). The reset vector rides the same hash partitioning as the
       ranks, so iterations stay one join + one aggregate.
+    * ``init_ranks`` — optional ``(node, rank)`` warm start (e.g.
+      yesterday's converged ranks after an edge append): the vector
+      is re-normalized to sum 1 over the CURRENT node set (new nodes
+      start at the uniform mass), and with ``tol`` set a near-
+      converged start exits in one or two iterations instead of
+      paying the full budget — the incremental-recompute path.
 
     Returns ``(node, rank)`` with ``sum(rank) = 1``.
 
@@ -134,10 +141,24 @@ def pagerank(
             "node", F.lit(1.0 / n).alias("__p0")
         ).repartition("node").persist()
     reset.count()
-    ranks = reset.select(
-        "node", F.lit(1.0 / n).alias("rank")
-    ).repartition("node").persist()
-    ranks.count()
+    if init_ranks is not None:
+        warm = init_ranks.select(
+            "node", F.col("rank").cast("double").alias("__r0")
+        ).where(F.col("__r0").isNotNull() & (F.col("__r0") >= 0))
+        seeded = nodes.join(warm, "node", "left").select(
+            "node", F.coalesce("__r0", F.lit(1.0 / n)).alias("__r0")
+        )
+        tot = seeded.agg(F.sum("__r0")).collect()[0][0]
+        if not tot:
+            raise ValueError("init_ranks carries no positive mass")
+        ranks = seeded.select(
+            "node", (F.col("__r0") / F.lit(float(tot))).alias("rank")
+        ).repartition("node")
+    else:
+        ranks = reset.select(
+            "node", F.lit(1.0 / n).alias("rank")
+        ).repartition("node")
+    ranks = ranks.localCheckpoint(eager=True)
 
     for it in range(n_iter):
         # dangling mass as a LAZY broadcast 1-row frame off the

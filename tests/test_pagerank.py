@@ -5,6 +5,7 @@ import random
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 
 def _numpy_pagerank(edges, d=0.85, n_iter=20, weighted=True):
@@ -157,3 +158,32 @@ def test_personalized_pagerank_numpy_parity(spark):
         pagerank(df, personalize=spark.createDataFrame(
             [("ghost", 1.0)], "node string, weight double"
         )).collect()
+
+
+def test_pagerank_warm_start_converges_fast(spark):
+    from graphrole_spark.operators.pagerank import pagerank
+
+    edges = _random_edges(seed=21, n_nodes=12, n_edges=30)
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    # converge cold to tol=1e-6 (damping 0.85 contracts ~0.85^k, so
+    # the tol actually fires well inside the budget)
+    cold = pagerank(df, n_iter=120, tol=1e-6)
+    cold_rows = cold.collect()
+    # warm start from the converged vector: the first iteration's L1
+    # delta is already < tol, so it exits immediately at (essentially)
+    # the same fixpoint — one extra contraction step of drift at most
+    warm = pagerank(df, n_iter=120, tol=1e-6, init_ranks=cold)
+    got = {r["node"]: r["rank"] for r in warm.collect()}
+    for r in cold_rows:
+        assert got[r["node"]] == pytest.approx(r["rank"], abs=2e-6)
+    # new-node handling: a warm vector missing nodes still normalizes
+    partial = cold.limit(5)
+    out = pagerank(df, n_iter=5, init_ranks=partial)
+    total = sum(r["rank"] for r in out.collect())
+    assert total == pytest.approx(1.0, abs=1e-9)
+    # explicit all-zero warm vector over the graph's own nodes: no
+    # mass to normalize -> hard error (an unknown node alone is fine:
+    # it's ignored and graph nodes fall back to uniform mass)
+    zeros = cold.select("node", (F.col("rank") * 0).alias("rank"))
+    with pytest.raises(ValueError):
+        pagerank(df, init_ranks=zeros).collect()
