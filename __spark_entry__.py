@@ -3035,6 +3035,33 @@ def q_injection_signals(spark, sf_dir):
     return injection_signals(planted)
 
 
+def q_conformal(spark, sf_dir):
+    """Split-conformal prediction intervals (functions/calibration.py
+    ::conformal_interval): a deterministic noisy regressor over events
+    (prediction = value + md5 noise), calibrated on even event_ids and
+    intervalized on odd ones, Mondrian per event_type -- distribution-
+    free coverage >= 90% from the exact k-th-order-statistic residual
+    quantile. One window over the calibration set, q-hat broadcast
+    onto the scored stream. Tail entry: python order-statistic parity
+    + coverage property pytest-pinned in tests/test_calibration.py."""
+    from graphrole_spark.functions.calibration import conformal_interval
+
+    events = _events(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    scored = events.select(
+        "event_id", "event_type",
+        F.col("value").alias("label"),
+        (F.col("value") + (h % 200 - 100) / 10.0).alias("prediction"),
+    )
+    cal = scored.where(F.col("event_id") % 2 == 0)
+    tst = scored.where(F.col("event_id") % 2 == 1)
+    return conformal_interval(
+        cal, tst, alpha=0.1, group_cols=["event_type"]
+    ).orderBy("event_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3428,6 +3455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; full DuckDB regex parity pytest-pinned in
         # tests/test_conversations.py
         "injection_signals": q_injection_signals,
+        # conformal: SQL-expressible but past the 50-entry window;
+        # python order-statistic parity + coverage pytest-pinned in
+        # tests/test_calibration.py
+        "conformal": q_conformal,
     }
 
 

@@ -230,6 +230,7 @@ def main() -> None:
         "fuzzy_link",
         "seasonal_anomalies",
         "injection_signals",
+        "conformal",
         # role_align excluded like rolx_roles: two NMF fits per
         # invocation; pytest + registry cover it. communities (LPA, 6
         # checkpointed half-steps) and pagerank (8 checkpointed

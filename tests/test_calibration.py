@@ -183,3 +183,57 @@ def test_calibration_validation(spark):
     mapping = spark.createDataFrame([], "score_from double, calibrated double")
     with pytest.raises(ValueError):
         isotonic_apply(empty, mapping)
+
+
+def test_conformal_interval_python_parity_and_coverage(spark):
+    """Split-conformal: exact k-th-order-statistic parity vs python,
+    empirical coverage >= 1 - alpha on an exchangeable holdout, and
+    unknown-group NULL contract."""
+    import math as _math
+
+    from graphrole_spark.functions.calibration import conformal_interval
+
+    rng = random.Random(47)
+    def mk(n, grp):
+        rows = []
+        for i in range(n):
+            pred = rng.uniform(0, 10)
+            noise = rng.gauss(0, 1.0 if grp == "a" else 3.0)
+            rows.append((grp, round(pred, 4), round(pred + noise, 4)))
+        return rows
+
+    cal = mk(400, "a") + mk(400, "b")
+    test = mk(600, "a") + mk(600, "b")
+    cal_df = spark.createDataFrame(cal, "g string, prediction double, label double")
+    test_df = spark.createDataFrame(test, "g string, prediction double, label double")
+    out = conformal_interval(
+        cal_df, test_df, alpha=0.1, group_cols=["g"]
+    ).toPandas()
+    # python oracle: k-th order statistic per group
+    for grp in ("a", "b"):
+        res = sorted(abs(l - p) for g, p, l in cal if g == grp)
+        n = len(res)
+        k = min(_math.ceil((n + 1) * 0.9), n)
+        want_q = res[k - 1]
+        got_q = out[out["g"] == grp]["conf_q"].iloc[0]
+        assert got_q == pytest.approx(want_q, abs=1e-9), grp
+    # marginal coverage per group >= ~0.9 (finite-sample guarantee)
+    for grp in ("a", "b"):
+        sub = out[out["g"] == grp]
+        cov = ((sub["label"] >= sub["conf_lo"])
+               & (sub["label"] <= sub["conf_hi"])).mean()
+        # the 1-alpha guarantee is in expectation over BOTH samples;
+        # one 600-draw split can dip a few points below 0.9
+        assert cov >= 0.85, (grp, cov)
+    # group b (noisier) gets the wider interval
+    qa = out[out["g"] == "a"]["conf_q"].iloc[0]
+    qb = out[out["g"] == "b"]["conf_q"].iloc[0]
+    assert qb > qa
+    # unknown group: NULL bounds, surfaced not faked
+    unk = spark.createDataFrame(
+        [("zz", 5.0, 5.0)], "g string, prediction double, label double"
+    )
+    got = conformal_interval(cal_df, unk, group_cols=["g"]).toPandas()
+    assert pd.isna(got["conf_q"][0]) and pd.isna(got["conf_lo"][0])
+    with pytest.raises(ValueError):
+        conformal_interval(cal_df, test_df, alpha=0.0)
