@@ -3062,6 +3062,34 @@ def q_conformal(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_overlap_join(spark, sf_dir):
+    """Interval overlap join (temporal/range_join.py::
+    interval_overlap_join): per-user event intervals ([ts, ts+30min))
+    overlapped against synthetic 2h deploy windows -- both sides
+    bucket-exploded into a hash equi-join + exact overlap predicate
+    (never Spark's nested-loop range fallback), pairs deduped
+    arithmetically in their first shared bucket. Tail entry: full
+    DuckDB range-predicate parity incl. touching/inverted/NULL
+    intervals pytest-pinned in tests/test_temporal_ops.py."""
+    from graphrole_spark.temporal.range_join import interval_overlap_join
+
+    events = _events(spark, sf_dir)
+    sessions = events.select(
+        "event_id", "user_id", F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"),
+    )
+    day0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    windows = spark.range(0, 200).select(
+        F.col("id").alias("window_id"),
+        (day0 + F.make_interval(hours=F.col("id") * 4)).alias("w_start"),
+        (day0 + F.make_interval(hours=F.col("id") * 4 + 2)).alias("w_end"),
+    )
+    return interval_overlap_join(
+        sessions, windows, "s_start", "s_end", "w_start", "w_end",
+        bucket_seconds=3600,
+    ).orderBy("event_id", "window_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3459,6 +3487,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # python order-statistic parity + coverage pytest-pinned in
         # tests/test_calibration.py
         "conformal": q_conformal,
+        # overlap_join: SQL-expressible but past the 50-entry window;
+        # full DuckDB range-predicate parity pytest-pinned in
+        # tests/test_temporal_ops.py
+        "overlap_join": q_overlap_join,
     }
 
 

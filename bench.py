@@ -231,6 +231,7 @@ def main() -> None:
         "seasonal_anomalies",
         "injection_signals",
         "conformal",
+        "overlap_join",
         # role_align excluded like rolx_roles: two NMF fits per
         # invocation; pytest + registry cover it. communities (LPA, 6
         # checkpointed half-steps) and pagerank (8 checkpointed

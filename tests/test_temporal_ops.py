@@ -270,3 +270,79 @@ def test_asof_nearest_excludes_exact_matches(spark):
             got.loc[mask, "value_asof"].fillna(-1).to_numpy()
             == exp.loc[mask, "value_asof"].fillna(-1).to_numpy()
         ).all(), f"allow_exact={allow_exact}"
+
+
+def test_interval_overlap_join_duckdb_parity(spark):
+    """temporal/range_join.py::interval_overlap_join — bucketed
+    overlap join vs the naive DuckDB range predicate, strict zero-
+    overlap exclusion, inverted/NULL guards, min-overlap threshold."""
+    import datetime as dt
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    rng = random.Random(53)
+    base = dt.datetime(2024, 5, 1)
+
+    def mk(n, tag):
+        rows = []
+        for i in range(n):
+            s = rng.randint(0, 50000)
+            dur = rng.randint(1, 7000)
+            rows.append((f"{tag}{i}",
+                         base + dt.timedelta(seconds=s),
+                         base + dt.timedelta(seconds=s + dur)))
+        return rows
+
+    lrows, rrows = mk(60, "L"), mk(40, "R")
+    # adversarial cases: touching intervals (zero overlap), inverted,
+    # NULL
+    t0 = base + dt.timedelta(seconds=100000)
+    lrows += [("Ltouch", t0, t0 + dt.timedelta(seconds=60)),
+              ("Linv", t0, t0 - dt.timedelta(seconds=5)),
+              ("Lnull", None, t0)]
+    rrows += [("Rtouch", t0 + dt.timedelta(seconds=60),
+               t0 + dt.timedelta(seconds=120))]
+    ldf = spark.createDataFrame(lrows, "lid string, ls timestamp, le timestamp")
+    rdf = spark.createDataFrame(rrows, "rid string, rs timestamp, re timestamp")
+    from graphrole_spark.temporal.range_join import interval_overlap_join
+
+    got = (
+        interval_overlap_join(ldf, rdf, "ls", "le", "rs", "re",
+                              bucket_seconds=1800)
+        .orderBy("lid", "rid")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(lrows, columns=["lid", "ls", "le"]))
+    con.register("r", pd.DataFrame(rrows, columns=["rid", "rs", "re"]))
+    oracle = con.execute("""
+        SELECT lid, rid,
+               round(epoch(least(le, re)) - epoch(greatest(ls, rs)), 6)
+                 AS overlap_seconds
+        FROM l JOIN r
+          ON least(epoch(le), epoch(re)) - greatest(epoch(ls), epoch(rs)) > 0
+        WHERE le > ls AND re > rs
+        ORDER BY lid, rid
+    """).df()
+    assert got["lid"].tolist() == oracle["lid"].tolist()
+    assert got["rid"].tolist() == oracle["rid"].tolist()
+    assert got["overlap_seconds"].tolist() == pytest.approx(
+        oracle["overlap_seconds"].tolist(), abs=1e-6
+    )
+    # the touching pair is excluded (strict), inverted/NULL never match
+    assert "Ltouch" not in set(got["lid"]) or (
+        got[got["lid"] == "Ltouch"]["rid"] != "Rtouch").all()
+    assert "Linv" not in set(got["lid"])
+    assert "Lnull" not in set(got["lid"])
+    # min_overlap threshold prunes
+    thr = interval_overlap_join(
+        ldf, rdf, "ls", "le", "rs", "re", bucket_seconds=1800,
+        min_overlap_seconds=3000,
+    ).toPandas()
+    assert (thr["overlap_seconds"] > 3000).all()
+    assert len(thr) < len(got)
+    with pytest.raises(ValueError):
+        interval_overlap_join(ldf, rdf, "ls", "le", "rs", "re", 0)
