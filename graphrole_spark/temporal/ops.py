@@ -321,7 +321,12 @@ def resample(
     int)`` with one row per grid point.
     """
     aggs_fns = {
-        "last": lambda c: F.max_by(F.col(c), F.col("__ts")),
+        # tie-break equal timestamps by value so "last" is
+        # deterministic across partitionings (max_by alone picks an
+        # arbitrary row among ts ties)
+        "last": lambda c: F.max_by(
+            F.col(c), F.struct(F.col("__ts"), F.col(c))
+        ),
         "mean": lambda c: F.avg(c),
         "min": lambda c: F.min(c),
         "max": lambda c: F.max(c),

@@ -28,7 +28,8 @@ ORACLE = """
     WITH b AS (
       SELECT conv_id,
              CAST(floor(epoch(ts) / {e}) * {e} AS BIGINT) AS gb,
-             max_by(value, ts) AS v
+             max_by(value, ts) AS v  -- fixture ts are unique per bucket;
+             -- Spark's struct tie-break is pinned separately below
       FROM t GROUP BY 1, 2),
     n AS (
       SELECT *, lead(gb) OVER w AS nb, lead(v) OVER w AS nv
@@ -135,6 +136,21 @@ def test_resample_modes_and_validation(spark):
         kw.update(bad)
         with pytest.raises(ValueError):
             resample(df, ["conv_id"], "ts", ["value"], kw.pop("every_seconds"), **kw)
+
+
+def test_resample_last_tie_determinism(spark):
+    """Equal timestamps in one bucket: "last" picks the max value
+    deterministically (struct tie-break), stable across partitionings."""
+    import datetime as dt
+
+    from graphrole_spark.temporal.ops import resample
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [("a", t, 5.0), ("a", t, 2.0), ("a", t, 9.0)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value double")
+    for frame in (df, df.repartition(5)):
+        out = resample(frame, ["conv_id"], "ts", ["value"], 60).toPandas()
+        assert out["value"].tolist() == [9.0]
 
 
 def test_resample_plan_shape(spark):
