@@ -3090,6 +3090,27 @@ def q_overlap_join(spark, sf_dir):
     ).orderBy("event_id", "window_id")
 
 
+def q_forecast_baseline(spark, sf_dir):
+    """Forecast-baseline scorecard (temporal/ops.py::
+    baseline_forecast_eval): per-user naive and seasonal-naive (lag
+    24) one-step MAE + MASE over hourly-resampled event values --
+    the bar any forecasting model must beat, composed with resample
+    so the row lags mean calendar hours. One window exchange + one
+    per-key aggregate. Tail entry: full DuckDB value parity +
+    seasonal/noise/constant contracts pytest-pinned in
+    tests/test_temporal_ops.py."""
+    from graphrole_spark.temporal.ops import baseline_forecast_eval, resample
+
+    events = _events(spark, sf_dir)
+    hourly = resample(
+        events, ["user_id"], "ts", ["value"], every_seconds=3600,
+        fill="ffill",
+    )
+    return baseline_forecast_eval(
+        hourly, ["user_id"], "bucket_ts", "value", season_lag=24
+    ).orderBy("user_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_utc(spark)
@@ -3491,6 +3512,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full DuckDB range-predicate parity pytest-pinned in
         # tests/test_temporal_ops.py
         "overlap_join": q_overlap_join,
+        # forecast_baseline: SQL-expressible but past the 50-entry
+        # window; full DuckDB value parity pytest-pinned in
+        # tests/test_temporal_ops.py
+        "forecast_baseline": q_forecast_baseline,
     }
 
 

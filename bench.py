@@ -232,6 +232,7 @@ def main() -> None:
         "injection_signals",
         "conformal",
         "overlap_join",
+        "forecast_baseline",
         # role_align excluded like rolx_roles: two NMF fits per
         # invocation; pytest + registry cover it. communities (LPA, 6
         # checkpointed half-steps) and pagerank (8 checkpointed

@@ -504,3 +504,52 @@ def future_window_label(
         .withColumn(f"{out_col}_censored", censored)
         .drop("__ts_us")
     )
+
+
+def baseline_forecast_eval(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    season_lag: int = 7,
+) -> DataFrame:
+    """Forecasting-baseline scorecard per key: the two no-model
+    forecasters every real model must beat (Hyndman & Koehler 2006),
+    evaluated one-step-ahead in time order:
+
+    * ``mae_naive`` — mean |v_t − v_{t−1}| (random-walk forecast);
+    * ``mae_snaive`` — mean |v_t − v_{t−season_lag}| (seasonal naive);
+    * ``mase_snaive`` — ``mae_snaive / mae_naive`` — the seasonal
+      baseline in MASE units (< 1 ⇒ the series IS seasonal at this
+      lag and any model should be held to the seasonal bar, not the
+      naive one). NULL when a denominator is 0/undefined (constant or
+      too-short series), never a fabricated number.
+
+    A model's own per-key MAE divided by ``mae_naive`` is its MASE;
+    join this frame to the model's errors on the key. ROW lag, not
+    time lag — resample first (:func:`resample`) if the series is
+    irregular and calendar seasonality is meant.
+
+    One window exchange (both lags share the sort) + one per-key
+    aggregate on the same partitioning.
+    """
+    if season_lag < 2:
+        raise ValueError("season_lag must be >= 2 (1 is the naive lag)")
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
+    errs = df.select(
+        *key_cols,
+        F.abs(v - F.lag(v, 1).over(w)).alias("__e1"),
+        F.abs(v - F.lag(v, int(season_lag)).over(w)).alias("__es"),
+    )
+    mae_naive = F.avg("__e1")
+    mae_snaive = F.avg("__es")
+    return errs.groupBy(*key_cols).agg(
+        F.count("__e1").cast("long").alias("n_naive"),
+        F.count("__es").cast("long").alias("n_snaive"),
+        F.round(mae_naive, 9).alias("mae_naive"),
+        F.round(mae_snaive, 9).alias("mae_snaive"),
+        F.round(
+            F.when(mae_naive > 0, mae_snaive / mae_naive), 9
+        ).alias("mase_snaive"),
+    )

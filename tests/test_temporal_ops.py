@@ -346,3 +346,70 @@ def test_interval_overlap_join_duckdb_parity(spark):
     assert len(thr) < len(got)
     with pytest.raises(ValueError):
         interval_overlap_join(ldf, rdf, "ls", "le", "rs", "re", 0)
+
+
+def test_baseline_forecast_eval_duckdb_parity(spark):
+    """temporal/ops.py::baseline_forecast_eval — naive/seasonal-naive
+    MAE + MASE vs a DuckDB twin; a strongly seasonal series scores
+    mase < 1, white noise scores ~sqrt-2-ish > 1's neighborhood."""
+    import datetime as dt
+    import math
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    rng = random.Random(61)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(200):
+        # key s: strong period-7 pattern + small noise
+        rows.append(("s", base + dt.timedelta(hours=i),
+                     round(10 * math.sin(2 * math.pi * (i % 7) / 7)
+                           + rng.gauss(0, 0.3), 4)))
+        # key w: white noise
+        rows.append(("w", base + dt.timedelta(hours=i),
+                     round(rng.gauss(0, 3), 4)))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "value"])
+    df = spark.createDataFrame(pdf)
+    from graphrole_spark.temporal.ops import baseline_forecast_eval
+
+    got = (
+        baseline_forecast_eval(df, ["k"], "ts", "value", season_lag=7)
+        .orderBy("k")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    oracle = con.execute("""
+        WITH e AS (
+          SELECT k,
+                 abs(value - lag(value, 1) OVER w) AS e1,
+                 abs(value - lag(value, 7) OVER w) AS es
+          FROM t WINDOW w AS (PARTITION BY k ORDER BY ts))
+        SELECT k, CAST(count(e1) AS BIGINT) AS n_naive,
+               CAST(count(es) AS BIGINT) AS n_snaive,
+               round(avg(e1), 9) AS mae_naive,
+               round(avg(es), 9) AS mae_snaive,
+               round(avg(es) / avg(e1), 9) AS mase_snaive
+        FROM e GROUP BY k ORDER BY k
+    """).df()
+    for c in ["k", "n_naive", "n_snaive"]:
+        assert got[c].tolist() == oracle[c].tolist(), c
+    for c in ["mae_naive", "mae_snaive", "mase_snaive"]:
+        assert got[c].tolist() == pytest.approx(
+            oracle[c].tolist(), abs=1e-8
+        ), c
+    byk = got.set_index("k")
+    assert byk.loc["s", "mase_snaive"] < 0.2   # seasonal series
+    assert byk.loc["w", "mase_snaive"] > 0.8   # noise: no seasonal edge
+    # constant series: NULL mase, not a fabricated number
+    const = spark.createDataFrame(
+        [("c", base + dt.timedelta(hours=i), 5.0) for i in range(20)],
+        "k string, ts timestamp, value double",
+    )
+    g = baseline_forecast_eval(const, ["k"], "ts", "value").toPandas()
+    assert pd.isna(g["mase_snaive"][0])
+    with pytest.raises(ValueError):
+        baseline_forecast_eval(df, ["k"], "ts", "value", season_lag=1)
