@@ -732,15 +732,25 @@ def multiclass_metrics(
     Convention (scikit-learn's): a class with no predicted rows has
     precision 0, no true rows recall 0, and F1 0 when either is 0 —
     never NULL/NaN, so macro means stay defined. Classes appearing
-    only as predictions still get a row.
+    only as predictions still get a row. Rows with a NULL label or
+    prediction are excluded (a NULL class is unscoreable and would
+    otherwise deflate the macro averages with an all-zero row).
 
     Plan: ONE (label, prediction) hash aggregate — contingency-sized,
     ≤ |classes|² rows — then per-class conditional sums over it;
     raw rows are touched once.
     """
-    cont = scored.groupBy(
-        F.col(label_col).alias("__l"), F.col(pred_col).alias("__p")
-    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # NULL labels/predictions would form a phantom class: every join
+    # below is on the NULL key and misses, so its tp/n_true/n_pred
+    # coalesce to 0 and the all-zero row deflates the macro averages.
+    # NULL is unscoreable — exclude it before building the contingency.
+    cont = (
+        scored.where(
+            F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+        )
+        .groupBy(F.col(label_col).alias("__l"), F.col(pred_col).alias("__p"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
     classes = (
         cont.select(F.col("__l").alias("cls"))
         .unionByName(cont.select(F.col("__p").alias("cls")))

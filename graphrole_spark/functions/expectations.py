@@ -126,7 +126,17 @@ def expect(table: DataFrame, checks: list[dict]) -> DataFrame:
             cols = list(spec["columns"])
             if not cols:
                 raise ValueError("unique needs a non-empty columns list")
-            aggs.append(F.count_distinct(*[F.col(c) for c in cols]).alias(alias))
+            # count_distinct(a, b) skips rows where ANY key component is
+            # NULL, which would report those rows as false violations.
+            # Wrapping the key in a struct makes the comparison null-safe
+            # (struct equality treats NULL = NULL, like SQL's SELECT
+            # DISTINCT), so every row is counted and only true key
+            # collisions — including NULL-key collisions — violate.
+            aggs.append(
+                F.count_distinct(
+                    F.struct(*[F.col(c) for c in cols])
+                ).alias(alias)
+            )
             scalar_slots.append((i, spec, alias))
         elif kind == "row_count":
             scalar_slots.append((i, spec, "__n"))
@@ -144,9 +154,10 @@ def expect(table: DataFrame, checks: list[dict]) -> DataFrame:
     for i, spec, alias in scalar_slots:
         kind = spec["check"]
         if kind == "unique":
-            # count_distinct skips rows whose whole key is NULL — such
-            # rows never collide (SQL DISTINCT would fold them; that
-            # ambiguity belongs to not_null checks, not uniqueness)
+            # null-safe struct distinct: n_rows - distinct key tuples.
+            # Rows whose key contains NULLs collide only with identical
+            # NULL patterns (SELECT DISTINCT semantics); whether NULL
+            # keys are acceptable at all belongs to not_null checks.
             viol = F.col("__n") - F.col(alias)
         elif kind == "row_count":
             lo, hi = spec.get("min"), spec.get("max")

@@ -76,10 +76,27 @@ def ab_test(
         F.avg("__y").alias("__mean"),
         F.var_samp("__y").alias("__var"),
     )
-    ctrl = stats.where(F.col("variant") == control).select(
-        F.col("n").alias("n_control"),
-        F.col("__mean").alias("__mean_c"),
-        F.col("__var").alias("__var_c"),
+    # The control is 1 row by construction — collect it. This (a) turns
+    # a typo'd/absent control value into a loud ValueError instead of a
+    # silently empty result, and (b) inlines the control stats as
+    # literals so execution runs the variant aggregate ONCE (the
+    # crossJoin form would re-execute the whole stats subtree to
+    # produce the broadcast side).
+    ctrl_rows = (
+        stats.where(F.col("variant") == control)
+        .select("n", "__mean", "__var")
+        .collect()
+    )
+    if not ctrl_rows:
+        raise ValueError(
+            f"control variant {control!r} not present in {variant_col!r} "
+            "(or has no non-NULL metric rows)"
+        )
+    n_c, mean_c, var_c = ctrl_rows[0]
+    stats = (
+        stats.withColumn("n_control", F.lit(n_c).cast("long"))
+        .withColumn("__mean_c", F.lit(mean_c).cast("double"))
+        .withColumn("__var_c", F.lit(var_c).cast("double"))
     )
     se = F.sqrt(
         F.col("__var") / F.col("n") + F.col("__var_c") / F.col("n_control")
@@ -87,7 +104,6 @@ def ab_test(
     z = F.when(se > 0, (F.col("__mean") - F.col("__mean_c")) / se)
     return (
         stats.where(F.col("variant") != control)
-        .crossJoin(F.broadcast(ctrl))
         .select(
             "variant",
             "n",

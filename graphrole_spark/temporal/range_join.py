@@ -105,8 +105,14 @@ def interval_overlap_join(
         s, e = _epoch(start), _epoch(end)
         b0 = F.floor(s / bucket_seconds).cast("long")
         # end is exclusive: an interval ending exactly on a bucket
-        # boundary does not cover that bucket
-        b1 = F.floor((e - 1e-9) / bucket_seconds).cast("long")
+        # boundary does not cover that bucket. Trim with integer
+        # microsecond arithmetic — a double epsilon is below one ulp at
+        # epoch magnitudes (~2.4e-7 s at 1.7e9), so `e - 1e-9` would be
+        # a no-op and every interval would explode one extra bucket.
+        b1 = F.floor(
+            (F.unix_micros(F.col(end).cast("timestamp")) - F.lit(1))
+            / F.lit(int(bucket_seconds) * 1_000_000)
+        ).cast("long")
         return (
             df.where(s.isNotNull() & e.isNotNull() & (e > s))
             .withColumn(f"__s_{side}", s)

@@ -84,6 +84,49 @@ def test_expect_duckdb_parity(spark):
     assert by[6] == 1          # src_id 9
 
 
+def test_expect_unique_null_safe_keys(spark):
+    """Rows whose uniqueness key contains NULL components are compared
+    null-safely (SELECT DISTINCT semantics): 3 distinct (id, lang)
+    tuples with 2 NULL langs -> 0 violations, while two identical
+    NULL-bearing tuples DO collide."""
+    import duckdb
+
+    from graphrole_spark.functions.expectations import expect
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 3],
+            "lang": [None, None, "en", None],
+        }
+    )
+    t = spark.createDataFrame(pdf)
+    got = expect(
+        t, [{"check": "unique", "columns": ["doc_id", "lang"]}]
+    ).toPandas()
+    # 4 rows, 4 distinct null-safe tuples: (1,N) (2,N) (3,en) (3,N)
+    assert got["n_violations"].tolist() == [0]
+    assert got["passed"].tolist() == [1]
+
+    # two identical NULL-bearing tuples collide
+    pdf2 = pd.DataFrame({"doc_id": [1, 1, 2], "lang": [None, None, "en"]})
+    got2 = expect(
+        spark.createDataFrame(pdf2),
+        [{"check": "unique", "columns": ["doc_id", "lang"]}],
+    ).toPandas()
+    assert got2["n_violations"].tolist() == [1]
+
+    # DuckDB twin: n_rows - count of SELECT DISTINCT rows
+    con = duckdb.connect()
+    con.register("t", pdf)
+    con.register("t2", pdf2)
+    for name, frame in (("t", got), ("t2", got2)):
+        v = con.execute(
+            f"SELECT (SELECT count(*) FROM {name}) - "
+            f"(SELECT count(*) FROM (SELECT DISTINCT doc_id, lang FROM {name}))"
+        ).fetchone()[0]
+        assert frame["n_violations"].tolist() == [int(v)]
+
+
 def test_expect_single_scan_for_row_checks(spark):
     """All row-level + unique checks compile into ONE aggregate over
     one scan of the table — adding checks must not add passes."""

@@ -102,6 +102,28 @@ def _km_python(rows):
     return out
 
 
+def test_ab_test_missing_control_raises(spark):
+    """A typo'd/absent control must be a loud ValueError, not a
+    silently empty result."""
+    from graphrole_spark.functions.experiment import ab_test
+
+    df = spark.createDataFrame(_ab_pdf())
+    with pytest.raises(ValueError, match="controll"):
+        ab_test(df, "variant", "metric", control="controll")
+    # a control present in the data but with only NULL metrics is
+    # equally absent from the stats frame
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "variant": ["control", "treat_a", "treat_a"],
+                "metric": [None, 1.0, 2.0],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="control"):
+        ab_test(df2, "variant", "metric", control="control")
+
+
 def test_kaplan_meier_python_parity(spark):
     from graphrole_spark.functions.experiment import kaplan_meier
 

@@ -112,6 +112,25 @@ def test_multiclass_metrics_python_parity(spark):
     assert got.loc["e", "n_true"] == 0 and got.loc["e", "recall"] == 0.0
 
 
+def test_multiclass_metrics_null_rows_excluded(spark):
+    """NULL labels/predictions must not form a phantom all-zero class
+    that deflates the macro averages."""
+    from graphrole_spark.functions.evaluation import multiclass_metrics
+
+    rows = [
+        ("a", "a"), ("a", "b"), ("b", "b"),
+        (None, "a"), ("b", None), (None, None),
+    ]
+    df = spark.createDataFrame(rows, "label string, prediction string")
+    got = multiclass_metrics(df).toPandas().set_index("cls")
+    # only the 3 fully-labeled rows score; classes are exactly {a, b}
+    assert sorted(c for c in got.index if not c.startswith("(")) == ["a", "b"]
+    assert got.loc["(micro)", "n_true"] == 3
+    # a: tp=1 n_pred=1 n_true=2 -> p=1  r=.5 f1=2/3
+    # b: tp=1 n_pred=2 n_true=1 -> p=.5 r=1  f1=2/3
+    assert got.loc["(macro)", "f1"] == pytest.approx(2 / 3, abs=1e-8)
+
+
 def test_bootstrap_ci_duckdb_parity(spark):
     """evaluation.py::bootstrap_ci — full DuckDB twin of the md5
     Poisson ladder + replicate means + percentile interval."""
