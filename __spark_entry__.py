@@ -74,6 +74,28 @@ ordered AS (
 )
 """
 
+# DuckDB twin of _events_as_transcripts (same md5 tool CASE, '' for
+# the no-tool lane) — shared by every conversation-layer oracle
+_T_CTE = """
+t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1 AS INT)
+           AS turn_idx,
+         event_type AS role,
+         coalesce(props, '') AS text,
+         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4') THEN 'search'
+              WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                   IN ('5','6','7','8') THEN 'code'
+              WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                   IN ('9','a') THEN 'fetch'
+              ELSE '' END AS tool,
+         ts
+  FROM events
+)
+"""
+
 
 # --------------------------------------------------------------------------
 # temporal operators (M1)
@@ -1663,7 +1685,16 @@ def q_turn_signals(spark, sf_dir):
     projections, zero shuffles."""
     from graphrole_spark.functions.conversations import turn_signals
 
-    return turn_signals(_events_as_transcripts(spark, sf_dir))
+    out = turn_signals(_events_as_transcripts(spark, sf_dir))
+    # boolean flags -> int for an engine-portable value hash
+    return out.select(
+        *[
+            F.col(c).cast("int").alias(c)
+            if c in ("is_question", "refusal", "apology")
+            else F.col(c)
+            for c in out.columns
+        ]
+    )
 
 
 def q_topic_shift(spark, sf_dir):
@@ -1675,7 +1706,7 @@ def q_topic_shift(spark, sf_dir):
 
     return turn_topic_shift(
         _events_as_transcripts(spark, sf_dir), dim=64, threshold=0.3
-    )
+    ).withColumn("new_topic", F.col("new_topic").cast("int"))
 
 
 def q_tool_transitions(spark, sf_dir):
@@ -1877,7 +1908,9 @@ def q_merge_turns(spark, sf_dir):
         "role",
         "text",
         "tool",
-        F.col("ts").cast("string").alias("ts"),
+        # epoch double (round 6), not a string render: engines disagree
+        # on trailing-zero trimming in fractional-second formatting
+        F.round(F.col("ts").cast("timestamp").cast("double"), 6).alias("ts"),
         "src_first_idx",
         "src_last_idx",
         "n_merged",
@@ -1972,7 +2005,9 @@ def q_scd2(spark, sf_dir):
     from graphrole_spark.temporal.scd import scd2_history
 
     events = _events(spark, sf_dir)
-    return scd2_history(events, ["user_id"], "ts", ["event_type"])
+    return scd2_history(events, ["user_id"], "ts", ["event_type"]).withColumn(
+        "is_current", F.col("is_current").cast("int")
+    )
 
 
 def q_feature_scale(spark, sf_dir):
@@ -2435,9 +2470,19 @@ def q_funnel(spark, sf_dir):
     from graphrole_spark.temporal.funnel import funnel
 
     events = _events(spark, sf_dir)
-    return funnel(
+    out = funnel(
         events, ["user_id"], "ts", "event_type",
         ["view", "click", "purchase"],
+    )
+    # hash-stable across engines: epoch doubles (round 6) instead of
+    # a double->timestamp roundtrip that can differ by 1 microsecond
+    return out.select(
+        "user_id",
+        *[
+            F.round(F.col(f"t_{i}").cast("double"), 6).alias(f"t_{i}")
+            for i in (1, 2, 3)
+        ],
+        "steps_completed",
     )
 
 
@@ -3117,13 +3162,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_refex_pipeline(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # REGISTRY-ORDER CONTRACT: the driver adjudicates the FIRST 50
-    # entries, so every oracle-backed query (an entry in oracle_sql())
-    # comes first and the inherently rows-only queries sit at the tail.
-    # tests/test_entry_contract.py::test_oracle_backed_queries_lead pins
-    # this ordering — add new oracle-backed queries BEFORE the rows-only
-    # block and keep len(oracle_sql()) <= 50.
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Master registry in historical order; the public ``queries()``
+    reorders it so the current round's oracle window leads."""
     return {
         # -- temporal / windowed feature engineering (north_rule core) --
         "session_features": q_session_features,
@@ -3519,7 +3560,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# --------------------------------------------------------------------------
+# oracle window rotation
+# --------------------------------------------------------------------------
+# The driver adjudicates the FIRST 50 ``queries()`` entries against
+# ``oracle_sql()`` each round; entries past the window get no driver
+# check. Rather than pinning the same 50 forever, the window ROTATES:
+# each round leads with a different oracle-backed set (plus a small
+# always-on sentinel core from the flagship ReFeX/RolX chain), so the
+# UNION of driver-verified entries grows round over round. Every SQL
+# twin ever written stays in ``_oracle_sql_all()`` and is value-checked
+# locally by tests/test_entry_contract.py regardless of the window.
+
+# the 50 entries CORRECTNESS_r03.json adjudicated (round-3 window) —
+# kept for the rotation invariant test, not used by the driver
+_R3_WINDOW = [
+    "session_features", "lag_lead_rank", "backfill", "prefix_agg",
+    "asof_directions", "interval_count", "time_rollups",
+    "streaming_sessions", "sft_examples", "turn_integrity", "conv_dedup",
+    "degree_undirected", "degree_directed", "chain_seeds", "refex_gen1",
+    "log_binning", "refex_gen2", "refex_transform", "refex_multicutoff",
+    "pit_training_set", "egonet", "rolx_roles", "rolx_multicutoff",
+    "groupby_agg", "set_ops", "rollup_cube", "media_features",
+    "dedup_exact", "corpus_clean", "quality", "vocab_coverage",
+    "lang_guess", "pack_greedy", "chunk_documents", "split_sample",
+    "minhash_dedup", "dedup_clusters", "ngram_jaccard", "cosine_topk",
+    "cosine_dedup", "semantic_dedup", "pii_redact", "tfidf_topk",
+    "lm_score", "dup_ngrams", "dedup_lines", "dsir_weights",
+    "feature_drift", "mix_corpus", "decontaminate",
+]
+
+# always-on sentinel core: the north-rule flagship chain (windowed
+# features -> as-of -> PIT -> binning -> ReFeX recursion -> RolX)
+_SENTINELS = [
+    "session_features", "asof_directions", "pit_training_set",
+    "log_binning", "refex_gen1", "refex_gen2", "refex_transform",
+    "rolx_roles",
+]
+
+# round-4 promotions: tail entries whose DuckDB value parity was until
+# now pytest-only — this round the driver adjudicates them directly
+_PROMOTED_R4 = [
+    "detect_loops", "tool_transitions", "turn_signals", "topic_shift",
+    "conv_highlights", "render_chat", "merge_turns", "conv_split",
+    "preference_pairs", "compact_trajectories", "cap_duplicates",
+    "group_advantages", "scd2", "feature_scale", "temporal_split",
+    "encoding_quality", "label_quality", "corpus_stats", "corpus_diff",
+    "curriculum", "upsample_corpus", "temperature_mix",
+    "weighted_sample", "dedup_weights", "source_overlap", "dq_checks",
+    "k_anonymity", "resample", "funnel", "cohort_retention",
+    "rolling_anomalies", "future_label", "seasonal_anomalies",
+    "overlap_join", "forecast_baseline", "split_leakage",
+    "quantize_embeddings", "semantic_decontam", "bm25_topk",
+    "quality_classifier", "bootstrap_ci", "cooccur_pmi",
+]
+
+_WINDOW = _SENTINELS + _PROMOTED_R4
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry with the current round's oracle window leading (the
+    driver adjudicates the first 50 entries); everything else keeps its
+    historical order at the tail."""
+    all_q = _all_queries()
+    head = {k: all_q[k] for k in _WINDOW}
+    return {**head, **{k: v for k, v in all_q.items() if k not in head}}
+
+
 def oracle_sql() -> dict[str, str]:
+    """DuckDB twins for exactly the current window (driver contract:
+    oracle-backed ⊆ first-50). The full set of SQL twins — including
+    rounds' past windows — lives in ``_oracle_sql_all()`` and stays
+    locally adjudicated."""
+    full = _oracle_sql_all()
+    return {k: full[k] for k in _WINDOW}
+
+
+def _oracle_sql_all() -> dict[str, str]:
     return {
         "session_features": f"""
             WITH s AS (
@@ -4876,6 +4993,577 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
                         AS INT) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # ---- round-4 promotions: temporal layer -----------------------
+        "resample": """
+            WITH b AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS gb,
+                     last(value ORDER BY epoch(ts), value) AS v
+              FROM events GROUP BY 1, 2),
+            n AS (SELECT *, lead(gb) OVER w AS nb, lead(v) OVER w AS nv
+                  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY gb)),
+            g AS (SELECT user_id, gb, v, nb, nv,
+                         unnest(generate_series(gb, coalesce(nb - 1800, gb),
+                                                1800)) AS gg
+                  FROM n)
+            SELECT user_id,
+                   to_timestamp(gg) AT TIME ZONE 'UTC' AS bucket_ts,
+                   CASE WHEN gg > gb
+                        THEN round(v + (nv - v) * (gg - gb) / (nb - gb), 9)
+                        ELSE v END AS value,
+                   CAST(CASE WHEN gg > gb THEN 1 ELSE 0 END AS INT) AS filled
+            FROM g
+        """,
+        "funnel": """
+            WITH e AS (SELECT user_id, epoch(ts) AS es, event_type
+                       FROM events),
+            s1 AS (SELECT *,
+                     min(CASE WHEN event_type = 'view' THEN es END) OVER w
+                       AS m1
+                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es
+                                       ROWS UNBOUNDED PRECEDING)),
+            s2 AS (SELECT *,
+                     min(CASE WHEN event_type = 'click' AND m1 IS NOT NULL
+                              THEN es END) OVER w AS m2
+                   FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY es
+                                        ROWS UNBOUNDED PRECEDING)),
+            s3 AS (SELECT *,
+                     min(CASE WHEN event_type = 'purchase' AND m2 IS NOT NULL
+                              THEN es END) OVER w AS m3
+                   FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY es
+                                        ROWS UNBOUNDED PRECEDING))
+            SELECT user_id,
+                   round(min(m1), 6) AS t_1,
+                   round(min(m2), 6) AS t_2,
+                   round(min(m3), 6) AS t_3,
+                   CAST(CASE WHEN min(m1) IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN min(m2) IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN min(m3) IS NOT NULL THEN 1 ELSE 0 END
+                        AS INT) AS steps_completed
+            FROM s3 GROUP BY user_id HAVING min(m1) IS NOT NULL
+        """,
+        "cohort_retention": """
+            WITH a AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS b
+              FROM events),
+            c AS (SELECT user_id, b,
+                         min(b) OVER (PARTITION BY user_id) AS cohort
+                  FROM a),
+            o AS (SELECT cohort,
+                         CAST((b - cohort) / 604800 AS INT) AS "offset"
+                  FROM c),
+            cnt AS (SELECT cohort, "offset",
+                           CAST(count(*) AS BIGINT) AS n_active
+                    FROM o GROUP BY 1, 2),
+            s AS (SELECT *,
+                         max(CASE WHEN "offset" = 0 THEN n_active END)
+                           OVER (PARTITION BY cohort) AS cohort_size
+                  FROM cnt)
+            SELECT to_timestamp(cohort) AT TIME ZONE 'UTC' AS cohort_ts,
+                   "offset", n_active, cohort_size,
+                   round(n_active / cohort_size, 6) AS retention
+            FROM s
+        """,
+        "rolling_anomalies": """
+            WITH w0 AS (
+              SELECT event_id, user_id, ts, value,
+                     CAST(count(value) OVER w AS INT) AS trail_n,
+                     avg(value) OVER w AS mn,
+                     stddev_samp(value) OVER w AS sd
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+            SELECT event_id, user_id, ts, value, trail_n,
+                   round(mn, 9) AS trail_mean,
+                   CASE WHEN trail_n >= 5 AND sd IS NOT NULL AND sd > 0
+                        THEN round((value - mn) / sd, 9) END AS z,
+                   CAST(CASE WHEN trail_n >= 5 AND sd IS NOT NULL AND sd > 0
+                              AND abs(round((value - mn) / sd, 9)) > 3.0
+                        THEN 1 ELSE 0 END AS INT) AS is_anomaly
+            FROM w0
+        """,
+        "future_label": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                              CAST(CASE WHEN event_type = 'error'
+                                   THEN 1 ELSE 0 END AS INT) AS is_err,
+                              epoch_us(ts) AS us
+                       FROM events)
+            SELECT event_id, user_id, ts, is_err,
+                   coalesce(max(is_err) OVER
+                     (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 1 FOLLOWING AND 259200000000 FOLLOWING),
+                     0) AS label,
+                   CAST(CASE WHEN us + 259200000000 >
+                                  max(us) OVER (PARTITION BY user_id)
+                        THEN 1 ELSE 0 END AS INT) AS label_censored
+            FROM e
+        """,
+        "seasonal_anomalies": """
+            WITH e AS (SELECT event_id, user_id, ts, value,
+                              CAST(floor(epoch(ts) / 3600) % 24 AS INT)
+                                AS slot
+                       FROM events),
+            p AS (SELECT user_id, slot, CAST(count(*) AS BIGINT) AS pn,
+                         round(avg(value), 9) AS expected,
+                         round(stddev_samp(value), 9) AS ps
+                  FROM e WHERE value IS NOT NULL GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, e.ts, e.value, e.slot, p.expected,
+                   CASE WHEN p.pn >= 2 AND p.ps IS NOT NULL AND p.ps > 0
+                        THEN round((e.value - p.expected) / p.ps, 9) END
+                     AS resid_z,
+                   CAST(CASE WHEN p.pn >= 2 AND p.ps IS NOT NULL AND p.ps > 0
+                              AND abs(round((e.value - p.expected) / p.ps, 9))
+                                  > 3.0
+                        THEN 1 ELSE 0 END AS INT) AS is_anomaly
+            FROM e LEFT JOIN p USING (user_id, slot)
+        """,
+        "overlap_join": """
+            WITH s AS (SELECT event_id, user_id,
+                              ts AS s_start,
+                              ts + INTERVAL 30 MINUTE AS s_end
+                       FROM events),
+            w AS (SELECT CAST(i AS BIGINT) AS window_id,
+                         TIMESTAMP '2024-01-01 00:00:00'
+                           + CAST(i * 4 AS INT) * INTERVAL 1 HOUR AS w_start,
+                         TIMESTAMP '2024-01-01 00:00:00'
+                           + CAST(i * 4 + 2 AS INT) * INTERVAL 1 HOUR AS w_end
+                  FROM (SELECT unnest(generate_series(0, 199)) AS i))
+            SELECT s.event_id, s.user_id, s.s_start, s.s_end,
+                   w.window_id, w.w_start, w.w_end,
+                   round(least(epoch(s.s_end), epoch(w.w_end))
+                       - greatest(epoch(s.s_start), epoch(w.w_start)), 6)
+                     AS overlap_seconds
+            FROM s JOIN w
+              ON s.s_start < w.w_end AND w.w_start < s.s_end
+            WHERE least(epoch(s.s_end), epoch(w.w_end))
+                - greatest(epoch(s.s_start), epoch(w.w_start)) > 0
+        """,
+        "forecast_baseline": """
+            WITH b AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS gb,
+                     last(value ORDER BY epoch(ts), value) AS v
+              FROM events GROUP BY 1, 2),
+            n AS (SELECT *, lead(gb) OVER w AS nb
+                  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY gb)),
+            g AS (SELECT user_id, v,
+                         unnest(generate_series(gb, coalesce(nb - 3600, gb),
+                                                3600)) AS gg
+                  FROM n),
+            e AS (SELECT user_id,
+                         abs(v - lag(v, 1) OVER w) AS e1,
+                         abs(v - lag(v, 24) OVER w) AS es
+                  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY gg))
+            SELECT user_id,
+                   CAST(count(e1) AS BIGINT) AS n_naive,
+                   CAST(count(es) AS BIGINT) AS n_snaive,
+                   round(avg(e1), 9) AS mae_naive,
+                   round(avg(es), 9) AS mae_snaive,
+                   round(CASE WHEN avg(e1) > 0 THEN avg(es) / avg(e1) END, 9)
+                     AS mase_snaive
+            FROM e GROUP BY user_id
+        """,
+        "scd2": """
+            WITH o AS (
+              SELECT user_id, ts, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR event_type IS DISTINCT FROM
+                              lag(event_type) OVER w
+                          THEN 1 ELSE 0 END AS opens
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+            v AS (SELECT *,
+                         sum(opens) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_type
+                                          ROWS UNBOUNDED PRECEDING) AS ver
+                  FROM o),
+            pv AS (SELECT user_id, ver, min(ts) AS valid_from,
+                          first(event_type ORDER BY ts) AS event_type
+                   FROM v GROUP BY 1, 2)
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER w2 AS valid_to,
+                   CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL
+                        THEN 1 ELSE 0 END AS INT) AS is_current
+            FROM pv
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, ver)
+        """,
+        "temporal_split": """
+            WITH c AS (SELECT quantile_cont(epoch(ts), 0.8) AS t1,
+                              quantile_cont(epoch(ts), 0.9) AS t2
+                       FROM events)
+            SELECT event_id,
+                   CASE WHEN epoch(ts) <= t1 THEN 'train'
+                        WHEN epoch(ts) <= t1 + 21600 THEN 'embargo'
+                        WHEN epoch(ts) <= t2 THEN 'val'
+                        WHEN epoch(ts) <= t2 + 21600 THEN 'embargo'
+                        ELSE 'test' END AS split
+            FROM events, c
+        """,
+        "feature_scale": """
+            WITH s AS (SELECT avg(value) AS m, stddev_pop(value) AS sd,
+                              min(value) AS mn, max(value) AS mx,
+                              quantile_cont(value, 0.5) AS md,
+                              quantile_cont(value, 0.75)
+                                - quantile_cont(value, 0.25) AS iqr
+                       FROM events)
+            SELECT event_id,
+                   round(CASE WHEN sd > 0 THEN (value - m) / sd
+                              WHEN value IS NOT NULL THEN 0.0 END, 6)
+                     AS value_z,
+                   round(CASE WHEN mx - mn > 0 THEN (value - mn) / (mx - mn)
+                              WHEN value IS NOT NULL THEN 0.0 END, 6)
+                     AS value_mm,
+                   round(CASE WHEN iqr > 0 THEN (value - md) / iqr
+                              WHEN value IS NOT NULL THEN 0.0 END, 6)
+                     AS value_rb
+            FROM events, s
+        """,
+        # ---- round-4 promotions: conversation layer -------------------
+        "detect_loops": f"""
+            WITH {_T_CTE},
+            sigged AS (
+              SELECT conv_id, turn_idx,
+                     md5(role || chr(31) || tool || chr(31) || text) AS sig
+              FROM t),
+            marked AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN sig = lag(sig) OVER w THEN 0 ELSE 1 END
+                       AS new_run
+              FROM sigged
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            runs AS (
+              SELECT conv_id, turn_idx,
+                     sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                        ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM marked),
+            run_rows AS (
+              SELECT conv_id, run_id, CAST(count(*) AS BIGINT) AS run_len,
+                     min(turn_idx) AS start_turn
+              FROM runs GROUP BY conv_id, run_id)
+            SELECT conv_id,
+                   CAST(sum(run_len) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_loop_runs,
+                   max(run_len) AS max_run_len,
+                   CAST(sum(CASE WHEN run_len >= 2 THEN run_len ELSE 0 END)
+                        AS BIGINT) AS looped_turns,
+                   round(sum(CASE WHEN run_len >= 2 THEN run_len ELSE 0 END)
+                         / CAST(sum(run_len) AS DOUBLE), 6) AS loop_frac,
+                   min(CASE WHEN run_len >= 2 THEN start_turn END)
+                     AS first_loop_turn,
+                   CAST(CASE WHEN sum(CASE WHEN run_len >= 2 THEN 1 ELSE 0
+                                      END) > 0
+                        THEN 1 ELSE 0 END AS INT) AS has_loop
+            FROM run_rows GROUP BY conv_id
+        """,
+        "tool_transitions": f"""
+            WITH {_T_CTE},
+            calls AS (
+              SELECT conv_id, turn_idx, trim(tool) AS tool
+              FROM t WHERE length(trim(tool)) > 0),
+            pairs AS (
+              SELECT conv_id,
+                     lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS from_tool,
+                     tool AS to_tool
+              FROM calls)
+            SELECT from_tool, to_tool,
+                   CAST(count(*) AS BIGINT) AS n_transitions,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversations
+            FROM pairs WHERE from_tool IS NOT NULL
+            GROUP BY from_tool, to_tool
+        """,
+        "turn_signals": f"""
+            WITH {_T_CTE}
+            SELECT conv_id, turn_idx, role,
+                   CAST(len(regexp_extract_all(text, '[^ ]+')) AS INT)
+                     AS n_tokens,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(CASE WHEN contains(text, '?') THEN 1 ELSE 0 END
+                        AS INT) AS is_question,
+                   CAST(len(regexp_extract_all(text, '```')) / 2 AS INT)
+                     AS n_code_blocks,
+                   CAST(len(regexp_extract_all(text, 'https?://')) AS INT)
+                     AS n_urls,
+                   CAST(CASE WHEN len(regexp_extract_all(lower(text),
+                          'i cannot|i can''t|i won''t|unable to|i''m not able to'))
+                          > 0 THEN 1 ELSE 0 END AS INT) AS refusal,
+                   CAST(CASE WHEN len(regexp_extract_all(lower(text),
+                          'sorry|i apologize')) > 0
+                        THEN 1 ELSE 0 END AS INT) AS apology,
+                   CAST(len(regexp_extract_all(text, '!')) AS INT)
+                     AS exclaims,
+                   CASE WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0
+                        THEN round(len(regexp_extract_all(text, '[A-Z]'))
+                             * 1.0 / len(regexp_extract_all(text, '[A-Za-z]')),
+                             6)
+                        ELSE 0.0 END AS caps_ratio
+            FROM t
+        """,
+        "topic_shift": f"""
+            WITH {_T_CTE},
+            inst AS (
+              SELECT conv_id, turn_idx, tok AS term
+              FROM (SELECT conv_id, turn_idx,
+                           list_filter(string_split_regex(trim(text), ' +'),
+                                       x -> x <> '') AS toks
+                    FROM t), unnest(toks) AS u(tok)),
+            cell AS (
+              SELECT conv_id, turn_idx,
+                     CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)
+                       % 64 AS d,
+                     sum(CAST(concat('0x', substr(md5(term || '#s'), 1, 8))
+                         AS BIGINT) % 2 * 2 - 1) AS v,
+                     count(*) AS cnt
+              FROM inst GROUP BY 1, 2, 3),
+            tn AS (
+              SELECT conv_id, turn_idx, sqrt(sum(v * v)) AS nn,
+                     CAST(sum(cnt) AS BIGINT) AS n_terms
+              FROM cell GROUP BY 1, 2),
+            unitc AS (
+              SELECT c.conv_id, c.turn_idx, c.d, round(c.v / n.nn, 9) AS uv
+              FROM cell c JOIN tn n USING (conv_id, turn_idx)
+              WHERE n.nn > 0),
+            dots AS (
+              SELECT a.conv_id, a.turn_idx, sum(a.uv * b.uv) AS dot
+              FROM unitc a JOIN unitc b
+                ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx - 1
+               AND a.d = b.d
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT t.conv_id, t.turn_idx,
+                     CAST(coalesce(n.n_terms, 0) AS BIGINT) AS n_terms,
+                     CASE WHEN t.turn_idx = 0 THEN NULL
+                          ELSE round(coalesce(d.dot, 0.0), 6) END AS prev_cos,
+                     CAST(CASE WHEN t.turn_idx = 0
+                                 OR round(coalesce(d.dot, 0.0), 6) < 0.3
+                          THEN 1 ELSE 0 END AS INT) AS new_topic
+              FROM t LEFT JOIN tn n USING (conv_id, turn_idx)
+                     LEFT JOIN dots d USING (conv_id, turn_idx))
+            SELECT conv_id, turn_idx, n_terms, prev_cos, new_topic,
+                   CAST(sum(new_topic) OVER (PARTITION BY conv_id
+                        ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS INT)
+                     AS segment_id
+            FROM scored
+        """,
+        "conv_highlights": f"""
+            WITH {_T_CTE},
+            inst AS (
+              SELECT conv_id, turn_idx, role, tok AS term
+              FROM (SELECT conv_id, turn_idx, role,
+                           list_filter(string_split_regex(trim(text), ' +'),
+                                       x -> x <> '') AS toks
+                    FROM t), unnest(toks) AS u(tok)),
+            tf AS (
+              SELECT conv_id, turn_idx, role, term, count(*) AS tf
+              FROM inst GROUP BY 1, 2, 3, 4),
+            n AS (SELECT count(DISTINCT conv_id) AS nc FROM t),
+            df AS (
+              SELECT term, count(DISTINCT conv_id) AS df FROM tf
+              GROUP BY term),
+            sc AS (
+              SELECT conv_id, turn_idx, role,
+                     CAST(sum(tf) AS BIGINT) AS n_terms,
+                     round(sum(tf * ln(nc * 1.0 / df)), 6) AS salience
+              FROM tf JOIN df USING (term) CROSS JOIN n
+              GROUP BY 1, 2, 3),
+            r AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY conv_id
+                         ORDER BY salience DESC, turn_idx) AS INT) AS rank
+              FROM sc)
+            SELECT conv_id, turn_idx, role, n_terms, salience, rank
+            FROM r WHERE rank <= 3
+        """,
+        "render_chat": f"""
+            WITH {_T_CTE}
+            SELECT conv_id,
+                   string_agg(
+                     '<|im_start|>' || role || chr(10) ||
+                     text || '<|im_end|>' || chr(10),
+                     '' ORDER BY turn_idx) AS text,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(length(string_agg(
+                     '<|im_start|>' || role || chr(10) ||
+                     text || '<|im_end|>' || chr(10),
+                     '' ORDER BY turn_idx)) AS BIGINT) AS n_chars
+            FROM t GROUP BY conv_id
+        """,
+        "merge_turns": f"""
+            WITH {_T_CTE},
+            m AS (
+              SELECT conv_id, turn_idx, role, text, tool, ts,
+                     CASE WHEN role = lag(role) OVER w THEN 0 ELSE 1 END
+                       AS new_run
+              FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            r AS (
+              SELECT *, sum(new_run) OVER (PARTITION BY conv_id
+                        ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS run
+              FROM m),
+            runs AS (
+              SELECT conv_id, run,
+                     first(role ORDER BY turn_idx) AS role,
+                     string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+                     first(tool ORDER BY turn_idx) AS tool,
+                     round(epoch(min(ts)), 6) AS ts,
+                     min(turn_idx) AS src_first_idx,
+                     max(turn_idx) AS src_last_idx,
+                     CAST(count(*) AS BIGINT) AS n_merged
+              FROM r GROUP BY 1, 2)
+            SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id
+                        ORDER BY run) - 1 AS INT) AS turn_idx,
+                   role, text, tool, ts, src_first_idx, src_last_idx,
+                   n_merged
+            FROM runs
+        """,
+        "conv_split": f"""
+            WITH {_T_CTE},
+            corpus AS (
+              SELECT conv_id, turn_idx, role, text FROM t
+              UNION ALL
+              SELECT 'dup_' || conv_id, turn_idx, role, text FROM t
+              WHERE substr(md5(conv_id), 1, 1) IN ('0', '1')),
+            h AS (
+              SELECT conv_id,
+                     md5(CAST(turn_idx AS VARCHAR) || chr(31) || role
+                         || chr(31) || text) AS hx,
+                     length(CAST(turn_idx AS VARCHAR) || chr(31) || role
+                            || chr(31) || text) AS ln
+              FROM corpus),
+            fp AS (
+              SELECT conv_id,
+                     md5(concat_ws('|',
+                       CAST(count(*) AS VARCHAR),
+                       CAST(CAST(sum(CAST(concat('0x', substr(hx, 1, 8))
+                                          AS BIGINT)) AS BIGINT) AS VARCHAR),
+                       CAST(CAST(sum(CAST(concat('0x', substr(hx, 17, 8))
+                                          AS BIGINT)) AS BIGINT) AS VARCHAR),
+                       CAST(CAST(sum(ln) AS BIGINT) AS VARCHAR)))
+                       AS split_key
+              FROM h GROUP BY conv_id),
+            u AS (
+              SELECT conv_id, split_key,
+                     CAST(concat('0x', substr(md5(split_key || ':v1'), 1, 8))
+                          AS BIGINT) / 4294967296.0 AS u
+              FROM fp)
+            SELECT conv_id, split_key,
+                   CASE WHEN u < 0.1 THEN 'test'
+                        WHEN u < 0.2 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM u
+        """,
+        "preference_pairs": f"""
+            WITH {_T_CTE},
+            mx AS (SELECT conv_id, max(turn_idx) AS mxi FROM t GROUP BY 1),
+            base AS (
+              SELECT t.conv_id, t.turn_idx,
+                     CASE WHEN t.turn_idx = m.mxi THEN 'assistant'
+                          ELSE t.role END AS role,
+                     t.text, m.mxi
+              FROM t JOIN mx m USING (conv_id)),
+            corpus AS (
+              SELECT conv_id, turn_idx, role, text FROM base
+              UNION ALL
+              SELECT 'alt_' || conv_id, turn_idx, role,
+                     CASE WHEN turn_idx = mxi
+                          THEN 'regenerated: ' || text ELSE text END
+              FROM base WHERE substr(md5(conv_id), 1, 1) IN ('0', '1')),
+            h AS (
+              SELECT conv_id, turn_idx, role, text,
+                     md5(CAST(turn_idx AS VARCHAR) || chr(31) || role
+                         || chr(31) || text) AS hx,
+                     length(CAST(turn_idx AS VARCHAR) || chr(31) || role
+                            || chr(31) || text) AS ln
+              FROM corpus),
+            agg AS (
+              SELECT conv_id,
+                     count(*) AS n,
+                     sum(CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT)) AS a,
+                     sum(CAST(concat('0x', substr(hx, 17, 8)) AS BIGINT))
+                       AS b,
+                     sum(ln) AS len,
+                     max_by(hx, turn_idx) AS f_hx,
+                     max_by(ln, turn_idx) AS f_ln,
+                     max_by(role, turn_idx) AS f_role,
+                     max_by(text, turn_idx) AS f_text
+              FROM h GROUP BY conv_id),
+            cand AS (
+              SELECT conv_id AS conv,
+                     md5(concat_ws('|',
+                       CAST(n - 1 AS VARCHAR),
+                       CAST(CAST(a - CAST(concat('0x', substr(f_hx, 1, 8))
+                                          AS BIGINT) AS BIGINT) AS VARCHAR),
+                       CAST(CAST(b - CAST(concat('0x', substr(f_hx, 17, 8))
+                                          AS BIGINT) AS BIGINT) AS VARCHAR),
+                       CAST(CAST(len - f_ln AS BIGINT) AS VARCHAR)))
+                       AS prompt_fp,
+                     md5(f_text) AS resp_h,
+                     f_text AS resp_text,
+                     CAST(len(regexp_extract_all(f_text, '[^ ]+'))
+                          AS DOUBLE) AS resp_score
+              FROM agg WHERE f_role = 'assistant' AND n >= 2),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER w AS rn,
+                     count(*) OVER (PARTITION BY prompt_fp) AS n_candidates,
+                     first_value(conv) OVER w AS chosen_conv,
+                     first_value(resp_h) OVER w AS chosen_h,
+                     first_value(resp_text) OVER w AS chosen_text,
+                     first_value(resp_score) OVER w AS chosen_score
+              FROM cand
+              WINDOW w AS (PARTITION BY prompt_fp
+                           ORDER BY resp_score DESC, conv ASC))
+            SELECT prompt_fp, CAST(n_candidates AS BIGINT) AS n_candidates,
+                   chosen_conv, conv AS rejected_conv,
+                   chosen_text, resp_text AS rejected_text,
+                   chosen_score, resp_score AS rejected_score,
+                   chosen_score - resp_score AS margin
+            FROM ranked WHERE rn > 1 AND resp_h <> chosen_h
+        """,
+        "compact_trajectories": f"""
+            WITH {_T_CTE},
+            tok AS (
+              SELECT conv_id, turn_idx, role, text,
+                     CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+                       AS tk,
+                     CASE WHEN length(trim(tool)) > 0
+                           AND row_number() OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx DESC) > 2
+                          THEN 1 ELSE 0 END AS elidable
+              FROM t),
+            st AS (
+              SELECT *,
+                     CASE WHEN elidable = 1 AND tk > 1 THEN tk - 1
+                          ELSE 0 END AS save,
+                     sum(tk) OVER (PARTITION BY conv_id) AS total,
+                     sum(CASE WHEN elidable = 1 AND tk > 1 THEN tk - 1
+                              ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS cum
+              FROM tok),
+            el AS (
+              SELECT *,
+                     CASE WHEN save > 0
+                           AND cum - save < greatest(total - 150, 0)
+                          THEN 1 ELSE 0 END AS elided
+              FROM st),
+            ct AS (
+              SELECT *,
+                     total - sum(CASE WHEN elided = 1 THEN save ELSE 0 END)
+                       OVER (PARTITION BY conv_id) AS conv_tokens
+              FROM el)
+            SELECT conv_id, turn_idx, role,
+                   CASE WHEN elided = 1 THEN '[elided]' ELSE text END
+                     AS text,
+                   CAST(elided AS INT) AS elided,
+                   CAST(CASE WHEN elided = 1 THEN 1 ELSE tk END AS BIGINT)
+                     AS n_tokens,
+                   CAST(conv_tokens AS BIGINT) AS conv_tokens,
+                   CAST(CASE WHEN conv_tokens <= 150 THEN 1 ELSE 0 END
+                        AS INT) AS conv_fits
+            FROM ct
         """,
         # Rows-only queries (no oracle_sql entry) and why — one line per
         # registry-tail entry, in tail order:

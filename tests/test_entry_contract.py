@@ -28,7 +28,11 @@ def duck():
     return con
 
 
-ORACLES = entrymod.oracle_sql()
+# parity is checked against the FULL set of SQL twins ever written
+# (including past rounds' demoted window entries), so rotation never
+# un-verifies an oracle locally; the driver-facing window assertions
+# below use the public oracle_sql()/queries() surface.
+ORACLES = entrymod._oracle_sql_all()
 QUERIES = entrymod.queries()
 
 
@@ -74,13 +78,35 @@ def test_entry_smoke(spark):
 
 def test_oracle_backed_queries_lead():
     """Registry-order contract: the driver adjudicates only the first 50
-    queries() entries, so every oracle-backed query must sit inside that
-    window and the rows-only queries at the tail."""
+    queries() entries, so every entry of the PUBLIC oracle_sql() must
+    sit inside that window, fully covered by a SQL twin."""
     names = list(QUERIES)
-    oracle_names = set(ORACLES)
-    assert len(oracle_names) <= 50, "oracle-backed entries exceed the check window"
-    head = names[: len(oracle_names)]
-    assert set(head) == oracle_names, (
-        "oracle-backed queries must occupy the leading registry positions: "
-        f"missing={oracle_names - set(head)} extra={set(head) - oracle_names}"
+    window_oracles = entrymod.oracle_sql()
+    assert len(window_oracles) <= 50, (
+        "oracle-backed entries exceed the check window"
     )
+    head = names[: len(window_oracles)]
+    assert set(head) == set(window_oracles), (
+        "oracle-backed queries must occupy the leading registry positions: "
+        f"missing={set(window_oracles) - set(head)} "
+        f"extra={set(head) - set(window_oracles)}"
+    )
+    # every window entry has real SQL (no rows-only slots wasted in the
+    # adjudicated window)
+    assert all(isinstance(v, str) and v.strip() for v in window_oracles.values())
+
+
+def test_window_rotation_invariant():
+    """Round-4 rotation: the checked-50 overlaps round 3's window by
+    LESS THAN HALF (only the sentinel core repeats), so the union of
+    driver-verified entries grows round over round."""
+    window = list(entrymod._WINDOW)
+    assert len(window) == len(set(window)) == 50
+    overlap = set(window) & set(entrymod._R3_WINDOW)
+    assert overlap == set(entrymod._SENTINELS), (
+        f"unexpected overlap beyond sentinels: "
+        f"{overlap - set(entrymod._SENTINELS)}"
+    )
+    assert len(overlap) < 25, "window must rotate by more than half"
+    # sentinels stay the flagship chain
+    assert set(entrymod._SENTINELS) <= set(entrymod._R3_WINDOW)
