@@ -1300,7 +1300,17 @@ def q_quantize_embeddings(spark, sf_dir):
     from graphrole_spark.functions.similarity import quantize_embeddings
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return quantize_embeddings(emb)
+    out = quantize_embeddings(emb)
+    # canonical CSV render of the code array: engines disagree on how
+    # pandas stringifies native array columns (ndarray vs list)
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform("qvec", lambda q: q.cast("string")), ","
+        ).alias("qvec_csv"),
+        "scale",
+        "recon_cos",
+    )
 
 
 def q_semantic_decontam(spark, sf_dir):
@@ -1316,7 +1326,16 @@ def q_semantic_decontam(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     mx = emb.agg(F.max("vec_id")).first()[0] or 0
     ev = emb.where(F.col("vec_id") > mx - 20)
-    return semantic_decontaminate(emb, ev, threshold=0.42)
+    out = semantic_decontaminate(emb, ev, threshold=0.42)
+    # display-round the similarity to 6 (the 9-decimal internal value
+    # keeps the threshold/argmax semantics; 6 is hash-stable across
+    # BLAS-vs-sequential summation) and int-cast the flag
+    return out.select(
+        "vec_id",
+        "nearest_eval_id",
+        F.round("eval_sim", 6).alias("eval_sim"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
 
 
 def q_corpus_stats(spark, sf_dir):
@@ -1614,6 +1633,7 @@ def q_quality_classifier(spark, sf_dir):
     model = nb_quality_fit(labeled, buckets=2048)
     return (
         nb_quality_score(labeled, model, buckets=2048)
+        .withColumn("predicted", F.col("predicted").cast("int"))
         .orderBy("doc_id")
     )
 
@@ -2064,7 +2084,9 @@ def q_encoding_quality(spark, sf_dir):
             pick, F.concat(F.col("text"), F.lit(" cafÃ© â€™broken â€œquoteâ€�"))
         ).otherwise(F.col("text")).alias("text"),
     )
-    return encoding_quality(planted)
+    return encoding_quality(planted).withColumn(
+        "encoding_ok", F.col("encoding_ok").cast("int")
+    )
 
 
 def _synthetic_annotations(spark, sf_dir):
@@ -3612,8 +3634,12 @@ _PROMOTED_R4 = [
     "rolling_anomalies", "future_label", "seasonal_anomalies",
     "overlap_join", "forecast_baseline", "split_leakage",
     "quantize_embeddings", "semantic_decontam", "bm25_topk",
-    "quality_classifier", "bootstrap_ci", "cooccur_pmi",
+    "quality_classifier", "skew_join", "cooccur_pmi",
 ]
+# bootstrap_ci stays pytest-adjudicated: its production path uses the
+# xxhash64 Poisson ladder (13x faster than md5 at sf0.1), which has no
+# SQL twin; the md5 variant's full DuckDB parity is pinned in
+# tests/test_passk_multiclass.py::test_bootstrap_ci_duckdb_parity.
 
 _WINDOW = _SENTINELS + _PROMOTED_R4
 
@@ -5564,6 +5590,573 @@ def _oracle_sql_all() -> dict[str, str]:
                    CAST(CASE WHEN conv_tokens <= 150 THEN 1 ELSE 0 END
                         AS INT) AS conv_fits
             FROM ct
+        """,
+        # ---- round-4 promotions: corpus / text / labels ---------------
+        "cap_duplicates": """
+            WITH h AS (
+              SELECT doc_id, text,
+                     CASE WHEN text IS NOT NULL THEN md5(text) END AS hx
+              FROM documents)
+            SELECT doc_id, text,
+                   CAST(count(*) OVER (PARTITION BY hx) AS BIGINT)
+                     AS n_copies,
+                   CAST(row_number() OVER wr AS INT) AS dup_rank,
+                   CAST(CASE WHEN row_number() OVER wr <= 2 THEN 1 ELSE 0 END
+                        AS INT) AS keep
+            FROM h WINDOW wr AS (PARTITION BY hx ORDER BY doc_id)
+        """,
+        "dedup_weights": """
+            SELECT min(doc_id) AS doc_id, hx AS content_hash,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM (SELECT doc_id,
+                         CASE WHEN text IS NOT NULL THEN md5(text) END AS hx
+                  FROM documents)
+            GROUP BY hx
+        """,
+        "source_overlap": """
+            WITH p AS (SELECT DISTINCT source,
+                              md5(coalesce(text, '')) AS k
+                       FROM documents),
+            tot AS (SELECT source, CAST(count(*) AS BIGINT) AS total
+                    FROM p GROUP BY source),
+            sh AS (SELECT a.source AS source_a, b.source AS source_b,
+                          CAST(count(*) AS BIGINT) AS n_shared
+                   FROM p a JOIN p b ON a.k = b.k
+                   WHERE a.source < b.source GROUP BY 1, 2)
+            SELECT source_a, source_b, n_shared,
+                   round(n_shared * 1.0 / ta.total, 6) AS frac_a,
+                   round(n_shared * 1.0 / tb.total, 6) AS frac_b
+            FROM sh JOIN tot ta ON sh.source_a = ta.source
+                    JOIN tot tb ON sh.source_b = tb.source
+        """,
+        "encoding_quality": r"""
+            WITH pd AS (
+              SELECT doc_id,
+                     CASE WHEN substr(md5(text), 1, 1)
+                               IN ('0', '1', '2', '3')
+                          THEN text || ' cafÃ© â€™broken â€œquoteâ€�'
+                          ELSE text END AS text
+              FROM documents),
+            sig AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(coalesce(text, ''),
+                          '\x{FFFD}')) AS INT) AS n_replacement,
+                     CAST(len(regexp_extract_all(coalesce(text, ''),
+                          '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS INT)
+                       AS n_control,
+                     CAST(len(regexp_extract_all(coalesce(text, ''),
+                          '(Ã[\x{80}-\x{BF}])|(â€.)|(Â[\x{A0}-\x{BF}])'))
+                          AS INT) AS n_mojibake,
+                     length(coalesce(text, '')) AS n_chars
+              FROM pd)
+            SELECT doc_id, n_replacement, n_control, n_mojibake,
+                   CASE WHEN n_chars > 0
+                        THEN round((n_replacement + n_control + n_mojibake)
+                             / CAST(n_chars AS DOUBLE), 6)
+                        ELSE 0.0 END AS bad_ratio,
+                   CAST(CASE WHEN (CASE WHEN n_chars > 0
+                          THEN round((n_replacement + n_control + n_mojibake)
+                               / CAST(n_chars AS DOUBLE), 6)
+                          ELSE 0.0 END) <= 0.01
+                        THEN 1 ELSE 0 END AS INT) AS encoding_ok
+            FROM sig
+        """,
+        "group_advantages": """
+            WITH ranked AS (
+              SELECT CAST(user_id AS VARCHAR) AS group_id,
+                     CAST(event_id AS BIGINT) AS sample_id,
+                     CAST(value AS DOUBLE) AS score,
+                     CAST(count(value) OVER w AS BIGINT) AS group_n,
+                     avg(value) OVER w AS mean,
+                     stddev_pop(value) OVER w AS std,
+                     CASE WHEN value IS NOT NULL THEN
+                       CAST(row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC NULLS LAST, event_id)
+                            AS INT) END AS rank_in_group
+              FROM events
+              WINDOW w AS (PARTITION BY user_id))
+            SELECT group_id, sample_id, score, group_n,
+                   round(mean, 6) AS group_mean,
+                   round(std, 6) AS group_std,
+                   CASE WHEN score IS NOT NULL
+                        THEN round((score - mean) / (std + 1e-4), 6) END
+                     AS advantage,
+                   rank_in_group,
+                   CAST(CASE WHEN rank_in_group = 1 THEN 1 ELSE 0 END
+                        AS INT) AS is_best
+            FROM ranked
+        """,
+        # label_quality: majority vote over the deterministic synthetic
+        # annotation table (five md5-reliability workers, 3 classes)
+        "label_quality": """
+            WITH ann AS (
+              SELECT item_id, worker_id,
+                     CASE WHEN u < acc THEN cls[t + 1]
+                          ELSE cls[(t + 1 + u % 2) % 3 + 1] END AS label
+              FROM (
+                SELECT d.doc_id AS item_id, w.worker_id,
+                       CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id
+                            AS VARCHAR)), 1, 4)) AS BIGINT) % 3 AS INT) AS t,
+                       CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id
+                            AS VARCHAR) || '|' || w.worker_id), 1, 6))
+                            AS BIGINT) % 100 AS INT) AS u,
+                       CASE w.worker_id WHEN 'w0' THEN 95 WHEN 'w1' THEN 90
+                            WHEN 'w2' THEN 70 WHEN 'w3' THEN 45
+                            ELSE 15 END AS acc,
+                       ['neg', 'neu', 'pos'] AS cls
+                FROM documents d
+                CROSS JOIN (SELECT unnest(['w0','w1','w2','w3','w4'])
+                            AS worker_id) w)),
+            counts AS (
+              SELECT item_id AS item, label, count(*) AS n
+              FROM ann WHERE label IS NOT NULL GROUP BY 1, 2),
+            ranked AS (
+              SELECT item, label, n,
+                     row_number() OVER w AS rn,
+                     CAST(sum(n) OVER (PARTITION BY item) AS BIGINT)
+                       AS n_votes,
+                     CAST(count(*) OVER (PARTITION BY item) AS BIGINT)
+                       AS n_distinct_labels,
+                     lead(n) OVER w AS runner_up
+              FROM counts
+              WINDOW w AS (PARTITION BY item ORDER BY n DESC, label))
+            SELECT item AS item_id, label, n_votes, n_distinct_labels,
+                   n / CAST(n_votes AS DOUBLE) AS agreement,
+                   (n - coalesce(runner_up, 0)) / CAST(n_votes AS DOUBLE)
+                     AS margin
+            FROM ranked WHERE rn = 1
+        """,
+        "corpus_stats": """
+            WITH tt AS (
+              SELECT source, lang, text,
+                     CASE WHEN text IS NULL THEN 1 ELSE 0 END AS is_null,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 1
+                          ELSE 0 END AS is_empty,
+                     len(regexp_extract_all(coalesce(text, ''), '[^ ]+'))
+                       AS toks,
+                     length(coalesce(text, '')) AS chars
+              FROM documents),
+            prof AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(is_null) AS BIGINT) AS null_text,
+                     CAST(sum(is_empty) AS BIGINT) AS empty_text,
+                     CAST(sum(toks) AS BIGINT) AS total_tokens,
+                     round(avg(toks), 6) AS mean_tokens,
+                     quantile_cont(toks, [0.25, 0.5, 0.75]) AS q,
+                     CAST(max(toks) AS BIGINT) AS max_tokens,
+                     round(avg(chars), 6) AS mean_chars,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+              FROM tt GROUP BY source),
+            dup AS (
+              SELECT source, CAST(sum(n) - count(*) AS BIGINT) AS dup_docs
+              FROM (SELECT source, md5(coalesce(text, '')) AS h,
+                           count(*) AS n
+                    FROM documents GROUP BY 1, 2)
+              GROUP BY source)
+            SELECT p.source, n_docs, null_text, empty_text, total_tokens,
+                   mean_tokens, q[1] AS q1_tokens, q[2] AS median_tokens,
+                   q[3] AS q3_tokens, max_tokens, mean_chars, n_langs,
+                   dup_docs, round(dup_docs * 1.0 / n_docs, 6) AS dup_frac
+            FROM prof p JOIN dup USING (source)
+        """,
+        "corpus_diff": """
+            WITH so AS (
+              SELECT doc_id, source AS g_o, md5(coalesce(text, '')) AS h_o,
+                     CAST(len(regexp_extract_all(coalesce(text, ''),
+                          '[^ ]+')) AS BIGINT) AS t_o
+              FROM documents),
+            nn AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN coalesce(text, '') || ' edited'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 != 0),
+            sn AS (
+              SELECT doc_id, source AS g_n, md5(coalesce(text, '')) AS h_n,
+                     CAST(len(regexp_extract_all(coalesce(text, ''),
+                          '[^ ]+')) AS BIGINT) AS t_n
+              FROM nn),
+            j AS (SELECT * FROM so FULL OUTER JOIN sn USING (doc_id))
+            SELECT coalesce(g_n, g_o) AS source,
+                   CASE WHEN h_o IS NULL THEN 'added'
+                        WHEN h_n IS NULL THEN 'removed'
+                        WHEN h_o = h_n THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(coalesce(t_o, 0)) AS BIGINT) AS tokens_old,
+                   CAST(sum(coalesce(t_n, 0)) AS BIGINT) AS tokens_new,
+                   CAST(sum(coalesce(t_n, 0)) - sum(coalesce(t_o, 0))
+                        AS BIGINT) AS token_delta
+            FROM j GROUP BY 1, 2
+        """,
+        "curriculum": """
+            WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars
+                       FROM documents),
+            cuts AS (SELECT quantile_cont(n_chars, [1.0/3, 2.0/3]) AS cs
+                     FROM d),
+            tiers AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN n_chars IS NULL THEN NULL
+                          ELSE CAST(1 + len(list_filter(cs, c -> c < n_chars))
+                               AS INT) END AS phase,
+                     CAST(CAST(concat('0x', substr(md5(CAST(doc_id
+                          AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT)
+                       AS shard,
+                     CAST(concat('0x', substr(md5(concat(CAST(doc_id
+                          AS VARCHAR), 'curriculum')), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+              FROM d CROSS JOIN cuts)
+            SELECT doc_id, n_chars, phase, shard,
+                   CAST(row_number() OVER (PARTITION BY phase, shard
+                        ORDER BY u, doc_id) - 1 AS INT) AS pos
+            FROM tiers
+        """,
+        "upsample_corpus": """
+            WITH dim AS (
+              SELECT 'src0' AS source, 2.5 AS e
+              UNION ALL SELECT 'src1', 1.0
+              UNION ALL SELECT 'src2', 0.4),
+            j AS (
+              SELECT doc_id, d.source, e, CAST(floor(e) AS INT) AS n_full,
+                     e - floor(e) AS frac,
+                     CAST(concat('0x', substr(md5(concat(d.source, '|',
+                          CAST(doc_id AS VARCHAR), 'upsample')), 1, 8))
+                          AS BIGINT) / 4294967296.0 AS u
+              FROM documents d JOIN dim USING (source)),
+            x AS (
+              SELECT doc_id, source, CAST(i AS INT) AS epoch, n_full,
+                     frac, u
+              FROM j, unnest(generate_series(1, n_full + 1)) AS t(i))
+            SELECT doc_id, source, epoch FROM x
+            WHERE epoch <= n_full OR u < frac
+        """,
+        "temperature_mix": """
+            WITH tok AS (
+              SELECT doc_id, source,
+                     CAST(len(regexp_extract_all(coalesce(text, ''),
+                          '[^ ]+')) AS BIGINT) AS n_tokens
+              FROM documents),
+            st AS (SELECT source, sum(n_tokens) AS s FROM tok
+                   WHERE source IS NOT NULL GROUP BY source),
+            tot AS (SELECT CAST(sum(s) AS DOUBLE) AS total FROM st),
+            qs AS (SELECT source, power(s / total, 0.5) AS q
+                   FROM st, tot),
+            z AS (SELECT sum(q) AS zz FROM qs),
+            qn AS (SELECT source, q / zz AS qn FROM qs, z),
+            ws AS (SELECT sum(qn) AS wsum FROM qn),
+            bud AS (SELECT source, 2000 * qn / wsum AS budget
+                    FROM qn, ws),
+            d AS (
+              SELECT t.doc_id, t.source, t.n_tokens,
+                     coalesce(b.budget, 0.0) AS budget,
+                     CAST(concat('0x', substr(md5(concat(CAST(t.doc_id
+                          AS VARCHAR), 'mix1')), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+              FROM tok t LEFT JOIN bud b USING (source)),
+            c AS (
+              SELECT doc_id, source, n_tokens, budget,
+                     CAST(sum(n_tokens) OVER (PARTITION BY source
+                          ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) - n_tokens AS prev
+              FROM d)
+            SELECT doc_id, source, n_tokens,
+                   CAST(CASE WHEN prev < budget AND budget > 0
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM c
+        """,
+        "weighted_sample": """
+            WITH b AS (
+              SELECT doc_id, source AS stratum,
+                     CAST(n_chars AS DOUBLE) AS weight,
+                     round(power(CAST(concat('0x', substr(md5(concat(
+                            CAST(doc_id AS VARCHAR), 'ws1')), 1, 8))
+                            AS BIGINT) / 4294967296.0,
+                           1.0 / CAST(n_chars AS DOUBLE)), 12) AS samp_key
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0)
+            SELECT doc_id, stratum, weight, samp_key,
+                   CAST(rnk AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY stratum
+                         ORDER BY samp_key DESC, doc_id) AS rnk
+                  FROM b)
+            WHERE rnk <= 40
+        """,
+        # ---- round-4 promotions: quality gates / retrieval / graph ----
+        "dq_checks": """
+            WITH dn AS (SELECT CAST(count(*) AS BIGINT) AS n
+                        FROM documents),
+            onn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+            rows_ AS (
+              SELECT 'documents' AS "table", 0 AS check_id,
+                     'not_null' AS "check", 'text' AS target,
+                     (SELECT n FROM dn) AS n_rows,
+                     (SELECT CAST(count(*) AS BIGINT) FROM documents
+                      WHERE text IS NULL) AS n_violations
+              UNION ALL
+              SELECT 'documents', 1, 'unique', 'doc_id',
+                     (SELECT n FROM dn),
+                     (SELECT n FROM dn)
+                   - (SELECT CAST(count(*) AS BIGINT) FROM
+                      (SELECT DISTINCT doc_id FROM documents))
+              UNION ALL
+              SELECT 'documents', 2, 'in_range', 'n_chars',
+                     (SELECT n FROM dn),
+                     (SELECT CAST(count(*) AS BIGINT) FROM documents
+                      WHERE n_chars IS NOT NULL AND n_chars < 0)
+              UNION ALL
+              SELECT 'documents', 3, 'row_count', '*',
+                     (SELECT n FROM dn),
+                     greatest(1 - (SELECT n FROM dn), 0)
+              UNION ALL
+              SELECT 'orders', 0, 'not_null', 'o_custkey',
+                     (SELECT n FROM onn),
+                     (SELECT CAST(count(*) AS BIGINT) FROM orders
+                      WHERE o_custkey IS NULL)
+              UNION ALL
+              SELECT 'orders', 1, 'in_set', 'o_orderstatus',
+                     (SELECT n FROM onn),
+                     (SELECT CAST(count(*) AS BIGINT) FROM orders
+                      WHERE o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O', 'F', 'P'))
+              UNION ALL
+              SELECT 'orders', 2, 'unique', 'o_orderkey',
+                     (SELECT n FROM onn),
+                     (SELECT n FROM onn)
+                   - (SELECT CAST(count(*) AS BIGINT) FROM
+                      (SELECT DISTINCT o_orderkey FROM orders))
+              UNION ALL
+              SELECT 'orders', 3, 'fk', 'o_custkey->c_custkey',
+                     (SELECT n FROM onn),
+                     (SELECT CAST(count(*) AS BIGINT) FROM orders
+                      WHERE o_custkey IS NOT NULL
+                        AND o_custkey NOT IN
+                            (SELECT c_custkey FROM customer)))
+            SELECT "table", CAST(check_id AS INT) AS check_id, "check",
+                   target, n_rows, CAST(n_violations AS BIGINT)
+                     AS n_violations,
+                   CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END
+                        AS INT) AS passed
+            FROM rows_
+        """,
+        "k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(sign(c_acctbal) AS INT) AS bal_sign,
+                   CAST(count(*) AS BIGINT) AS class_size,
+                   CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS INT)
+                     AS violates
+            FROM customer GROUP BY 1, 2, 3
+        """,
+        "split_leakage": """
+            WITH g AS (
+              SELECT md5(substr(coalesce(text, ''), 1, 24))
+                       AS content_hash, doc_id
+              FROM documents),
+            canon AS (SELECT content_hash, min(doc_id) AS a
+                      FROM g GROUP BY 1),
+            pairs AS (
+              SELECT c.a AS pa, g.doc_id AS pb
+              FROM g JOIN canon c USING (content_hash)
+              WHERE g.doc_id <> c.a),
+            asg AS (
+              SELECT doc_id,
+                     CASE WHEN u < 0.1 THEN 'test'
+                          WHEN u < 0.2 THEN 'val'
+                          ELSE 'train' END AS s
+              FROM (SELECT doc_id,
+                           CAST(concat('0x', substr(md5(concat(CAST(doc_id
+                                AS VARCHAR), 'v1')), 1, 8)) AS BIGINT)
+                             / 4294967296.0 AS u
+                    FROM documents)),
+            j AS (
+              SELECT coalesce(sa.s, '(unassigned)') AS sa,
+                     coalesce(sb.s, '(unassigned)') AS sb
+              FROM pairs LEFT JOIN asg sa ON pairs.pa = sa.doc_id
+                         LEFT JOIN asg sb ON pairs.pb = sb.doc_id)
+            SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(CASE WHEN least(sa, sb) <> greatest(sa, sb)
+                        THEN 1 ELSE 0 END AS INT) AS leaking
+            FROM j GROUP BY 1, 2
+        """,
+        "quantize_embeddings": """
+            WITH s AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             v -> abs(v))) / 127.0 AS scale
+              FROM embeddings),
+            q AS (
+              SELECT vec_id, x, scale,
+                     CASE WHEN scale > 0 THEN
+                       list_transform(x, v -> CAST(greatest(-127,
+                         least(127, floor(v / scale + 0.5))) AS INT))
+                     ELSE list_transform(x, v -> 0) END AS qvec
+              FROM s),
+            d AS (
+              SELECT vec_id, qvec, scale, x,
+                     list_transform(qvec, v -> v * scale) AS deq
+              FROM q)
+            SELECT vec_id, array_to_string(qvec, ',') AS qvec_csv,
+                   round(scale, 9) AS scale,
+                   CASE WHEN scale > 0
+                        THEN round(list_dot_product(x, deq)
+                             / (sqrt(list_dot_product(x, x))
+                                * sqrt(list_dot_product(deq, deq))), 6)
+                        END AS recon_cos
+            FROM d
+        """,
+        "semantic_decontam": """
+            WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+            ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings, mx WHERE vec_id > m - 20),
+            s AS (
+              SELECT c.vec_id, e.vec_id AS eval_id,
+                     round(list_cosine_similarity(
+                       CAST(c.embedding AS DOUBLE[]), e.v), 9) AS sim
+              FROM embeddings c CROSS JOIN ev e),
+            r AS (
+              SELECT vec_id, eval_id, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, eval_id) AS rk
+              FROM s)
+            SELECT vec_id, eval_id AS nearest_eval_id,
+                   round(sim, 6) AS eval_sim,
+                   CAST(CASE WHEN sim >= 0.42 THEN 1 ELSE 0 END AS INT)
+                     AS contaminated
+            FROM r WHERE rk = 1
+        """,
+        "bm25_topk": """
+            WITH inst AS (
+              SELECT doc_id, tok AS term
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(
+                             trim(coalesce(text, '')), ' +'),
+                             x -> x <> '') AS toks
+                    FROM documents), unnest(toks) AS u(tok)),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM inst GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            qs AS (
+              SELECT doc_id AS query_id,
+                     array_to_string(list_slice(string_split_regex(
+                       trim(coalesce(text, '')), ' +'), 1, 6), ' ') AS text
+              FROM documents ORDER BY doc_id LIMIT 5),
+            qterms AS (
+              SELECT DISTINCT query_id, tok AS term
+              FROM (SELECT query_id,
+                           list_filter(string_split_regex(trim(text), ' +'),
+                                       x -> x <> '') AS toks
+                    FROM qs), unnest(toks) AS u(tok)),
+            scored AS (
+              SELECT query_id, tf.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_matched,
+                     round(sum(
+                       ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))),
+                       6) AS bm25
+              FROM tf
+              JOIN qterms USING (term)
+              JOIN dfreq USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+              GROUP BY query_id, tf.doc_id),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+              FROM scored)
+            SELECT query_id, doc_id, n_matched, bm25, rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "quality_classifier": """
+            WITH labeled AS (
+              SELECT doc_id,
+                     concat_ws(' ', text,
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                                 IN ('0','1','2','3','4','5','6','7')
+                            THEN 'quintessential wellspring'
+                            ELSE 'clickbait junkfeed' END) AS text,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') AS label
+              FROM documents),
+            toks AS (
+              SELECT doc_id, label, unnest(
+                list_filter(string_split(trim(coalesce(text, '')), ' '),
+                            t -> t <> '')) AS tok
+              FROM labeled),
+            grams AS (
+              SELECT doc_id, label,
+                     CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                       % 2048 AS bucket
+              FROM toks),
+            counts AS (
+              SELECT bucket,
+                     sum(CASE WHEN label THEN 1 ELSE 0 END) AS pc,
+                     sum(CASE WHEN label THEN 0 ELSE 1 END) AS nc
+              FROM grams GROUP BY bucket),
+            weights AS (
+              SELECT bucket,
+                     ln((pc + 1.0) / ((SELECT sum(pc) FROM counts) + 2048))
+                   - ln((nc + 1.0) / ((SELECT sum(nc) FROM counts) + 2048))
+                       AS log_ratio
+              FROM counts),
+            dflt AS (
+              SELECT ln(1.0 / ((SELECT sum(pc) FROM counts) + 2048))
+                   - ln(1.0 / ((SELECT sum(nc) FROM counts) + 2048)) AS d),
+            prior AS (
+              SELECT ln(sum(CASE WHEN label THEN 1 ELSE 0 END) + 1.0)
+                   - ln(sum(CASE WHEN label THEN 0 ELSE 1 END) + 1.0) AS p
+              FROM labeled),
+            evidence AS (
+              SELECT g.doc_id, count(*) AS n_grams,
+                     sum(coalesce(w.log_ratio, (SELECT d FROM dflt))) AS e
+              FROM grams g LEFT JOIN weights w USING (bucket)
+              GROUP BY g.doc_id)
+            SELECT l.doc_id,
+                   CAST(coalesce(ev.n_grams, 0) AS BIGINT) AS n_grams,
+                   round((SELECT p FROM prior) + coalesce(ev.e, 0.0), 6)
+                     AS nb_score,
+                   CAST(CASE WHEN (SELECT p FROM prior)
+                                  + coalesce(ev.e, 0.0) > 0
+                        THEN 1 ELSE 0 END AS INT) AS predicted
+            FROM labeled l LEFT JOIN evidence ev USING (doc_id)
+        """,
+        # skew_join: result rows are BY CONTRACT identical to the plain
+        # join (only the physical distribution differs), so the oracle
+        # is the plain-join aggregate
+        "skew_join": """
+            WITH dim AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS user_events,
+                     round(avg(value), 6) AS user_mean_value
+              FROM events GROUP BY user_id)
+            SELECT e.user_id, d.user_events, d.user_mean_value,
+                   CAST(count(*) AS BIGINT) AS n_joined
+            FROM events e JOIN dim d USING (user_id)
+            GROUP BY 1, 2, 3
+        """,
+        "cooccur_pmi": """
+            WITH d AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+                              event_type AS item
+              FROM events),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_ctx
+                  FROM (SELECT DISTINCT user_id, day FROM d)),
+            ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+                   FROM d GROUP BY 1),
+            p AS (
+              SELECT a.item AS src, b.item AS dst,
+                     CAST(count(*) AS BIGINT) AS weight
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id AND a.day = b.day
+               AND a.item < b.item
+              GROUP BY 1, 2)
+            SELECT p.src, p.dst, p.weight,
+                   round(ln(p.weight * n.n_ctx / (ca.c * cb.c)), 9) AS pmi
+            FROM p
+            JOIN ic ca ON ca.item = p.src
+            JOIN ic cb ON cb.item = p.dst
+            CROSS JOIN n
         """,
         # Rows-only queries (no oracle_sql entry) and why — one line per
         # registry-tail entry, in tail order:
