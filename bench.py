@@ -24,6 +24,46 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # synthetic transcript scale: ~22 turns/conversation mean
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "40000"))
 
+# Co-tenancy guard: every rep records the 1-minute load average sampled
+# immediately BEFORE it starts, and a timed section earns extra reps
+# (bounded) while every completed rep started above this threshold —
+# so the published min comes from a quiet-window rep whenever one
+# occurs, and the artifact self-documents contamination when none did
+# (the round-3 driver artifact was 3x slow purely from sustained
+# co-tenant load; min-of-3 absorbed bursts but not that).
+LOAD1_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD1_MAX", "8"))
+LOAD_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRIES", "2"))
+# iterative layer (NMF / LPA / pagerank / role alignment): ONE bounded
+# invocation each on a small FIXED input so round-over-round
+# regressions are visible without letting fixpoint loops dominate the
+# suite total; separate from "queries" so the headline protocol is
+# unchanged
+ITER_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_ITER_DIR", "/root/testdata/sf0.01"
+)
+RUN_ITERATIVE = os.environ.get("SPARK_GRAFT_BENCH_ITERATIVE", "1") == "1"
+
+
+def timed_reps(fn, n_reps, prepare=None, extra=LOAD_RETRIES):
+    """Run ``fn`` ``n_reps`` times — plus up to ``extra`` more while
+    every completed rep started under load1 > LOAD1_MAX — returning
+    ``(runs_sec, rep_load1)`` aligned by rep."""
+    runs, loads = [], []
+    while True:
+        done = len(runs)
+        if done >= n_reps and (
+            any(l <= LOAD1_MAX for l in loads) or done >= n_reps + extra
+        ):
+            break
+        if prepare is not None and done:
+            prepare()
+        l1 = os.getloadavg()[0]
+        t0 = time.time()
+        fn()
+        runs.append(round(time.time() - t0, 3))
+        loads.append(round(l1, 2))
+    return runs, loads
+
 
 def main() -> None:
     from graphrole_spark.session import get_spark
@@ -53,21 +93,27 @@ def main() -> None:
     transcripts = synthesize_transcripts(spark, N_CONVS, seed=42).persist()
     n_turns = transcripts.count()
 
-    refex_runs = []
-    for rep in range(FLAGSHIP_REPEATS):
-        if rep:
-            # drop the previous fit's persisted generation frames —
-            # cache-manager plan matching would otherwise serve them to
-            # the re-run and time a cache read; re-pin input (untimed)
-            spark.catalog.clearCache()
-            transcripts = transcripts.persist()
-            transcripts.count()
-        t0 = time.time()
+    state: dict = {}
+
+    def refex_prepare():
+        # drop the previous fit's persisted generation frames —
+        # cache-manager plan matching would otherwise serve them to
+        # the re-run and time a cache read; re-pin input (untimed)
+        spark.catalog.clearCache()
+        transcripts.persist()
+        transcripts.count()
+
+    def refex_once():
         feats, rfe = extract_transcript_features(
             transcripts, max_generations=4, return_extractor=True
         )
-        n_rows = feats.count()
-        refex_runs.append(round(time.time() - t0, 3))
+        state["n_rows"] = feats.count()
+        state["rfe"] = rfe
+
+    refex_runs, refex_loads = timed_reps(
+        refex_once, FLAGSHIP_REPEATS, prepare=refex_prepare
+    )
+    n_rows, rfe = state["n_rows"], state["rfe"]
     refex_sec = min(refex_runs)
     timings["refex_pipeline_synth"] = refex_sec
     turns_per_sec = n_turns / refex_sec
@@ -80,16 +126,14 @@ def main() -> None:
     # drop the fit's persisted generation frames — cache-manager plan
     # matching would otherwise serve them to the transform and time a
     # cache read instead of the recursion; re-pin the input (untimed)
-    spark.catalog.clearCache()
-    transcripts = transcripts.persist()
-    transcripts.count()
-    transform_runs = []
-    for _ in range(REPEATS):
-        t0 = time.time()
+    refex_prepare()
+
+    def transform_once():
         extract_transcript_features(transcripts, model=model).write.format(
             "noop"
         ).mode("overwrite").save()
-        transform_runs.append(round(time.time() - t0, 3))
+
+    transform_runs, transform_loads = timed_reps(transform_once, REPEATS)
     transform_sec = min(transform_runs)
     timings["refex_transform_synth"] = transform_sec
     transcripts.unpersist()
@@ -241,14 +285,34 @@ def main() -> None:
         # (BENCH_GRAPH_SCALE.jsonl)
     ]
     queries = entrymod.queries()
+    rep_loads: dict[str, list[float]] = {
+        "refex_pipeline_synth": refex_loads,
+        "refex_transform_synth": transform_loads,
+    }
     for name in suite:
-        best = None
-        for _ in range(REPEATS):
+        runs, loads = timed_reps(
+            lambda: queries[name](spark, SF_DIR)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            REPEATS,
+            extra=1,
+        )
+        timings[name] = min(runs)
+        rep_loads[name] = loads
+
+    # -- iterative layer: one bounded invocation each on a fixed input ----
+    iterative: dict[str, float] = {}
+    iterative_loads: dict[str, float] = {}
+    if RUN_ITERATIVE:
+        for name in ("rolx_roles", "role_align", "communities", "pagerank"):
+            l1 = os.getloadavg()[0]
             t0 = time.time()
-            queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            sec = round(time.time() - t0, 3)
-            best = sec if best is None else min(best, sec)
-        timings[name] = best
+            queries[name](spark, ITER_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            iterative[name] = round(time.time() - t0, 3)
+            iterative_loads[name] = round(l1, 2)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -267,6 +331,15 @@ def main() -> None:
                 "protocol": f"min_of_{REPEATS}",
                 "refex_runs": refex_runs,
                 "transform_runs": transform_runs,
+                # co-tenancy self-description: load1 sampled before each
+                # rep; a section whose reps ALL started above load1_max
+                # already re-ran up to the retry budget — treat its min
+                # as contaminated if min(rep_loads) is still above
+                "load1_max": LOAD1_MAX,
+                "rep_loads": rep_loads,
+                "iterative": iterative,
+                "iterative_loads": iterative_loads,
+                "iterative_sf_dir": ITER_DIR if RUN_ITERATIVE else None,
             }
         )
     )
