@@ -1028,6 +1028,7 @@ def semantic_decontaminate(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_eval_bytes: int = 64 * 2**20,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination — the semantic twin of
     the 13-gram ``contamination_flags`` (n-gram decontamination misses
@@ -1041,8 +1042,20 @@ def semantic_decontaminate(
     once, one BLAS ``batch @ eval.T`` per Arrow batch, emitting one row
     per corpus vector.  No shuffle at all (narrow map over the scan),
     so the plan is linear in the corpus and embarrassingly parallel at
-    100 TB; an eval set too big to broadcast should be cut down first
-    (dedup it, or shard this call per eval slice and OR the flags).
+    100 TB.
+
+    **Auto-sharding** (r3-verdict demand #5): when the normalized eval
+    matrix exceeds ``max_eval_bytes`` (rows × dim × 8), it is cut into
+    row slices and the call compiles to a CHAIN of ``mapInPandas``
+    passes — one per slice, each Python worker holding only its slice —
+    that merge the running best (sim, nearest) in-stream.  The chain
+    fuses into ONE narrow stage (corpus scanned once, rows pipeline
+    through the workers), so the zero-shuffle / linear-in-corpus plan
+    property survives arbitrarily large eval sets; the cost is one
+    extra Arrow hop per slice.  Slices are cut in ascending-eval-id
+    order and later slices replace only on STRICTLY greater rounded
+    sim, so ties still resolve toward the smallest eval id — sharded
+    output is bit-identical to single-slice (parity pytest-pinned).
 
     Similarities are rounded to 9 decimals before the threshold /
     argmax (engine-portable, as everywhere in this module); the
@@ -1077,28 +1090,61 @@ def semantic_decontaminate(
     En = E / np.where(en > 0, en, 1.0)[:, None]
     eids = epdf[id_col].to_numpy()
 
-    def score(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            C = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
-            cn = np.linalg.norm(C, axis=1)
-            Cn = C / np.where(cn > 0, cn, 1.0)[:, None]
-            S = np.round(Cn @ En.T, 9)  # (batch, n_eval)
-            best = np.argmax(S, axis=1)  # first max = smallest eval id
-            sims = S[np.arange(len(S)), best]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "nearest_eval_id": eids[best],
-                    "eval_sim": sims,
-                    "contaminated": sims >= threshold,
-                }
-            )
-
-    return corpus.select(id_col, vec_col).mapInPandas(
-        score, schema=out_schema
+    # slice count from the matrix's own footprint; ascending-id order
+    # is preserved because epdf is already id-sorted
+    n_slices = max(1, -(-En.nbytes // max(1, int(max_eval_bytes))))
+    rows_per = -(-len(En) // n_slices)
+    slices = [
+        (En[s : s + rows_per], eids[s : s + rows_per])
+        for s in range(0, len(En), rows_per)
+    ]
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    mid_schema = (
+        f"{id_col} {id_type}, {vec_col} {vec_type},"
+        f" nearest_eval_id {eid_type}, eval_sim double"
     )
+
+    def make_pass(En_j, eids_j, first, last):
+        def kernel(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                C = np.stack(
+                    [np.asarray(v, dtype=float) for v in pdf[vec_col]]
+                )
+                cn = np.linalg.norm(C, axis=1)
+                Cn = C / np.where(cn > 0, cn, 1.0)[:, None]
+                S = np.round(Cn @ En_j.T, 9)  # (batch, n_slice)
+                best = np.argmax(S, axis=1)  # first max = smallest id
+                sims = S[np.arange(len(S)), best]
+                bids = eids_j[best]
+                if not first:
+                    prev_sim = pdf["eval_sim"].to_numpy()
+                    prev_id = pdf["nearest_eval_id"].to_numpy()
+                    # STRICT >: rounded ties keep the earlier slice's
+                    # (smaller) eval id — identical to single-slice
+                    repl = sims > prev_sim
+                    sims = np.where(repl, sims, prev_sim)
+                    bids = np.where(repl, bids, prev_id)
+                cols = {id_col: pdf[id_col].to_numpy()}
+                if not last:
+                    cols[vec_col] = pdf[vec_col].to_numpy()
+                cols["nearest_eval_id"] = bids
+                cols["eval_sim"] = sims
+                if last:
+                    cols["contaminated"] = sims >= threshold
+                yield pd.DataFrame(cols)
+
+        return kernel
+
+    out = corpus.select(id_col, vec_col)
+    for j, (En_j, eids_j) in enumerate(slices):
+        last = j == len(slices) - 1
+        out = out.mapInPandas(
+            make_pass(En_j, eids_j, j == 0, last),
+            schema=out_schema if last else mid_schema,
+        )
+    return out
 
 
 # -- scalar embedding quantization -------------------------------------------

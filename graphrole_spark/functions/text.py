@@ -1655,6 +1655,7 @@ def gopher_filter(
     max_dup_line_char_frac: float = 0.2,
     max_top_2gram_char_frac: float = 0.2,
     max_dup_5gram_char_frac: float = 0.15,
+    signals: DataFrame | None = None,
 ) -> DataFrame:
     """Gopher-rule document filter VERDICT (Rae et al. 2021, App. A):
     the engine emits quality *signals* (:func:`quality_features`); real
@@ -1681,13 +1682,35 @@ def gopher_filter(
     Pure projection over the signals scan plus quality_features' one
     top-token shuffle — no extra exchange, no Python; fully
     SQL-expressible (DuckDB parity pytest-pinned).
+
+    ``signals=`` (r3-verdict demand #4): pass a precomputed
+    :func:`quality_features` frame (computed with ``top_ngram=2,
+    dup_ngram=5``) and the verdict becomes a pure projection over it —
+    composed pipelines (``assemble_corpus``-style quality gate next to
+    a signals output) pay the signals scan ONCE instead of twice.
+    Default ``None`` computes the signals internally (unchanged
+    behavior).
     """
-    sig = quality_features(
-        documents.select(id_col, text_col),
-        text_col=text_col,
-        top_ngram=2,
-        dup_ngram=5,
-    )
+    if signals is None:
+        sig = quality_features(
+            documents.select(id_col, text_col),
+            text_col=text_col,
+            top_ngram=2,
+            dup_ngram=5,
+        )
+    else:
+        needed = {
+            id_col, "n_tokens", "chars_per_token", "alpha_ratio",
+            "ellipsis_line_frac", "dup_line_frac", "dup_line_char_frac",
+            "top_2gram_char_frac", "dup_5gram_char_frac",
+        }
+        missing = needed - set(signals.columns)
+        if missing:
+            raise ValueError(
+                "signals frame is missing quality_features columns: "
+                f"{sorted(missing)}"
+            )
+        sig = signals
     n_tok = F.coalesce(F.col("n_tokens"), F.lit(0))
     rules = [
         ("too_few_tokens",
@@ -1755,12 +1778,17 @@ def top_ngrams(
        aggregate (occurrences + distinct docs, map-side combined) →
        ``min_docs`` filter → global top-k via orderBy+limit
        (TakeOrderedAndProject: per-partition heaps, no global sort);
-    2. display pass — the k winning 64-bit keys broadcast back against
-       a second scan; the human-readable gram string is materialized
-       ONLY for matching positions and reduced to one deterministic
-       exemplar per key (min ``(doc_id, pos)``) by a map-side-combined
-       ``min(struct)`` — so the string shuffle carries ≤ one row per
-       (partition, winner).
+    2. display pass — the ≤ ``k`` winning 64-bit keys (collected to
+       the driver: bounded state, never data-sized) are inlined as a
+       literal array into a second scan; matching positions are
+       selected INSIDE an array higher-order ``filter`` and the
+       human-readable gram string is sliced out per match BEFORE the
+       explode, so exploded rows carry only ``(gram, doc_id, pos,
+       text)`` — the per-document token array never rides a Generate
+       output row (the r3-verdict token-array-carry fix). One
+       deterministic exemplar per key (min ``(doc_id, pos)``) via a
+       map-side-combined ``min(struct)`` — the string shuffle carries
+       ≤ one row per (partition, winner).
 
     Ties at the k-boundary cut by gram hash (documented arbitrary-but-
     deterministic); the emitted ``rank`` re-orders by
@@ -1801,13 +1829,10 @@ def top_ngrams(
         F.transform(F.sequence(F.lit(0), F.size(th) - n), gram_hash),
     ).otherwise(F.array().cast("array<bigint>"))
     grams = (
-        base.select("doc_id", "__toks", gram_arr.alias("__g"))
-        .select(
-            "doc_id", "__toks", F.posexplode_outer("__g").alias("pos", "gram")
-        )
-        .where(F.col("pos").isNotNull())
+        base.select("doc_id", gram_arr.alias("__g"))
+        .select("doc_id", F.explode("__g").alias("gram"))
     )
-    top = (
+    top_rows = (
         grams.groupBy("gram")
         .agg(
             F.count("*").cast("long").alias("n_occurrences"),
@@ -1816,26 +1841,62 @@ def top_ngrams(
         .where(F.col("n_docs") >= min_docs)
         .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
         .limit(k)
+        .collect()  # ≤ k rows of (hash, counts): bounded driver state
+    )
+    spark = documents.sparkSession
+    out_schema = (
+        "rank int, gram string, n_occurrences long, n_docs long"
+    )
+    if not top_rows:
+        return spark.createDataFrame([], out_schema)
+    win_lit = F.array(
+        *[F.lit(int(r["gram"])) for r in top_rows]
+    )
+    # second scan: match positions inside the doc's own row (array
+    # filter over O(k) literal compares), then slice the display text
+    # for matches ONLY — all pre-explode, so the Generate output never
+    # carries __toks
+    pos_seq = F.when(
+        F.size(th) >= n, F.sequence(F.lit(0), F.size(th) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    hit_pos = F.filter(
+        pos_seq, lambda i: F.array_contains(win_lit, gram_hash(i))
+    )
+    ex_arr = F.transform(
+        hit_pos,
+        lambda i: F.struct(
+            gram_hash(i).alias("gram"),
+            F.col("doc_id").alias("doc_id"),
+            i.alias("pos"),
+            F.array_join(
+                F.slice(F.col("__toks"), i + F.lit(1), n), " "
+            ).alias("text"),
+        ),
     )
     display = (
-        grams.join(F.broadcast(top.select("gram")), "gram")
-        .select(
-            "gram",
-            F.struct(
-                "doc_id",
-                "pos",
-                F.array_join(
-                    F.slice(F.col("__toks"), F.col("pos") + 1, n), " "
-                ).alias("text"),
-            ).alias("__ex"),
+        base.select(ex_arr.alias("__ex"))
+        .where(F.size("__ex") > 0)
+        .select(F.explode("__ex").alias("e"))
+        .groupBy(F.col("e.gram").alias("gram"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("e.doc_id").alias("doc_id"),
+                    F.col("e.pos").alias("pos"),
+                    F.col("e.text").alias("text"),
+                )
+            ).alias("__ex")
         )
-        .groupBy("gram")
-        .agg(F.min("__ex").alias("__ex"))
         .select("gram", F.col("__ex.text").alias("gram_text"))
+    )
+    counts = spark.createDataFrame(
+        [(int(r["gram"]), int(r["n_occurrences"]), int(r["n_docs"]))
+         for r in top_rows],
+        "gram long, n_occurrences long, n_docs long",
     )
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("gram_text").asc())
     return (
-        top.join(display, "gram")
+        display.join(F.broadcast(counts), "gram")
         .select(
             F.row_number().over(w).cast("int").alias("rank"),
             F.col("gram_text").alias("gram"),

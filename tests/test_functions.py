@@ -1303,3 +1303,99 @@ def test_top_ngrams_empty_and_short(spark):
     # min_docs=1 admits single-doc grams
     rows = top_ngrams(df, n=2, k=5, min_docs=1).collect()
     assert [(r["gram"], r["n_occurrences"]) for r in rows] == [("one two", 1)]
+
+
+def test_semantic_decontaminate_sharded_parity(spark):
+    """Auto-sharding (eval matrix over max_eval_bytes -> chained
+    mapInPandas passes) must be bit-identical to the single-slice
+    plan, including rounded-sim ties resolving to the smallest eval id
+    even when the tied eval vectors land in DIFFERENT slices."""
+    import numpy as np
+
+    from graphrole_spark.functions.similarity import semantic_decontaminate
+
+    rng = np.random.default_rng(11)
+    corpus_rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(80)
+    ]
+    shared = [float(x) for x in rng.normal(0, 1, 8)]
+    eval_rows = [
+        (100, corpus_rows[3][1]),
+        (101, [float(x) for x in rng.normal(0, 1, 8)]),
+        (102, corpus_rows[55][1]),
+        # 103 and 104 are IDENTICAL: every corpus row ties between them
+        # and must report 103; slicing at 2 rows/slice puts them in
+        # different passes, exercising the strict-> merge rule
+        (103, shared),
+        (104, shared),
+    ]
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    ev = spark.createDataFrame(eval_rows, schema)
+
+    single = (
+        semantic_decontaminate(corpus, ev, threshold=0.999)
+        .orderBy("vec_id").toPandas()
+    )
+    # 5 eval rows x 8 dims x 8 bytes = 320 bytes; budget 128 -> 3 slices
+    sharded = (
+        semantic_decontaminate(
+            corpus, ev, threshold=0.999, max_eval_bytes=128
+        )
+        .orderBy("vec_id").toPandas()
+    )
+    assert single["nearest_eval_id"].tolist() == sharded[
+        "nearest_eval_id"].tolist()
+    assert single["eval_sim"].tolist() == sharded["eval_sim"].tolist()
+    assert single["contaminated"].tolist() == sharded[
+        "contaminated"].tolist()
+    # the tie pair itself: wherever 104 would win, 103 must be reported
+    assert 104 not in set(sharded["nearest_eval_id"])
+
+    # plan property: the chain stays narrow — zero exchanges, one
+    # MapInPandas node per slice
+    plan = (
+        semantic_decontaminate(corpus, ev, max_eval_bytes=128)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:3000]
+    assert plan.count("MapInPandas") == 3, plan[:3000]
+
+
+def test_gopher_filter_signals_passthrough(spark):
+    """signals= must (a) produce the identical verdict, (b) add ZERO
+    exchanges over the signals frame's own plan (pure projection), and
+    (c) reject a frame missing required signal columns."""
+    import pytest as _pytest
+
+    from graphrole_spark.functions.text import gopher_filter, quality_features
+
+    rows = [
+        ("good", " ".join(f"alpha{i} bravo{i} charlie{i}"
+                          for i in range(20)) + "."),
+        ("short", "tiny doc."),
+        ("dup", "\n".join(["repeat this exact line often ok"] * 40)),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sig = quality_features(df, top_ngram=2, dup_ngram=5)
+
+    direct = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    via = {r["doc_id"]: r
+           for r in gopher_filter(df, signals=sig).collect()}
+    assert direct.keys() == via.keys()
+    for k in direct:
+        assert direct[k]["passes"] == via[k]["passes"]
+        assert direct[k]["reject_reasons"] == via[k]["reject_reasons"]
+
+    # the verdict references only array-local signal columns, so
+    # Catalyst prunes sig's top-token join outright: the composed plan
+    # is EXCHANGE-FREE (strictly cheaper than the signals frame itself)
+    n_via = (
+        gopher_filter(df, signals=sig)
+        ._jdf.queryExecution().executedPlan().toString()
+    ).count("Exchange")
+    assert n_via == 0
+
+    with _pytest.raises(ValueError, match="missing quality_features"):
+        gopher_filter(df, signals=sig.drop("alpha_ratio"))

@@ -280,3 +280,41 @@ def test_isotonic_apply_is_pure_projection(spark):
     plan = _plan(isotonic_apply(scored, mapping))
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_top_ngrams_generate_never_carries_token_array(spark):
+    """The r3-verdict token-array-carry fix: the display pass must
+    slice the gram string BEFORE the explode, so no Generate output row
+    carries the per-document __toks array (per-task memory would be
+    O(positions x doc_len) otherwise)."""
+    from graphrole_spark.functions.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate line " + f"tail{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = top_ngrams(docs, n=3, k=5, min_docs=2)
+    plan = _plan(out)
+    gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen_lines, plan[:3000]  # the explode is still there
+    for ln in gen_lines:
+        assert "__toks" not in ln, ln
+    # and the winner filter happened pre-explode: the Generate explodes
+    # the pre-sliced exemplar structs, not raw gram hashes
+    assert any("__ex" in ln for ln in gen_lines), gen_lines
+
+
+def test_conv_decontam_zero_corpus_shuffle(spark):
+    """Registry `conv_decontam`: hashed conversation vectors + broadcast
+    eval matmul — the corpus side must never hash-exchange (the plan is
+    narrow maps over the conversation aggregate's single keyed shuffle)."""
+    import __spark_entry__ as e
+
+    q = e.queries().get("conv_decontam")
+    if q is None:
+        import pytest as _p
+        _p.skip("conv_decontam not in registry")
+    plan = _plan(q(spark, "/root/testdata/sf0.001"))
+    # one keyed exchange builds per-conversation vectors; the decontam
+    # scoring itself adds none
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:4000]
