@@ -1873,9 +1873,11 @@ def top_ngrams(
             ).alias("text"),
         ),
     )
+    # no pre-filter on size(__ex): explode already skips empty arrays,
+    # and a Filter node would re-evaluate the whole ex_arr expression
+    # (Catalyst does not CSE across Filter/Project boundaries)
     display = (
         base.select(ex_arr.alias("__ex"))
-        .where(F.size("__ex") > 0)
         .select(F.explode("__ex").alias("e"))
         .groupBy(F.col("e.gram").alias("gram"))
         .agg(

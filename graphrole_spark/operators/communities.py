@@ -41,6 +41,7 @@ def label_propagation(
     dst_col: str = "dst",
     weight_col: Optional[str] = None,
     self_weight: float = 0.5,
+    iter_stats: Optional[list] = None,
 ) -> DataFrame:
     """Community labels for every node of the undirected (symmetrized,
     deduplicated, self-loop-free) graph underlying ``edges``.
@@ -55,6 +56,10 @@ def label_propagation(
       community id is the smallest node id the propagation settled on.
     * ``n_iter`` counts HALF-steps (one parity class each); the loop
       early-stops when two consecutive half-steps change nothing.
+    * ``iter_stats`` — optional caller-owned list; each half-step
+      appends ``{"iter", "sec", "changed"}`` (wall to and including
+      its eager checkpoint + the any-change probe), for per-iteration
+      scale evidence.
 
     Returns ``(node, community, n_iter_run int)`` — ``n_iter_run`` is
     the same value on every row (half-steps actually executed).
@@ -94,9 +99,12 @@ def label_propagation(
         "node", F.col("node").alias("label"), parity.alias("__p")
     ).localCheckpoint(eager=True)
 
+    import time as _time
+
     it_run = 0
     prev_unchanged = False
     for it in range(n_iter):
+        _t0 = _time.time()
         votes = (
             adj.join(
                 labels.select(F.col("node").alias("v"), F.col("label")),
@@ -149,6 +157,14 @@ def label_propagation(
             .count()
         )
         labels = new_labels
+        if iter_stats is not None:
+            iter_stats.append(
+                {
+                    "iter": it + 1,
+                    "sec": round(_time.time() - _t0, 3),
+                    "changed": bool(changed),
+                }
+            )
         if changed == 0:
             if prev_unchanged:
                 break

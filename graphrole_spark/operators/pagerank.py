@@ -38,6 +38,7 @@ def pagerank(
     weight_col: Optional[str] = "weight",
     personalize: Optional[DataFrame] = None,
     init_ranks: Optional[DataFrame] = None,
+    iter_stats: Optional[list] = None,
 ) -> DataFrame:
     """PageRank scores for every node appearing as ``src`` or ``dst``.
 
@@ -60,6 +61,10 @@ def pagerank(
       are ignored; graph nodes absent from the list get reset mass
       0). The reset vector rides the same hash partitioning as the
       ranks, so iterations stay one join + one aggregate.
+    * ``iter_stats`` — optional caller-owned list; each iteration
+      appends ``{"iter", "sec"}`` (+``"delta"`` when ``tol`` is set)
+      right after its eager checkpoint, so scale sweeps can record
+      per-iteration wall without touching the plan.
     * ``init_ranks`` — optional ``(node, rank)`` warm start (e.g.
       yesterday's converged ranks after an edge append): the vector
       is re-normalized to sum 1 over the CURRENT node set (new nodes
@@ -160,7 +165,10 @@ def pagerank(
         ).repartition("node")
     ranks = ranks.localCheckpoint(eager=True)
 
+    import time as _time
+
     for it in range(n_iter):
+        _t0 = _time.time()
         # dangling mass as a LAZY broadcast 1-row frame off the
         # PREVIOUS (checkpointed) ranks — no separate collect job.
         # NOTE a tempting non-fix: letting several iterations chain
@@ -195,6 +203,10 @@ def pagerank(
             )
         )
         new_ranks = new_ranks.localCheckpoint(eager=True)
+        if iter_stats is not None:
+            iter_stats.append(
+                {"iter": it + 1, "sec": round(_time.time() - _t0, 3)}
+            )
         if tol is not None:
             delta = (
                 ranks.withColumnRenamed("rank", "__old")
@@ -202,6 +214,8 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
                 .collect()[0][0]
             )
+            if iter_stats is not None and iter_stats:
+                iter_stats[-1]["delta"] = delta
             if delta is not None and delta < tol:
                 ranks = new_ranks
                 break

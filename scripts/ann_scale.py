@@ -178,6 +178,29 @@ def run_decontam(spark, n: int, work_dir: str, n_eval: int = 1000) -> dict:
     ).first()
     out["decontam_sec"] = round(time.time() - t0, 2)
     out["n_contaminated"] = int(agg["c"])  # >= n_eval: self-hits at 1.0
+    # sharded leg: an eval set LARGER than the broadcast budget — the
+    # auto-sharding path (chained mapInPandas, one slice per pass).
+    # 50k eval vecs x 64 dims x 8B = 25.6 MB against a 4 MB budget ->
+    # 7 slices; flags must still count every planted self-hit.
+    n_eval_big = min(n, 50_000)
+    budget = 4 * 2**20
+    ev_big = emb.where(
+        F.col("vec_id") % max(n // n_eval_big, 1) == 0
+    )
+    n_eval_big_actual = ev_big.count()
+    t0 = time.time()
+    flags2 = semantic_decontaminate(
+        emb, ev_big, threshold=0.9, max_eval_bytes=budget
+    )
+    agg2 = flags2.agg(
+        F.sum(F.col("contaminated").cast("long")).alias("c")
+    ).first()
+    out["decontam_sharded_sec"] = round(time.time() - t0, 2)
+    out["n_eval_sharded"] = int(n_eval_big_actual)
+    out["sharded_eval_bytes"] = int(n_eval_big_actual * DIM * 8)
+    out["sharded_budget_bytes"] = budget
+    out["sharded_n_slices"] = -(-int(n_eval_big_actual * DIM * 8) // budget)
+    out["n_contaminated_sharded"] = int(agg2["c"])
     t0 = time.time()
     q = quantize_embeddings(emb).agg(
         F.round(F.avg("recon_cos"), 6).alias("mean_cos"),

@@ -431,34 +431,46 @@ def main() -> None:
 
     spark = get_spark("dedup_scale", cores=args.cpus)
     os.makedirs(args.work_dir, exist_ok=True)
-    def record(r: dict) -> None:
+    def record(r: dict, pre_load: float) -> None:
         r["cpus"] = args.cpus
-        # co-tenant noise context (host 1-min load avg at row-write time;
-        # see BENCH.md protocol — swings of 0.3..28 observed on this host)
+        # co-tenant noise context: load1_pre is the 1-min load BEFORE
+        # the timed run starts (the co-tenancy signal — our own 32-core
+        # work hasn't pushed it up yet); load1 is at row-write time
+        # (dominated by our own just-finished run, for completeness)
+        r["load1_pre"] = round(pre_load, 1)
         r["load1"] = round(os.getloadavg()[0], 1)
         print(json.dumps(r), flush=True)
         with open("BENCH_DEDUP_SCALE.jsonl", "a") as f:
             f.write(json.dumps(r) + "\n")
 
     for n in [int(s) for s in args.sizes.split(",") if s]:
-        record(run(spark, n, args.work_dir))
+        pre = os.getloadavg()[0]
+        record(run(spark, n, args.work_dir), pre)
     for n in [int(s) for s in args.cc_sizes.split(",") if s]:
-        record(cc_stress(spark, n))
+        pre = os.getloadavg()[0]
+        record(cc_stress(spark, n), pre)
     for n in [int(s) for s in args.ingest_stores.split(",") if s]:
-        record(ingest_stress(spark, n, args.ingest_batch, args.work_dir))
+        pre = os.getloadavg()[0]
+        record(ingest_stress(spark, n, args.ingest_batch, args.work_dir), pre)
     for n in [int(s) for s in args.lines_sizes.split(",") if s]:
-        record(lines_stress(spark, n, args.work_dir))
+        pre = os.getloadavg()[0]
+        record(lines_stress(spark, n, args.work_dir), pre)
     for n in [int(s) for s in args.dsir_sizes.split(",") if s]:
-        record(dsir_stress(spark, n, args.work_dir))
+        pre = os.getloadavg()[0]
+        record(dsir_stress(spark, n, args.work_dir), pre)
     for n in [int(s) for s in args.bpe_sizes.split(",") if s]:
-        record(bpe_stress(spark, n, args.work_dir))
+        pre = os.getloadavg()[0]
+        record(bpe_stress(spark, n, args.work_dir), pre)
     for n in [int(s) for s in args.nb_sizes.split(",") if s]:
-        record(nb_stress(spark, n, args.work_dir))
+        pre = os.getloadavg()[0]
+        record(nb_stress(spark, n, args.work_dir), pre)
     pack_merges: list = []
     for n in [int(s) for s in args.pack_sizes.split(",") if s]:
-        record(pack_stress(spark, n, args.work_dir, merges=pack_merges))
+        pre = os.getloadavg()[0]
+        record(pack_stress(spark, n, args.work_dir, merges=pack_merges), pre)
     for n in [int(s) for s in args.topgram_sizes.split(",") if s]:
-        record(topgram_stress(spark, n, args.work_dir))
+        pre = os.getloadavg()[0]
+        record(topgram_stress(spark, n, args.work_dir), pre)
 
 
 if __name__ == "__main__":

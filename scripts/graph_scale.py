@@ -50,6 +50,7 @@ def synth_edges(spark, m: int):
 
 
 def main() -> None:
+    from graphrole_spark.operators.communities import label_propagation
     from graphrole_spark.operators.pagerank import pagerank
     from graphrole_spark.operators.triangles import triangle_counts
     from graphrole_spark.session import get_spark
@@ -64,25 +65,42 @@ def main() -> None:
     spark = get_spark("graph_scale", cores=cpus)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     log = os.path.join(repo, "BENCH_GRAPH_SCALE.jsonl")
+    lpa_halfsteps = int(os.environ.get("SPARK_GRAFT_LPA_ITERS", "4"))
     for m in sizes:
+        pre_load = os.getloadavg()[0]
         edges = synth_edges(spark, m).persist()
         n_edges = edges.count()
         t0 = time.time()
-        pr = pagerank(edges, n_iter=8)
+        pr_iters: list = []
+        pr = pagerank(edges, n_iter=8, iter_stats=pr_iters)
         n_nodes = pr.count()
         pr_sec = round(time.time() - t0, 2)
         t0 = time.time()
         tri = triangle_counts(edges)
         tri_total = tri.agg(F.sum("triangles")).collect()[0][0]
         tri_sec = round(time.time() - t0, 2)
+        t0 = time.time()
+        lpa_iters: list = []
+        lpa = label_propagation(
+            edges, n_iter=lpa_halfsteps, iter_stats=lpa_iters
+        )
+        n_comm = lpa.agg(F.countDistinct("community")).collect()[0][0]
+        lpa_sec = round(time.time() - t0, 2)
         row = {
             "edges": n_edges,
             "nodes": n_nodes,
             "pagerank_iters": 8,
             "pagerank_sec": pr_sec,
+            "pagerank_iter_sec": [s["sec"] for s in pr_iters],
             "triangles_sum": int(tri_total or 0),
             "triangles_sec": tri_sec,
+            "lpa_halfsteps": lpa_halfsteps,
+            "lpa_sec": lpa_sec,
+            "lpa_iter_sec": [s["sec"] for s in lpa_iters],
+            "lpa_communities": int(n_comm or 0),
             "cpus": cpus,
+            "load1_pre": round(pre_load, 1),
+            "load1": round(os.getloadavg()[0], 1),
         }
         print(json.dumps(row), flush=True)
         with open(log, "a") as fh:
