@@ -3011,6 +3011,42 @@ def q_communities(spark, sf_dir):
     return label_propagation(edges, n_iter=6, weight_col="weight")
 
 
+def q_kcore(spark, sf_dir):
+    """k-core decomposition (operators/kcore.py::core_numbers): the
+    distributed H-index fixpoint (Lu et al. 2016) -- init c=degree,
+    repeatedly replace with the H-index of neighbor values; converges
+    exactly to coreness with no sequential peeling. Per round one
+    co-partitioned labels join + one window rank, localCheckpoint-
+    bounded. Graph = part->supplier shipments AND a doc_id ring with
+    chords (i->i+1, i->i+2), so the output mixes a bipartite 1/2-core
+    region with a 4-regular circulant (coreness 4). Iterative fixpoint
+    -- not SQL (like communities); networkx.core_number exact parity
+    pytest-pinned in tests/test_kcore.py."""
+    from graphrole_spark.operators.kcore import core_numbers
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bip = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    ring = docs.select(F.col("doc_id").alias("i")).select(
+        F.concat(F.lit("d"), F.col("i")).alias("src"),
+        F.concat(
+            F.lit("d"), (F.col("i") + 1) % F.lit(n_docs)
+        ).alias("dst"),
+    ).unionByName(
+        docs.select(F.col("doc_id").alias("i")).select(
+            F.concat(F.lit("d"), F.col("i")).alias("src"),
+            F.concat(
+                F.lit("d"), (F.col("i") + 2) % F.lit(n_docs)
+            ).alias("dst"),
+        )
+    )
+    return core_numbers(bip.unionByName(ring))
+
+
 def q_fuzzy_link(spark, sf_dir):
     """Fuzzy record linkage (functions/linkage.py::fuzzy_match):
     customer names linked against a deterministically-perturbed copy
@@ -3555,6 +3591,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kmeans_cells); python-replica parity pytest-pinned in
         # tests/test_communities.py
         "communities": q_communities,
+        # kcore: iterative H-index fixpoint -- not SQL (like
+        # communities); networkx.core_number exact parity pytest-pinned
+        # in tests/test_kcore.py
+        "kcore": q_kcore,
         # fuzzy_link: SQL-expressible but past the 50-entry window;
         # full DuckDB levenshtein parity pytest-pinned in
         # tests/test_linkage.py

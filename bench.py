@@ -305,7 +305,9 @@ def main() -> None:
     iterative: dict[str, float] = {}
     iterative_loads: dict[str, float] = {}
     if RUN_ITERATIVE:
-        for name in ("rolx_roles", "role_align", "communities", "pagerank"):
+        for name in (
+            "rolx_roles", "role_align", "communities", "pagerank", "kcore"
+        ):
             l1 = os.getloadavg()[0]
             t0 = time.time()
             queries[name](spark, ITER_DIR).write.format("noop").mode(
