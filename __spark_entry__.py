@@ -1818,11 +1818,18 @@ def q_preference_pairs(spark, sf_dir):
 
 def q_top_ngrams(spark, sf_dir):
     """Corpus heavy-hitter n-grams (the boilerplate forensic): hashed
-    gram-key aggregate + top-k, display strings materialized only for
-    the k winners (functions/text.py::top_ngrams)."""
+    gram-key aggregate + top-k, display strings sliced pre-explode for
+    the k winners only (functions/text.py::top_ngrams). Same
+    single-row-group repartition as the `quality` entry: both scans'
+    tokenize+hash work is CPU-dense and the testdata documents file is
+    one row group — without the exchange every position is hashed on a
+    single core (measured 23.2 s -> ~4 s at sf0.1; a 100 TB scan has
+    thousands of splits and the repartition would be dropped)."""
     from graphrole_spark.functions.text import top_ngrams
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return top_ngrams(docs.select("doc_id", "text"), n=3, k=25, min_docs=2)
 
 
@@ -1842,11 +1849,20 @@ def q_render_chat(spark, sf_dir):
 def q_gopher_filter(spark, sf_dir):
     """Gopher-rule filter verdict over the quality signals (Rae et al.
     2021 App. A thresholds): per-doc passes flag + ordered
-    reject_reasons — signals -> verdict, one scan + the single
-    top-token shuffle (functions/text.py::gopher_filter)."""
+    reject_reasons — a pure projection over the signals scan; the
+    top-token join is PRUNED outright (the verdict references only
+    array-local columns; plan-pinned in
+    test_gopher_filter_signals_passthrough). Same single-row-group
+    repartition as the `quality` entry: the per-doc signal compute is
+    CPU-dense and the testdata documents file is one row group, so
+    without the exchange it all runs on a single core (measured
+    7.8 s -> ~2 s at sf0.1; at 100 TB the scan has thousands of
+    splits and the repartition would be dropped)."""
     from graphrole_spark.functions.text import gopher_filter
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return gopher_filter(docs.select("doc_id", "text"), min_tokens=20)
 
 

@@ -511,13 +511,20 @@ def duplicate_ngram_stats(
     )
     th = F.col("__th")
 
-    def gram_hash(i):
-        return F.xxhash64(*[F.get(th, i + j) for j in range(n)])
-
-    gram_arr = F.when(
-        F.size(th) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(th) - n), gram_hash),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # chained zip_with over shifted slices — O(n) one-hash interpreted
+    # ops per position; the former transform-over-positions with n
+    # F.get(th, i+j) reads walked a ~10-node expression per position
+    # and measured 7.5× slower on the top_ngrams pass-1 twin (PERF.md
+    # 41). Gram key = left-fold xxhash64 of the n token hashes.
+    _m = F.size(th) - n + 1
+    _acc = F.slice(th, 1, _m)
+    for _j in range(1, n):
+        _acc = F.zip_with(
+            _acc, F.slice(th, 1 + _j, _m), lambda a, b: F.xxhash64(a, b)
+        )
+    gram_arr = F.when(F.size(th) >= n, _acc).otherwise(
+        F.array().cast("array<bigint>")
+    )
     # posexplode_OUTER + post-filter on the generated position: plain
     # posexplode lets InferFiltersFromGenerate push a size(...) > 0
     # predicate below the projections, re-inlining the whole nested
@@ -623,13 +630,17 @@ def remove_duplicate_spans(
     )
     th = F.col("__th")
 
-    def gram_hash(i):
-        return F.xxhash64(*[F.get(th, i + j) for j in range(n)])
-
-    gram_arr = F.when(
-        F.size(th) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(th) - n), gram_hash),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # chained zip_with gram keys (see duplicate_ngram_stats — same
+    # left-fold xxhash64 construction, same O(n)-ops-per-position win)
+    _m = F.size(th) - n + 1
+    _acc = F.slice(th, 1, _m)
+    for _j in range(1, n):
+        _acc = F.zip_with(
+            _acc, F.slice(th, 1 + _j, _m), lambda a, b: F.xxhash64(a, b)
+        )
+    gram_arr = F.when(F.size(th) >= n, _acc).otherwise(
+        F.array().cast("array<bigint>")
+    )
     # posexplode_OUTER + post-filter: dodge InferFiltersFromGenerate
     # re-inlining the gram expression below the projection (see
     # duplicate_ngram_stats / minhash_bands)
@@ -733,16 +744,23 @@ def minhash_shingle_hashes(
         ).alias("__th"),
     )
     th = F.col("__th")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(th) - shingle_n, F.lit(0)))
-
-    def sh_hash(i):
-        return F.xxhash64(
-            *[F.get(th, i + j) for j in range(shingle_n)], F.lit(seed)
+    # chained zip_with shingle keys (see duplicate_ngram_stats): a
+    # left-fold xxhash64 over shifted slices — O(shingle_n) one-hash
+    # interpreted ops per position instead of a per-position
+    # multi-get expression walk. Seed-dependence rides on the token
+    # hashes (xxhash64(t, seed) above); short docs (< shingle_n
+    # tokens) keep exactly one shingle — the shorter shifted slices
+    # zip as NULL, which xxhash64 folds deterministically, mirroring
+    # the old form's NULL gets.
+    _m = F.greatest(F.size(th) - shingle_n + 1, F.lit(1))
+    _acc = F.slice(th, 1, _m)
+    for _j in range(1, shingle_n):
+        _acc = F.zip_with(
+            _acc, F.slice(th, 1 + _j, _m), lambda a, b: F.xxhash64(a, b)
         )
-
     return th_frame.select(
         "doc_id",
-        F.array_distinct(F.transform(idx, sh_hash)).alias("shh"),
+        F.array_distinct(_acc).alias("shh"),
     )
 
 
@@ -1772,11 +1790,13 @@ def top_ngrams(
 
     Two-scan shape so text NEVER rides the big shuffle:
 
-    1. hashed pass — the :func:`duplicate_ngram_stats` gram
-       construction (token hashes once per token, gram key =
-       ``xxhash64`` of n token hashes, O(1) per position) → one gram-key
-       aggregate (occurrences + distinct docs, map-side combined) →
-       ``min_docs`` filter → global top-k via orderBy+limit
+    1. hashed pass — token hashes once per token, gram key built by a
+       chained ``zip_with`` over shifted slices of the token-hash
+       array (one ``xxhash64(acc, next)`` per position per level —
+       O(n) tiny interpreted ops per position, no per-position
+       multi-``get`` expression walk) → one gram-key aggregate
+       (occurrences + distinct docs, map-side combined) → ``min_docs``
+       filter → global top-k via orderBy+limit
        (TakeOrderedAndProject: per-partition heaps, no global sort);
     2. display pass — the ≤ ``k`` winning 64-bit keys (collected to
        the driver: bounded state, never data-sized) are inlined as a
@@ -1821,15 +1841,29 @@ def top_ngrams(
     )
     th = F.col("__th")
 
-    def gram_hash(i):
-        return F.xxhash64(*[F.get(th, i + j) for j in range(n)])
+    # gram-key array via a CHAINED zip_with over shifted slices — the
+    # token-hash array appears only as a row-level argument, and each
+    # per-element lambda is a single xxhash64(acc, next): ~n small
+    # interpreted ops per position. The r3 form (transform over a
+    # position sequence with n F.get(th, i+j) reads per position)
+    # walked a ~10-node interpreted expression per position and
+    # measured 7.5× slower on the sf0.1 pass-1 aggregate (PERF.md 41).
+    # Gram key = xxhash64(…xxhash64(h_i, h_{i+1})…, h_{i+n-1}) — a
+    # different 64-bit key than the flat form, same collision budget.
+    m = F.size(th) - n + 1
 
-    gram_arr = F.when(
-        F.size(th) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(th) - n), gram_hash),
-    ).otherwise(F.array().cast("array<bigint>"))
+    def gram_array():
+        acc = F.slice(th, 1, m)
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc, F.slice(th, 1 + j, m), lambda a, b: F.xxhash64(a, b)
+            )
+        return F.when(F.size(th) >= n, acc).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
     grams = (
-        base.select("doc_id", gram_arr.alias("__g"))
+        base.select("doc_id", gram_array().alias("__g"))
         .select("doc_id", F.explode("__g").alias("gram"))
     )
     top_rows = (
@@ -1852,24 +1886,28 @@ def top_ngrams(
     win_lit = F.array(
         *[F.lit(int(r["gram"])) for r in top_rows]
     )
-    # second scan: match positions inside the doc's own row (array
-    # filter over O(k) literal compares), then slice the display text
-    # for matches ONLY — all pre-explode, so the Generate output never
-    # carries __toks
-    pos_seq = F.when(
-        F.size(th) >= n, F.sequence(F.lit(0), F.size(th) - n)
-    ).otherwise(F.array().cast("array<int>"))
+    # second scan: rebuild the gram array (same zip_with chain), pair
+    # each gram with its 0-based position, keep winners (O(k) literal
+    # compares per position), then slice the display text for matches
+    # ONLY — all pre-explode, so the Generate output never carries
+    # __toks
     hit_pos = F.filter(
-        pos_seq, lambda i: F.array_contains(win_lit, gram_hash(i))
+        F.zip_with(
+            gram_array(),
+            F.when(F.size(th) >= n, F.sequence(F.lit(0), F.size(th) - n))
+            .otherwise(F.array().cast("array<int>")),
+            lambda g, i: F.struct(g.alias("gram"), i.alias("pos")),
+        ),
+        lambda s: F.array_contains(win_lit, s["gram"]),
     )
     ex_arr = F.transform(
         hit_pos,
-        lambda i: F.struct(
-            gram_hash(i).alias("gram"),
+        lambda s: F.struct(
+            s["gram"].alias("gram"),
             F.col("doc_id").alias("doc_id"),
-            i.alias("pos"),
+            s["pos"].alias("pos"),
             F.array_join(
-                F.slice(F.col("__toks"), i + F.lit(1), n), " "
+                F.slice(F.col("__toks"), s["pos"] + F.lit(1), n), " "
             ).alias("text"),
         ),
     )
