@@ -317,8 +317,7 @@ def main() -> None:
             iterative_loads[name] = round(l1, 2)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "refex_transcript_feature_extraction+operator_suite",
                 "value": total,
@@ -344,7 +343,16 @@ def main() -> None:
                 "iterative_sf_dir": ITER_DIR if RUN_ITERATIVE else None,
             }
         )
-    )
+    print(payload)
+    # also land the SAME JSON on disk: the driver captures stdout, and
+    # two rounds running have truncated that capture mid-line
+    # (BENCH_r03/r04 "parsed: null") — BENCH_SELF.json guarantees a
+    # parseable, rep-load-annotated artifact in the repo regardless
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SELF.json"), "w"
+    ) as fh:
+        fh.write(payload + "\n")
 
 
 if __name__ == "__main__":

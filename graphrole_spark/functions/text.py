@@ -707,6 +707,17 @@ def remove_duplicate_spans(
     )
 
 
+# version tag for the shingle-hash construction below. Bump whenever
+# the scheme changes (token hash fn, fold order, NULL handling, …):
+# persisted dedup stores (streaming/corpus_dedup.py) stamp this into
+# _params.json so a store built under an old scheme fails LOUDLY
+# instead of silently never matching new-batch hashes. History:
+#   v1 — flat xxhash64 over n positional token-hash gets (+ seed)
+#   v2 — chained left-fold zip_with xxhash64 over shifted slices
+#        (r4 rewrite; same hash SET semantics, different hash VALUES)
+SHINGLE_HASH_SCHEME = "chained-xxhash64-v2"
+
+
 def minhash_shingle_hashes(
     documents: DataFrame,
     text_col: str = "text",
@@ -1311,16 +1322,21 @@ def quality_features(
     line_denom = F.greatest(n_lines, F.lit(1))
     char_denom = F.greatest(F.col("n_chars"), F.lit(1))
     extra_base = []
+    # gram_n column metadata: the gram order is already encoded in the
+    # column NAME, but a downstream rename/alias would detach it —
+    # consumers with hard threshold semantics (gopher_filter) verify
+    # the metadata when present so a re-labeled frame can't silently
+    # shift the verdict
     if top_ngram:
         extra_base.append(
             F.round(_run_max_chars(F.col("__gt")) / char_denom, 6).alias(
-                f"top_{top_ngram}gram_char_frac"
+                f"top_{top_ngram}gram_char_frac", metadata={"gram_n": top_ngram}
             )
         )
     if dup_ngram:
         extra_base.append(
             F.round(_adjacent_dup_chars(F.col("__gd")) / char_denom, 6).alias(
-                f"dup_{dup_ngram}gram_char_frac"
+                f"dup_{dup_ngram}gram_char_frac", metadata={"gram_n": dup_ngram}
             )
         )
     if bpe:
@@ -1728,6 +1744,26 @@ def gopher_filter(
                 "signals frame is missing quality_features columns: "
                 f"{sorted(missing)}"
             )
+        # gram-order integrity: quality_features stamps gram_n metadata
+        # on the two ngram columns; if a caller re-labeled columns from
+        # a differently-parameterized frame, the metadata survives the
+        # rename and the mismatch is caught here instead of silently
+        # shifting the Gopher verdict. Frames without the metadata
+        # (pre-stamp or hand-built) pass — the column-name contract
+        # already encodes the order for those.
+        for col_name, want_n in (
+            ("top_2gram_char_frac", 2), ("dup_5gram_char_frac", 5),
+        ):
+            meta = signals.schema[col_name].metadata or {}
+            got_n = meta.get("gram_n")
+            if got_n is not None and int(got_n) != want_n:
+                raise ValueError(
+                    f"signals column {col_name} was computed with "
+                    f"gram order n={got_n} (column metadata), but the "
+                    f"Gopher thresholds are defined for n={want_n} — "
+                    f"recompute quality_features with top_ngram=2, "
+                    f"dup_ngram=5"
+                )
         sig = signals
     n_tok = F.coalesce(F.col("n_tokens"), F.lit(0))
     rules = [
@@ -1818,6 +1854,15 @@ def top_ngrams(
     ``duplicate_ngram_stats``).
 
     Returns ``k`` rows: ``(rank, gram, n_occurrences, n_docs)``.
+
+    EAGER: pass 1 (the full corpus scan + gram aggregate) executes at
+    CALL time — the winning keys must reach the driver before the
+    display pass's plan can be built, so this function is not lazy like
+    most DataFrame-returning operators. Callers that construct the
+    frame twice scan the corpus twice; callers that build plans
+    conditionally should defer the call itself, not the returned frame.
+    (Only the cheap ≤ k-row display pass remains lazy in the returned
+    DataFrame.)
     """
     if n < 1 or k < 1 or min_docs < 1:
         raise ValueError("n, k and min_docs must all be >= 1")

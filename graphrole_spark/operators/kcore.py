@@ -23,9 +23,17 @@ hash exchange), then the H-index per node via one window rank over the
 node's neighbor values — ``h = max over sorted-desc neighbors of
 min(rank, value)`` — and labels are ``localCheckpoint``-ed per round
 (the pagerank discipline; see pagerank.py for why lazy chaining across
-iterations is quadratic). Early-stops when a round changes no label;
-convergence needs O(graph diameter)-ish rounds in theory but single
-digits in practice on heavy-tailed graphs.
+iterations is quadratic). Early-stops when a round changes no label.
+
+Convergence bound: the fixpoint needs O(graph diameter) rounds in the
+worst case — information about a low-degree fringe propagates one hop
+per round, so path/ring-like graphs of length L need ~L/2 rounds, NOT
+single digits. Heavy-tailed web/social graphs (small diameter) converge
+in single digits, which is where the default ``max_iter`` is sized; on
+long-path-like graphs pass ``max_iter`` ≥ diameter. If the loop
+exhausts ``max_iter`` before the fixpoint, the returned values are an
+UPPER BOUND on coreness, not coreness — ``core_numbers`` warns loudly
+(or raises with ``strict=True``) instead of returning them silently.
 
 Reference scope note: GraphRole stops at degree/egonet features
 (graphrole/graph/interface.py:60-150); this operator is part of the
@@ -34,6 +42,7 @@ engine's beyond-reference graph layer.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window
@@ -46,17 +55,23 @@ def core_numbers(
     dst_col: str = "dst",
     max_iter: int = 50,
     iter_stats: Optional[list] = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Core number for every node of the undirected simple graph
     underlying ``edges`` (direction/weights/parallel edges/self-loops
     ignored — coreness is a property of the simple graph).
 
-    * ``max_iter`` — safety bound on H-index rounds; the fixpoint is
-      normally reached far earlier (the loop early-stops on the first
-      round with zero label changes).
+    * ``max_iter`` — safety bound on H-index rounds. The loop
+      early-stops on the first round with zero label changes; the
+      worst-case round count is O(graph diameter) (see module
+      docstring), so size ``max_iter`` accordingly for path/ring-like
+      topologies. If the bound is hit before the fixpoint, the values
+      are only an upper bound on coreness: a ``RuntimeWarning`` is
+      emitted (or ``RuntimeError`` raised with ``strict=True``).
     * ``iter_stats`` — optional caller-owned list; each round appends
       ``{"iter", "sec", "changed"}`` (wall to and including the eager
       checkpoint + the change count) for per-iteration scale evidence.
+    * ``strict`` — raise instead of warn on non-convergence.
 
     Returns ``(node string, core_number int)`` for every node with at
     least one edge (isolated nodes never enter ``edges`` and would
@@ -70,13 +85,16 @@ def core_numbers(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    # symmetrized adjacency, pre-hashed on the probe key so every
-    # round's labels join is co-partitioned
+    # symmetrized adjacency, pre-hashed on "v" — the key every round's
+    # labels join actually probes on (labels are joined as (v, __nc)),
+    # so the wide adjacency never re-exchanges; the post-join H-index
+    # window on node=u needs its own exchange either way, but that one
+    # carries only narrow (node, v, __nc) rows
     adj = (
         und.unionByName(
             und.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        .repartition("u")
+        .repartition("v")
         .persist()
     )
     adj.count()
@@ -140,6 +158,17 @@ def core_numbers(
         if changed == 0:
             break
     adj.unpersist()
+    if changed != 0:
+        msg = (
+            f"core_numbers did not reach the H-index fixpoint within "
+            f"max_iter={max_iter} rounds; the returned values are an "
+            f"UPPER BOUND on coreness, not coreness. Convergence needs "
+            f"O(graph diameter) rounds on path/ring-like graphs — "
+            f"raise max_iter."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("node", F.col("c").alias("core_number"))
 
 
@@ -148,6 +177,8 @@ def kcore_subgraph(
     k: int,
     src_col: str = "src",
     dst_col: str = "dst",
+    max_iter: int = 50,
+    strict: bool = False,
 ) -> DataFrame:
     """Edges of the ``k``-core: the maximal subgraph where every node
     has degree ≥ k — the classic "throw away the ragged periphery"
@@ -155,13 +186,17 @@ def kcore_subgraph(
 
     Derived from :func:`core_numbers` (both endpoints' coreness ≥ k)
     rather than re-peeling, so one decomposition serves every ``k``.
-    Returns ``(u string, v string)`` with ``u < v``.
+    ``max_iter``/``strict`` pass through to :func:`core_numbers` (a
+    non-converged decomposition over-admits edges, so the same
+    warning/raise discipline applies here). Returns ``(u string,
+    v string)`` with ``u < v``.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    cn = core_numbers(edges, src_col=src_col, dst_col=dst_col).where(
-        F.col("core_number") >= k
-    )
+    cn = core_numbers(
+        edges, src_col=src_col, dst_col=dst_col, max_iter=max_iter,
+        strict=strict,
+    ).where(F.col("core_number") >= k)
     a, b = F.col(src_col).cast("string"), F.col(dst_col).cast("string")
     und = (
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))

@@ -171,7 +171,7 @@ def egonet_features(
     m_dst = m.select(F.col("center"), F.col("member").alias("dst"))
 
     joined_src = _member_join(e, m, "src", skew_salt, skew_degree_threshold)
-    internal = (
+    internal_edges_df = (
         joined_src.join(m_dst, ["center", "dst"], "left_semi")
         .groupBy("center")
         .agg(F.sum("weight").alias("internal_edges"))
@@ -201,7 +201,7 @@ def egonet_features(
         )
 
     return (
-        nodes.join(internal.withColumnRenamed("center", "node"), "node", "left")
+        nodes.join(internal_edges_df.withColumnRenamed("center", "node"), "node", "left")
         .join(external.withColumnRenamed("center", "node"), "node", "left")
         .na.fill(0.0, ["internal_edges", "external_edges"])
     )

@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graphrole_spark.functions.text import (
+    SHINGLE_HASH_SCHEME,
     bands_for_threshold,
     minhash_bands,
     minhash_shingle_hashes,
@@ -141,6 +142,13 @@ def apply_dedup_delta(
             "bands": bands,
             "seed": seed,
             "n_buckets": n_buckets,
+            # hash-scheme version (functions/text.py::SHINGLE_HASH_SCHEME):
+            # a store whose shingle/band hashes were computed under a
+            # different scheme would silently admit every near-duplicate
+            # (stored hashes never match new-batch hashes) — exactly the
+            # failure _check_params exists to prevent. Stores written
+            # before this field exists also fail loudly (dict mismatch).
+            "shingle_hash_scheme": SHINGLE_HASH_SCHEME,
         },
     )
     delta = (

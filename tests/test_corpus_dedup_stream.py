@@ -113,3 +113,43 @@ def test_cross_batch_redelivery_is_exact_dup(spark, tmp_path):
         ).collect()
     }
     assert d == {0: "exact_dup"}
+
+
+def test_store_hash_scheme_version_guard(spark, tmp_path):
+    """ADVICE r4 (medium): a store built under an older shingle-hash
+    scheme must fail LOUDLY — its persisted shh/band hashes can never
+    match new-batch hashes, so proceeding would silently admit every
+    near-duplicate. The scheme version is stamped into _params.json; a
+    store whose params lack (or mismatch) it is rejected."""
+    import json
+    import os
+
+    import pytest
+
+    from graphrole_spark.functions.text import SHINGLE_HASH_SCHEME
+    from graphrole_spark.streaming.corpus_dedup import apply_dedup_delta
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "store")
+    apply_dedup_delta(spark, docs, store, batch_id=0)
+
+    params_path = os.path.join(store, "_params.json")
+    with open(params_path) as fh:
+        params = json.load(fh)
+    assert params["shingle_hash_scheme"] == SHINGLE_HASH_SCHEME
+
+    # simulate a store written under the r3 flat-hash scheme
+    params["shingle_hash_scheme"] = "flat-xxhash64-v1"
+    with open(params_path, "w") as fh:
+        json.dump(params, fh)
+    with pytest.raises(ValueError, match="incomparable"):
+        apply_dedup_delta(spark, docs, store, batch_id=1)
+
+    # and a pre-versioning store (field absent entirely) also fails
+    del params["shingle_hash_scheme"]
+    with open(params_path, "w") as fh:
+        json.dump(params, fh)
+    with pytest.raises(ValueError, match="incomparable"):
+        apply_dedup_delta(spark, docs, store, batch_id=1)

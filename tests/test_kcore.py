@@ -104,3 +104,38 @@ def test_kcore_deterministic(spark):
     a = _cores(spark, edges)
     b = _cores(spark, edges)
     assert a == b
+
+
+def test_kcore_nonconvergence_warns_and_strict_raises(spark):
+    """ADVICE r4 (high): a path graph needs ~diameter/2 rounds — with
+    max_iter too small the loop exits before the fixpoint and the
+    values are only an upper bound. That must WARN (or raise with
+    strict=True), never return silently; with enough rounds the same
+    graph converges to all-ones with no warning."""
+    import warnings
+
+    import pytest
+
+    from graphrole_spark.operators.kcore import core_numbers
+
+    path = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(60)], "src string, dst string"
+    )
+    with warnings.catch_warnings(record=True) as seen:
+        warnings.simplefilter("always")
+        core_numbers(path, max_iter=3).count()
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "UPPER BOUND" in str(w.message)
+        for w in seen
+    )
+
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        core_numbers(path, max_iter=3, strict=True).count()
+
+    with warnings.catch_warnings(record=True) as seen:
+        warnings.simplefilter("always")
+        out = core_numbers(path, max_iter=60)
+        vals = {r.core_number for r in out.collect()}
+    assert vals == {1}
+    assert not any(issubclass(w.category, RuntimeWarning) for w in seen)
