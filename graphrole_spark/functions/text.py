@@ -1817,6 +1817,7 @@ def top_ngrams(
     k: int = 50,
     text_col: str = "text",
     min_docs: int = 2,
+    min_occurrences: int = 1,
 ) -> DataFrame:
     """Corpus-level heavy-hitter n-grams — the "what boilerplate should
     I scrub?" forensic that picks ``dedup_lines``' threshold and
@@ -1846,6 +1847,12 @@ def top_ngrams(
        map-side-combined ``min(struct)`` — the string shuffle carries
        ≤ one row per (partition, winner).
 
+    ``min_occurrences`` adds a pass-1 occurrence-count floor next to
+    ``min_docs`` — with a floor above the corpus's tie-heavy tail and
+    ``k`` sized as a cap rather than the cut, the winner set becomes
+    text-deterministic (every qualifying gram beats the cap), which is
+    what the driver-adjudicated registry entry uses.
+
     Ties at the k-boundary cut by gram hash (documented arbitrary-but-
     deterministic); the emitted ``rank`` re-orders by
     ``(n_occurrences DESC, gram ASC)`` so the visible ordering is
@@ -1864,8 +1871,10 @@ def top_ngrams(
     (Only the cheap ≤ k-row display pass remains lazy in the returned
     DataFrame.)
     """
-    if n < 1 or k < 1 or min_docs < 1:
-        raise ValueError("n, k and min_docs must all be >= 1")
+    if n < 1 or k < 1 or min_docs < 1 or min_occurrences < 1:
+        raise ValueError(
+            "n, k, min_docs and min_occurrences must all be >= 1"
+        )
     # split on ALL whitespace (\s+), not the space-only convention of
     # tokens(): boilerplate forensics runs over multi-line documents,
     # and the space-only split would glue line-boundary tokens
@@ -1917,7 +1926,10 @@ def top_ngrams(
             F.count("*").cast("long").alias("n_occurrences"),
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
         )
-        .where(F.col("n_docs") >= min_docs)
+        .where(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("n_occurrences") >= min_occurrences)
+        )
         .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
         .limit(k)
         .collect()  # ≤ k rows of (hash, counts): bounded driver state
@@ -1928,14 +1940,15 @@ def top_ngrams(
     )
     if not top_rows:
         return spark.createDataFrame([], out_schema)
-    win_lit = F.array(
-        *[F.lit(int(r["gram"])) for r in top_rows]
-    )
+    winner_keys = [int(r["gram"]) for r in top_rows]
     # second scan: rebuild the gram array (same zip_with chain), pair
-    # each gram with its 0-based position, keep winners (O(k) literal
-    # compares per position), then slice the display text for matches
-    # ONLY — all pre-explode, so the Generate output never carries
-    # __toks
+    # each gram with its 0-based position, keep winners, then slice the
+    # display text for matches ONLY — all pre-explode, so the Generate
+    # output never carries __toks. Winner membership via isin: above
+    # the InSet threshold (10) Catalyst compiles the literal list to a
+    # HASH-SET probe, O(1) per position regardless of k — the r5
+    # threshold-deterministic registry entry carries up to 400 winners,
+    # where the previous array_contains literal walk was O(k)
     hit_pos = F.filter(
         F.zip_with(
             gram_array(),
@@ -1943,7 +1956,7 @@ def top_ngrams(
             .otherwise(F.array().cast("array<int>")),
             lambda g, i: F.struct(g.alias("gram"), i.alias("pos")),
         ),
-        lambda s: F.array_contains(win_lit, s["gram"]),
+        lambda s: s["gram"].isin(winner_keys),
     )
     ex_arr = F.transform(
         hit_pos,

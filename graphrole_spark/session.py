@@ -18,11 +18,18 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     prewarm: bool = True,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
     ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
     cluster the master/memory settings come from spark-submit instead.
+    ``master`` overrides the default ``local[cores]`` — used by the
+    scaling harness to run ``local-cluster[n,cores,mem]`` topologies
+    (separate executor JVMs with their own heaps/GC, the closest
+    single-box stand-in for real multi-executor N-vs-4N legs); pass
+    ``cores`` as the TOTAL core count so shuffle partitioning stays
+    consistent.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -32,7 +39,7 @@ def get_spark(
         shuffle_partitions = max(cores, 4)
 
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -71,6 +71,9 @@ def main() -> None:
     ap.add_argument("--only", default="")
     ap.add_argument("--skip-tail", action="store_true",
                     help="skip the rows-only queries (no oracle)")
+    ap.add_argument("--all-oracles", action="store_true",
+                    help="adjudicate against the FULL _oracle_sql_all() "
+                         "twin set, not just the driver-facing window")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -79,6 +82,8 @@ def main() -> None:
     spark = get_spark()
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    if args.all_oracles:
+        oracles = entry._oracle_sql_all()
 
     con = duckdb.connect()
     for t in TABLES:

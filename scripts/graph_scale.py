@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Scale sweep for the graph layer (pagerank, triangle_counts):
+"""Scale sweep for the graph layer (pagerank, triangle_counts, LPA,
+k-core):
 deterministic skewed synthetic graphs at growing edge counts, timings
 appended to BENCH_GRAPH_SCALE.jsonl.
 
@@ -51,6 +52,7 @@ def synth_edges(spark, m: int):
 
 def main() -> None:
     from graphrole_spark.operators.communities import label_propagation
+    from graphrole_spark.operators.kcore import core_numbers
     from graphrole_spark.operators.pagerank import pagerank
     from graphrole_spark.operators.triangles import triangle_counts
     from graphrole_spark.session import get_spark
@@ -86,6 +88,11 @@ def main() -> None:
         )
         n_comm = lpa.agg(F.countDistinct("community")).collect()[0][0]
         lpa_sec = round(time.time() - t0, 2)
+        t0 = time.time()
+        kc_iters: list = []
+        kc = core_numbers(edges, iter_stats=kc_iters)
+        kc_max = kc.agg(F.max("core_number")).collect()[0][0]
+        kc_sec = round(time.time() - t0, 2)
         row = {
             "edges": n_edges,
             "nodes": n_nodes,
@@ -98,6 +105,10 @@ def main() -> None:
             "lpa_sec": lpa_sec,
             "lpa_iter_sec": [s["sec"] for s in lpa_iters],
             "lpa_communities": int(n_comm or 0),
+            "kcore_sec": kc_sec,
+            "kcore_rounds": len(kc_iters),
+            "kcore_iter_sec": [x["sec"] for x in kc_iters],
+            "kcore_max": int(kc_max or 0),
             "cpus": cpus,
             "load1_pre": round(pre_load, 1),
             "load1": round(os.getloadavg()[0], 1),
