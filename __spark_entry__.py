@@ -7914,27 +7914,18 @@ def _oracle_sql_all() -> dict[str, str]:
                    1
             FROM b1
         """,
-        # Rows-only queries (no oracle_sql entry) and why — one line per
-        # registry-tail entry, in tail order:
+        # Rows-only queries (no oracle_sql entry) after the round-5
+        # rotation — the full rationale list lives next to _PROMOTED_R5:
         #   streaming_state — applyInPandasWithState emission order is
         #     engine-internal; batch parity pytest-verified
         #     (tests/test_streaming.py);
-        #   rolling_fingerprint — Rabin-Karp+fmix64 hash family, no
-        #     portable SQL equivalent; value parity vs the pure-python
-        #     recurrence pytest-pinned (test_functions.py);
-        #   simhash_dedup — xxhash64-family values; pytest parity:
-        #     simhash_frame == simhash64 HOF form exactly;
-        #   lsh_topk, ivf_topk — seeded hyperplane/k-means index
-        #     internals; recall + determinism vs brute_force_topk (which
-        #     IS oracle-checked as cosine_topk) pytest-verified;
-        #   refex_pipeline — multi-generation loop with data-dependent
-        #     pruning; its pieces ARE value-checked (log_binning,
-        #     refex_gen1/gen2, refex_transform, chain_seeds) and the
-        #     RolX layer's contract via rolx_roles/rolx_multicutoff;
-        #   training_shards — sink round trip (a write side effect, not
-        #     a query); shard assignment/checksums are md5-deterministic
-        #     and pytest-verified against a hashlib replica
-        #     (tests/test_shards.py).
+        #   bootstrap_ci — production xxhash64 Poisson ladder; the md5
+        #     variant's full DuckDB parity is pytest-pinned;
+        #   link_prediction — xxhash64 dense-index negative sampling;
+        #     brute-force score parity pytest-pinned;
+        #   corpus_pipeline / transcript_pipeline — compositions of
+        #     driver-verified stages; stage contracts pytest-pinned
+        #     (incl. the transcript plan-shape pin).
     }
 
 

@@ -318,3 +318,23 @@ def test_conv_decontam_zero_corpus_shuffle(spark):
     # one keyed exchange builds per-conversation vectors; the decontam
     # scoring itself adds none
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:4000]
+
+
+def test_curate_transcripts_stage_boundaries(spark):
+    """Registry `transcript_pipeline` (functions/conversations.py::
+    curate_transcripts): the 6-stage composition's docstring claims the
+    fan-out boundaries are id-only localCheckpoints — so the FINAL SFT
+    frame's physical plan must hang off the two checkpointed boundary
+    RDDs (post-integrity turns, post-dedup survivors) and pay only the
+    assembly's own two keyed exchanges, never re-executing the
+    integrity/dedup machinery inline (r4 VERDICT stretch item: pin the
+    stage-count claim like preference_pairs' exchange pin)."""
+    import __spark_entry__ as e
+
+    plan = _plan(
+        e._all_queries()["transcript_pipeline"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert plan.count("Scan ExistingRDD") == 2, plan[:4000]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:4000]
