@@ -90,9 +90,22 @@ def main() -> None:
         lpa_sec = round(time.time() - t0, 2)
         t0 = time.time()
         kc_iters: list = []
-        kc = core_numbers(edges, iter_stats=kc_iters)
-        kc_max = kc.agg(F.max("core_number")).collect()[0][0]
+        # bounded-round probe: the sweep's metric is the PER-ITERATION
+        # wall at each decade (flat = the round cost scales), not the
+        # fixpoint itself — this synthetic u^2-tail graph has long
+        # low-degree tendrils, so full H-index convergence needs
+        # O(diameter) ~ 100 rounds (the operator warns, by design;
+        # exactness is pinned by the networkx-parity pytest and the
+        # driver's kcore invariant oracle on converged runs).
+        kc_rounds = int(os.environ.get("SPARK_GRAFT_KCORE_ROUNDS", "12"))
+        import warnings as _warnings
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore", RuntimeWarning)
+            kc = core_numbers(edges, iter_stats=kc_iters,
+                              max_iter=kc_rounds)
+            kc_max = kc.agg(F.max("core_number")).collect()[0][0]
         kc_sec = round(time.time() - t0, 2)
+        kc_converged = bool(kc_iters) and not kc_iters[-1]["changed"]
         row = {
             "edges": n_edges,
             "nodes": n_nodes,
@@ -107,6 +120,7 @@ def main() -> None:
             "lpa_communities": int(n_comm or 0),
             "kcore_sec": kc_sec,
             "kcore_rounds": len(kc_iters),
+            "kcore_converged": kc_converged,
             "kcore_iter_sec": [x["sec"] for x in kc_iters],
             "kcore_max": int(kc_max or 0),
             "cpus": cpus,
