@@ -232,12 +232,15 @@ def q_asof_directions(spark, sf_dir):
     from graphrole_spark.temporal.asof import asof_join
 
     events = _events(spark, sf_dir)
+    # materialize the two slim legs once: four as-of variants + three
+    # id joins otherwise re-scan and re-filter the events table per
+    # plan branch (3 narrow columns each; the window sorts stay)
     probes = events.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
-    )
+    ).localCheckpoint()
     refs = events.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
-    )
+    ).localCheckpoint()
     bwd = asof_join(
         probes, refs, ["user_id"], "ts", "ts", ["value"]
     ).select("event_id", F.round("value_asof", 6).alias("value_back"))

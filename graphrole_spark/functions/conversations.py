@@ -475,12 +475,20 @@ def conversation_near_duplicates(
     bands: int | None = None,
     jaccard_threshold: float = 0.8,
     seed: int = 7,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fuzzy conversation-level dedup: near-duplicate conversation
     PAIRS via MinHash-LSH over each conversation's set of turn-content
     hashes — catches what :func:`conversation_duplicates` (exact) must
     miss: re-exports with one edited/regenerated turn, truncated
     prefixes of the same session, and trailing-turn additions.
+
+    ``materialize`` (default True) localCheckpoints the three fan-out
+    boundaries (turn hashes, signatures, candidate pairs) — identical
+    results, but each is computed once instead of once per referencing
+    branch (the sf1.0 plan held 80 copies of the input scan without
+    the barriers). ``materialize=False`` keeps the single fully-lazy
+    plan for plan-shape inspection.
 
     A conversation's "shingle set" is the distinct ``xxhash64`` of each
     turn's ``role<US>text`` (content identity, deliberately
@@ -512,18 +520,29 @@ def conversation_near_duplicates(
         F.lit(_FIELD_SEP),
         F.coalesce(F.col(text_col), F.lit("")),
     )
-    th = turns.select(
+    # materialize the (conv, turn-hash) rows ONCE: they feed the
+    # signature aggregate AND the verification sets, and every later
+    # fan-out (band self-join sides, candidate-id union, verify joins)
+    # would otherwise re-derive the full upstream turn lineage — the
+    # sf1.0 plan held 80 copies of the input scan before this. Two
+    # longs-ish per turn.
+    def _ck(df):
+        return df.localCheckpoint() if materialize else df
+
+    th = _ck(turns.select(
         F.col(conv_col).alias("doc_id"),
         F.xxhash64(content, F.lit(seed)).alias("__h"),
-    )
+    ))
     # min() is duplicate-insensitive: no distinct pass before the
-    # signature, the dedup happens implicitly
-    sig = th.groupBy("doc_id").agg(
+    # signature, the dedup happens implicitly. Checkpointed: the banded
+    # relation below is self-joined (a × b), so an unmaterialized sig
+    # would run the n_hashes-wide aggregate once per side.
+    sig = _ck(th.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("__h"), F.lit(seed + 1 + i))).alias(f"__m{i}")
             for i in range(n_hashes)
         ]
-    )
+    ))
     banded = minhash_bands(None, n_hashes=n_hashes, bands=bands, seed=seed, sig=sig)
     a = banded.select(F.col("doc_id").alias("conv_a"), "band", "bhash")
     b = banded.select(F.col("doc_id").alias("conv_b"), "band", "bhash")
@@ -533,6 +552,7 @@ def conversation_near_duplicates(
         .select("conv_a", "conv_b")
         .dropDuplicates(["conv_a", "conv_b"])
     )
+    cand = _ck(cand)
     cand_ids = (
         cand.select(F.col("conv_a").alias("doc_id"))
         .unionByName(cand.select(F.col("conv_b").alias("doc_id")))

@@ -133,7 +133,12 @@ def dsir_select(
     reduce partition. Ties rank on the ROUNDED score then ``id_col`` so
     the cut is engine-portable.
     """
-    scores = dsir_scores(raw, target, text_col, n, buckets, id_col)
+    # materialize the (id, n_grams, score) rows once: `scores` feeds
+    # BOTH the top-k cut and the flag join, and unmaterialized each
+    # branch would re-run the target-side gram explode + md5 bucketing
+    # (the raw side is persisted inside dsir_scores, the target side is
+    # not) — three slim columns per document
+    scores = dsir_scores(raw, target, text_col, n, buckets, id_col).localCheckpoint()
     topk = (
         scores.orderBy(F.desc("dsir_score"), F.asc(id_col))
         .limit(k)

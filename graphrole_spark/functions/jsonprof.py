@@ -74,31 +74,45 @@ def json_profile(
     total = parsed.count()
     if total == 0:
         raise ValueError("empty input")
-    exploded = parsed.select(
+    # ONE pass over the parsed stream for both the sentinel counts and
+    # the (key, type) contingency: explode_outer emits exactly one
+    # (null, null) row for every missing/malformed payload (their map
+    # is NULL), so the sentinel lane rides the same generator as the
+    # key lane and the upstream parse/synthesis lineage is evaluated
+    # once instead of once per output leg. A well-formed EMPTY object
+    # also explodes to (null, null) — dropped below, exactly as plain
+    # explode dropped it before.
+    sentinel = (
         F.when(F.col("__j").isNull(), F.lit("(missing)"))
         .when(F.col("__m").isNull(), F.lit("(malformed)"))
         .otherwise(F.lit(None))
-        .alias("__sentinel"),
-        F.col("__m"),
     )
-    bad = (
-        exploded.where(F.col("__sentinel").isNotNull())
-        .groupBy(F.col("__sentinel").alias("key"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .select(
-            "key",
-            F.lit("-").alias("value_type"),
-            "n",
-            F.round(F.col("n") / F.lit(float(total)), 6).alias("key_rate"),
-            F.lit(1.0).alias("type_rate"),
+    ex = parsed.select(
+        sentinel.alias("__sentinel"),
+        F.explode_outer("__m").alias("key", "__v"),
+    ).where(F.col("__sentinel").isNotNull() | F.col("key").isNotNull())
+    counts = (
+        ex.groupBy(
+            F.col("__sentinel").isNotNull().alias("__is_sentinel"),
+            F.coalesce("__sentinel", F.col("key")).alias("key"),
+            F.when(F.col("__sentinel").isNotNull(), F.lit("-"))
+            .otherwise(_value_type(F.col("__v")))
+            .alias("value_type"),
         )
-    )
-    kv = (
-        exploded.where(F.col("__sentinel").isNull())
-        .select(F.explode("__m").alias("key", "__v"))
-        .select("key", _value_type(F.col("__v")).alias("value_type"))
-        .groupBy("key", "value_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # (key, type)-grain rows only — materialized so the sentinel
+        # and key legs below don't each re-run the parse pass
+        .localCheckpoint()
+    )
+    bad = counts.where(F.col("__is_sentinel")).select(
+        "key",
+        F.lit("-").alias("value_type"),
+        "n",
+        F.round(F.col("n") / F.lit(float(total)), 6).alias("key_rate"),
+        F.lit(1.0).alias("type_rate"),
+    )
+    kv = counts.where(~F.col("__is_sentinel")).select(
+        "key", "value_type", "n"
     )
     from pyspark.sql import Window
 

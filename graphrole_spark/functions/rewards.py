@@ -138,15 +138,32 @@ def bt_leaderboard(
         raise ValueError("mode must be 'auto', 'driver' or 'distributed'")
     w = F.col(winner_col).cast("string")
     l = F.col(loser_col).cast("string")
-    outcomes = battles.where(
-        w.isNotNull() & l.isNotNull() & (w != l)
-    ).select(w.alias("__w"), l.alias("__l"))
+    outcomes = battles.select(w.alias("__w"), l.alias("__l"))
 
     # one row per ordered (item, opp): wins of item over opp; the union
-    # with zero rows guarantees every item appears in both directions
-    directed = outcomes.groupBy(
-        F.col("__w").alias("item"), F.col("__l").alias("opp")
-    ).agg(F.count(F.lit(1)).alias("n_wl"))
+    # with zero rows guarantees every item appears in both directions.
+    # The null/self-battle validity predicates are row-local in the
+    # GROUP KEYS, so they commute with the aggregate: filtering the
+    # handful of post-agg groups is bit-identical to filtering the raw
+    # stream. The checkpoint sits BETWEEN the aggregate and the filter,
+    # deliberately: without the barrier Catalyst pushes the predicate
+    # through the aggregate AND below the caller's projection, so the
+    # winner/loser expression trees are evaluated once for the filter
+    # and again for the keys (measured 5x the whole scan+aggregate on
+    # an md5-synthesized battles frame). Checkpointing also feeds the
+    # zero-fill union below, which references `directed` twice.
+    directed = (
+        outcomes.groupBy(
+            F.col("__w").alias("item"), F.col("__l").alias("opp")
+        )
+        .agg(F.count(F.lit(1)).alias("n_wl"))
+        .localCheckpoint()
+        .where(
+            F.col("item").isNotNull()
+            & F.col("opp").isNotNull()
+            & (F.col("item") != F.col("opp"))
+        )
+    )
     pairs = (
         directed.select("item", "opp", "n_wl")
         .unionByName(
@@ -256,8 +273,12 @@ def bt_leaderboard(
             F.col("n_wins").cast("long").alias("n_wins"),
         )
 
-    losses = outcomes.groupBy(F.col("__l").alias("item")).agg(
-        F.count(F.lit(1)).alias("n_losses")
+    # losses fall out of the already-materialized pair-count frame
+    # (losses of i = Σ_j wins of j over i): re-aggregating the raw
+    # battles stream here would re-run the full upstream scan a second
+    # time for a count the localCheckpointed `pairs` rows carry exactly
+    losses = pairs.groupBy(F.col("opp").alias("item")).agg(
+        F.sum("n_ij_wins").alias("n_losses")
     )
     return (
         fitted.join(losses, "item", "left")

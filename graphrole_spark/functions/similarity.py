@@ -955,14 +955,17 @@ def semantic_dedup(
 
     Plan shape (the scale story): the cell id is one codegen
     projection (sign mode) or one Arrow assignment pass materialized
-    into an (id, cell) checkpoint (kmeans mode — it feeds three plan
-    branches); candidate pairs come from a *cell-keyed equi-join* —
-    never an all-pairs cross join — so the shuffle is hash-partitioned
-    on the cell key and each task only scores its own cell's pairs.
-    The cosine is exact (double-cast JVM higher-order fold), so unlike
-    the hyperplane-LSH path there is no recall question inside a cell;
-    across-cell near-dups are the recall trade SemDeDup itself makes
-    (mitigate with more/better cells, not a different operator).
+    into an (id, cell) checkpoint (kmeans mode — it feeds both plan
+    branches); every vector then crosses ONE cell-keyed shuffle into a
+    per-cell Arrow group, where the (|cell|²) scoring runs as blocked
+    BLAS Gram products — never an all-pairs join of pair ROWS, and
+    never a per-pair interpreted fold (the pre-r6 equi-join form spent
+    ~60 ns·dim on every candidate pair; the Gram kernel is the
+    brute_force_topk batch-matmul discipline applied in-cell). The
+    cosine is exact (float64 BLAS), so unlike the hyperplane-LSH path
+    there is no recall question inside a cell; across-cell near-dups
+    are the recall trade SemDeDup itself makes (mitigate with
+    more/better cells, not a different operator).
 
     Returns one row per input vector: ``(vec_id, bucket, keep)``.
     """
@@ -993,31 +996,41 @@ def semantic_dedup(
             sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
             _as_double(F.col(vec_col)).alias("__v"),
         )
-    a = pts.select(
-        F.col("vec_id").alias("__ida"),
-        "bucket",
-        F.col("__v").alias("__va"),
-    )
-    b = pts.select(
-        F.col("vec_id").alias("__idb"),
-        "bucket",
-        F.col("__v").alias("__vb"),
-    )
-    dropped = (
-        a.join(b, "bucket")
-        .where(F.col("__ida") < F.col("__idb"))
-        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
-        .select(F.col("__idb").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        pts.join(dropped.withColumn("__dup", F.lit(1)), "vec_id", "left")
-        .select(
-            "vec_id",
-            "bucket",
-            F.col("__dup").isNull().alias("keep"),
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_id {id_type}, bucket long, keep boolean"
+
+    def keep_flags(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one BLAS Gram per cell instead of a per-pair JVM higher-order
+        # fold: each vector crosses the shuffle once (cell-keyed), the
+        # (n/cells)^2 scoring runs vectorized, and the keep flag falls
+        # out locally — no pair rows, no distinct, no re-attach join.
+        # Column blocks bound the tile to |cell| x 1024 doubles.
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(
+            [np.asarray(v, dtype=float) for v in pdf["__v"].iloc[order]]
         )
-    )
+        nrm = np.linalg.norm(M, axis=1)
+        Mn = M / np.where(nrm > 0, nrm, 1.0)[:, None]
+        n = len(ids)
+        dropped = np.zeros(n, dtype=bool)
+        B = 1024
+        for j0 in range(0, n, B):
+            j1 = min(j0 + B, n)
+            S = Mn[:j1] @ Mn[j0:j1].T  # (j1, j1-j0)
+            hits = S >= threshold
+            hits &= np.arange(j1)[:, None] < np.arange(j0, j1)[None, :]
+            dropped[j0:j1] |= hits.any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "bucket": np.full(n, int(pdf["bucket"].iloc[0]), dtype=np.int64),
+                "keep": ~dropped,
+            }
+        )
+
+    return pts.groupBy("bucket").applyInPandas(keep_flags, schema=out_schema)
 
 
 # -- semantic decontamination ------------------------------------------------

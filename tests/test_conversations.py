@@ -467,8 +467,12 @@ def test_conversation_near_duplicates_signature_plan(spark):
     aggregation of collected texts."""
     from graphrole_spark.functions.conversations import conversation_near_duplicates
 
+    # materialize=False: the r6 localCheckpoint barriers (computed-once
+    # fan-out boundaries) hide the upstream lineage behind ExistingRDD
+    # scans; the lazy form exposes the full single plan this test pins
     out = conversation_near_duplicates(
-        _turns(spark, [("c", 0, "u", "x", TS0.format(0))]))
+        _turns(spark, [("c", 0, "u", "x", TS0.format(0))]),
+        materialize=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan, plan[:4000]
     # exactly ONE collect_set aggregate — the candidate-only
@@ -477,6 +481,27 @@ def test_conversation_near_duplicates_signature_plan(spark):
     assert plan.count("collect_set") <= 4, plan[:4000]
     # the signature min-aggs are codegen'd hash aggregates
     assert "xxhash64" in plan, plan[:4000]
+
+
+def test_conversation_near_duplicates_materialize_parity(spark):
+    """The checkpointed (default) and fully-lazy plans return identical
+    pair sets — the r6 barriers change evaluation count, not results."""
+    from graphrole_spark.functions.conversations import conversation_near_duplicates
+
+    rows = []
+    for c in range(6):
+        for i in range(4):
+            rows.append((f"c{c}", i, "user", f"text {c % 3} {i}", TS0.format(i)))
+    turns = _turns(spark, rows)
+    got_ck = sorted(
+        tuple(r) for r in conversation_near_duplicates(
+            turns, jaccard_threshold=0.5).collect()
+    )
+    got_lazy = sorted(
+        tuple(r) for r in conversation_near_duplicates(
+            turns, jaccard_threshold=0.5, materialize=False).collect()
+    )
+    assert got_ck == got_lazy and got_ck, (got_ck, got_lazy)
 
 
 # --------------------------------------------------------------------------
