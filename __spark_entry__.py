@@ -142,8 +142,19 @@ def q_dsir_weights(spark, sf_dir):
     greedy resampling cut — TakeOrderedAndProject + broadcast flag)."""
     from graphrole_spark.functions.importance import dsir_select
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dsir_select(docs, docs.where(F.col("lang") == "en"), k=100)
+    # single-row-group testdata file: the gram explode + md5 bucketing
+    # is CPU-dense and would otherwise run inside a one-task scan
+    # (same documented trade as the `quality` entry; a 100 TB scan has
+    # thousands of splits and the repartition would be dropped). The
+    # en-slice target is a row-subset of the corpus, so the target
+    # model reuses the raw gram stream instead of re-exploding.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dsir_select(
+        docs, docs.where(F.col("lang") == "en"), k=100,
+        target_within_raw=True,
+    )
 
 
 def q_lag_lead_rank(spark, sf_dir):
@@ -3361,7 +3372,15 @@ def q_bootstrap_ci(spark, sf_dir):
     tests/test_passk_multiclass.py."""
     from graphrole_spark.functions.evaluation import bootstrap_ci
 
-    events = _events(spark, sf_dir)
+    # single-row-group testdata file: the 200x replicate explode and
+    # its per-(row, replicate) hash draws partial-aggregate inside the
+    # scan stage, which is ONE task without this exchange (the
+    # documented `quality`-entry trade; a 100 TB scan has thousands of
+    # splits and the repartition would be dropped). Only the three
+    # columns the bootstrap touches are shuffled.
+    events = _events(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    ).repartition(spark.sparkContext.defaultParallelism)
     return bootstrap_ci(
         events, "value", ["event_type"], n_boot=200, id_col="event_id"
     ).orderBy("event_type")
@@ -3379,7 +3398,13 @@ def q_json_profile(spark, sf_dir):
     coercion-limit contracts pytest-pinned in tests/test_jsonprof.py."""
     from graphrole_spark.functions.jsonprof import json_profile
 
-    events = _events(spark, sf_dir)
+    # single-row-group testdata file: the seven md5 lane draws +
+    # to_json/from_json run inside a one-task scan without this
+    # exchange (documented `quality`-entry trade; dropped at real
+    # scale where the scan has thousands of splits)
+    events = _events(spark, sf_dir).select(
+        "event_id", "event_type", "value", "user_id"
+    ).repartition(spark.sparkContext.defaultParallelism)
     # md5-based lane selection (engine-portable -- the DuckDB twin
     # recomputes it; was xxhash64 pre-r5 promotion)
     h = lambda salt, mod: (

@@ -64,6 +64,7 @@ def dsir_scores(
     n: int = 2,
     buckets: int = 4096,
     id_col: str = "doc_id",
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance score over ``raw``.
 
@@ -77,6 +78,15 @@ def dsir_scores(
     scoring pass is one more groupBy on the document key — three
     shuffles of (long, long) rows total, independent of document size.
 
+    ``target_within_raw=True`` declares that ``target`` is a row-subset
+    of ``raw`` under the same ``id_col``/``text_col`` (the common "the
+    domain slice of the corpus itself is the target" DSIR setup): the
+    target-side gram counts are then derived from the already-exploded
+    raw gram stream by an id semi-join instead of a second
+    tokenize+md5+explode pass over the target text — bit-identical
+    counts (the subset's rows in ``raw_g`` ARE its gram buckets), at
+    half the hashing cost.
+
     Returns ``(id_col, n_grams, dsir_score)``.
     """
     # the raw gram stream feeds BOTH the raw model fit and the scoring
@@ -84,7 +94,12 @@ def dsir_scores(
     # and md5-hashed a single time (same fan-out rule as terms.py — the
     # footprint is two longs per gram, far cheaper than a second scan)
     raw_g = _gram_buckets(raw, text_col, n, buckets, id_col).persist()
-    tgt_g = _gram_buckets(target, text_col, n, buckets, id_col)
+    if target_within_raw:
+        tgt_g = raw_g.join(
+            target.select(id_col).distinct(), id_col, "left_semi"
+        )
+    else:
+        tgt_g = _gram_buckets(target, text_col, n, buckets, id_col)
     rc = raw_g.groupBy("bucket").agg(F.count("*").alias("rc"))
     tc = tgt_g.groupBy("bucket").agg(F.count("*").alias("tc"))
     dim = rc.join(tc, "bucket", "full_outer").select(
@@ -123,6 +138,7 @@ def dsir_select(
     n: int = 2,
     buckets: int = 4096,
     id_col: str = "doc_id",
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """DSIR scores plus a deterministic top-``k`` ``selected`` flag (the
     resampling step, greedy variant: keep the k most target-like docs).
@@ -138,7 +154,10 @@ def dsir_select(
     # branch would re-run the target-side gram explode + md5 bucketing
     # (the raw side is persisted inside dsir_scores, the target side is
     # not) — three slim columns per document
-    scores = dsir_scores(raw, target, text_col, n, buckets, id_col).localCheckpoint()
+    scores = dsir_scores(
+        raw, target, text_col, n, buckets, id_col,
+        target_within_raw=target_within_raw,
+    ).localCheckpoint()
     topk = (
         scores.orderBy(F.desc("dsir_score"), F.asc(id_col))
         .limit(k)

@@ -85,22 +85,32 @@ def fuzzy_match(
             if block_fn is not None
             else F.substring(t, 1, block_chars)
         )
+        # per-ROW length: every per-pair expression below (length-gap
+        # prune, maxd band, the final similarity denominator) needs the
+        # string lengths — computing them here costs n evaluations
+        # instead of O(pairs) UTF8String scans inside the join stage
         cols = [
             F.col(id_col).alias(f"{side}_id"),
-            t.alias(f"__t_{side}"),
+            F.length(t).alias(f"__n_{side}"),
             blk.alias("__blk"),
         ]
         if block_fn is None:
             # per-ROW suffix for the prefix-strip DP below — computed n
             # times here instead of once per candidate pair (the pair
             # count is quadratic in block size; the substring allocation
-            # was half the per-pair cost)
+            # was half the per-pair cost). The full normalized text is
+            # NOT carried into the pair stage: the block key is its
+            # prefix and the suffix is the rest, so lengths + suffixes
+            # reconstruct every per-pair quantity — half the broadcast /
+            # shuffle bytes of shipping text twice.
             cols.append(
                 F.substring(t, block_chars + 1, 2147483647).alias(
                     f"__s_{side}"
                 )
             )
-        out = df.select(*cols).where(F.length(f"__t_{side}") > 0)
+        else:
+            cols.append(t.alias(f"__t_{side}"))
+        out = df.select(*cols).where(F.col(f"__n_{side}") > 0)
         w = Window.partitionBy("__blk")
         return (
             out.withColumn("__bs", F.count(F.lit(1)).over(w))
@@ -110,6 +120,19 @@ def fuzzy_match(
 
     l = prep(left, left_id, left_text, "left")
     r = prep(right, right_id, right_text, "right")
+    # The candidate join fans out quadratically within each block while
+    # its INPUTS are tiny — AQE sizes the post-window shuffle by input
+    # bytes and coalesces the probe side to ~1 partition, serializing
+    # the whole Σ|L_b|·|R_b| pair stream onto one core. The broadcast
+    # hash join the planner picks here probes row-by-row regardless of
+    # probe-side partitioning, so an explicit round-robin repartition
+    # (user-specified counts are exempt from AQE coalescing) restores
+    # full parallelism; under a sort-merge plan (both sides large) the
+    # planner simply re-exchanges these slim rows by __blk — harmless.
+    probe_parallelism = (
+        left.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    l = l.repartition(probe_parallelism)
     # Per-pair pruning, exact by construction (levenshtein(a, b) >=
     # |len(a) - len(b)|): any distance above
     # floor((1 - s) * max_len) + 1 puts the ROUNDED similarity strictly
@@ -122,11 +145,11 @@ def fuzzy_match(
     # the original `similarity >= min_similarity` predicate still makes
     # the final cut, so the result set is bit-identical to the
     # unbounded form.
-    maxlen = F.greatest(F.length("__t_left"), F.length("__t_right"))
+    maxlen = F.greatest(F.col("__n_left"), F.col("__n_right"))
     maxd = (
         F.floor(F.lit(1.0 - min_similarity) * maxlen).cast("int") + F.lit(1)
     )
-    lgap = F.abs(F.length("__t_left") - F.length("__t_right"))
+    lgap = F.abs(F.col("__n_left") - F.col("__n_right"))
     # Common-prefix stripping, exact: with default prefix blocking the
     # block key IS the first `block_chars` characters, and two strings
     # can only share a block if they share that whole prefix (equal

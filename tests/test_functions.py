@@ -642,6 +642,25 @@ def test_dsir_scores_and_select(spark):
     # the never-target doc can't be in the top 3
     assert sel.set_index("doc_id").loc[11, "selected"] == 0
 
+    # target_within_raw (the r6 optimization: target counts derived
+    # from the raw gram stream by semi-join instead of a second
+    # explode) must be bit-identical when target IS a raw subset
+    fast = (
+        dsir_scores(docs, target, buckets=256, target_within_raw=True)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out.sort_index(), fast)
+    sel_fast = (
+        dsir_select(docs, target, k=3, buckets=256, target_within_raw=True)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        sel.sort_values("doc_id", ignore_index=True), sel_fast
+    )
+
 
 def test_quality_dup_line_signals(spark):
     from graphrole_spark.functions.text import quality_features

@@ -146,17 +146,30 @@ def test_dedup_lines_plan_shape(spark):
 
 
 def test_dsir_plan_shape(spark):
-    """DSIR: both model dims and the top-k flag broadcast; the
-    selection cut is the distributed TakeOrderedAndProject, never a
-    global sort exchange."""
-    from graphrole_spark.functions.importance import dsir_select
+    """DSIR: the log-ratio dim broadcasts into the scoring pass, the
+    selection cut is the distributed TakeOrderedAndProject (never a
+    global sort exchange), and the top-k flag broadcasts. Since the r5
+    bonus round, dsir_select localCheckpoints the scores frame, so the
+    scoring-pass shape is asserted on dsir_scores' own (pre-barrier)
+    plan and the select plan only shows the cut + flag join."""
+    from graphrole_spark.functions.importance import dsir_scores, dsir_select
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     target = docs.where(F.col("lang") == "en")
+    scores_plan = _plan(dsir_scores(docs, target))
+    # the log-ratio dim is an explicit broadcast into the scoring pass
+    # (the outer id join is left to the planner / AQE)
+    assert scores_plan.count("BroadcastHashJoin") >= 1, scores_plan[:4000]
     plan = _plan(dsir_select(docs, target, k=10))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3, plan[:4000]
+    assert plan.count("BroadcastHashJoin") >= 1, plan[:4000]
+    # subset mode replaces the target-side gram explode with an id
+    # semi-join against the already-exploded raw stream (the explode
+    # count itself is not assertable here: the persisted raw_g lineage
+    # is printed once per referencing branch)
+    sub_plan = _plan(dsir_scores(docs, target, target_within_raw=True))
+    assert "LeftSemi" in sub_plan, sub_plan[:4000]
 
 
 def test_scd2_history_single_exchange(spark, transcripts, tmp_path_factory):
