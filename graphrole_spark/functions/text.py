@@ -911,13 +911,17 @@ def minhash_near_duplicates(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_small = hashed.join(cand_ids, "doc_id", "left_semi")
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
+    sh_small = hashed.join(cand_ids, "doc_id", "left_semi").withColumn(
+        "__n", F.size("shh")
     )
+    # |A∪B| = |A| + |B| − |A∩B| exactly (shingle-hash sets are
+    # duplicate-free), so the verify pays ONE array_intersect per pair
+    # instead of intersect + a full union allocation
+    i = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = i / (F.col("__na") + F.col("__nb") - i)
     return (
-        cand.join(sh_small.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a")), "doc_a")
-        .join(sh_small.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b")), "doc_b")
+        cand.join(sh_small.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"), F.col("__n").alias("__na")), "doc_a")
+        .join(sh_small.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"), F.col("__n").alias("__nb")), "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")

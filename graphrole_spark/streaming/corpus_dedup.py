@@ -240,9 +240,10 @@ def apply_dedup_delta(
     old_sh = exclude_this_batch(shingle_store).join(
         cand.select(F.col("old_id").alias("doc_id")).distinct(), "doc_id", "left_semi"
     ).select(F.col("doc_id").alias("old_id"), F.col("shh").alias("sh_old"))
-    jac = F.size(F.array_intersect("shh", "sh_old")) / F.size(
-        F.array_union("shh", "sh_old")
-    )
+    # |A∪B| = |A| + |B| − |A∩B| exactly (shingle sets are duplicate-
+    # free): one array_intersect per pair, no union materialization
+    i = F.size(F.array_intersect("shh", "sh_old"))
+    jac = i / (F.size("shh") + F.size("sh_old") - i)
     store_near_dup = (
         cand.join(sh_all, "doc_id")
         .join(old_sh, "old_id")
