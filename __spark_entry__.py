@@ -1182,7 +1182,12 @@ def q_decontaminate(spark, sf_dir):
     so self-hits are expected for those ids)."""
     from graphrole_spark.functions.text import contamination_flags
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group testdata file: the 13-token shingle explode is
+    # CPU-dense and would run one-task without this exchange
+    # (documented `quality`-entry trade; dropped at real scale)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     mx = docs.agg(F.max("doc_id")).first()[0] or 0
     bench = docs.where(F.col("doc_id") > mx - 25)
     return contamination_flags(docs, bench, shingle_n=13)
@@ -1204,7 +1209,12 @@ def q_ngram_jaccard(spark, sf_dir):
     machinery shared with the LSH verifiers."""
     from graphrole_spark.functions.text import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group testdata file: the shingle-set build is
+    # CPU-dense and would run one-task without this exchange
+    # (documented `quality`-entry trade; dropped at real scale)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     pairs = docs.select(
         F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
     )
@@ -1464,7 +1474,12 @@ def q_pii_redact(spark, sf_dir):
     exact redacted text, proving the masking, not just the counts."""
     from graphrole_spark.functions.text import redact_pii_frame
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group testdata file: the regexp redaction chains are
+    # CPU-dense and would run one-task without this exchange
+    # (documented `quality`-entry trade; dropped at real scale)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     injected = docs.select(
         "doc_id",
         F.concat(
@@ -1544,7 +1559,12 @@ def q_lm_score(spark, sf_dir):
         unigram_lm_scores,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group testdata file: two LM fit passes + two scoring
+    # passes of per-token work would run one-task without this exchange
+    # (documented `quality`-entry trade; dropped at real scale)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     uni = unigram_lm_scores(docs)
     even = _md5_bucket(F.col("doc_id").cast("string"), 2) == 0
     model = bigram_lm_fit(docs.where(even))
@@ -1566,7 +1586,12 @@ def q_dup_ngrams(spark, sf_dir):
     in tokens."""
     from graphrole_spark.functions.text import duplicate_ngram_stats
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group testdata file: the token-hash + gram explode is
+    # CPU-dense and would run one-task without this exchange
+    # (documented `quality`-entry trade; dropped at real scale)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return duplicate_ngram_stats(docs, n=8)
 
 
@@ -1591,7 +1616,12 @@ def q_dedup_spans(spark, sf_dir):
         token_count,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group testdata file: the token-hash + gram explode +
+    # rebuild passes are CPU-dense and would run one-task without this
+    # exchange (documented `quality`-entry trade; dropped at real scale)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = remove_duplicate_spans(docs, n=8, min_span_tokens=16)
     # partially-exact frame: n_tokens is the plain whitespace token
     # count of the ORIGINAL text (SQL-exact); the owner/run/rebuild
@@ -1721,7 +1751,12 @@ def q_bpe_tokenizer(spark, sf_dir):
     trainer is pytest-pinned (test_bpe_fit_matches_naive_reference)."""
     from graphrole_spark.functions.tokenizer import bpe_encode, bpe_fit
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group testdata file: fit/encode passes are CPU-dense
+    # and would run one-task without this exchange (documented
+    # `quality`-entry trade; dropped at real scale)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     merges = bpe_fit(docs, n_merges=64, min_freq=2)
     enc = bpe_encode(docs, merges)
     # invariant frame: the merge sequence is pytest-verified (full
@@ -1762,7 +1797,12 @@ def q_tokenize_pack(spark, sf_dir):
         tokenize_pack,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group testdata file: the BPE fit/encode/pack passes
+    # are CPU-dense and would run one-task without this exchange
+    # (documented `quality`-entry trade; dropped at real scale)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     merges = bpe_fit(docs, n_merges=64)
     packed = tokenize_pack(docs, max_len=512, merges=merges, shards=8)
     # invariant frame: concat-chunk parity is pytest-verified against a
@@ -2437,7 +2477,12 @@ def q_encoding_quality(spark, sf_dir):
     documents (md5-picked) so every signal fires on clean test data."""
     from graphrole_spark.functions.text import encoding_quality
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group testdata file: the regexp_count bank is
+    # CPU-dense and would run one-task without this exchange
+    # (documented `quality`-entry trade; dropped at real scale)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     pick = F.substring(F.md5(F.col("text")), 1, 1).isin(*"0123")
     planted = docs.select(
         "doc_id",
@@ -3198,7 +3243,12 @@ def q_multiclass_eval(spark, sf_dir):
     from graphrole_spark.functions.evaluation import multiclass_metrics
     from graphrole_spark.functions.text import language_guess_frame
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group testdata file: the language-guess regex bank is
+    # CPU-dense and would run one-task without this exchange
+    # (documented `quality`-entry trade; dropped at real scale)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     scored = language_guess_frame(docs).select(
         F.col("lang").alias("label"),
         F.col("lang_guess").alias("prediction"),
