@@ -2151,14 +2151,15 @@ def q_preference_pairs(spark, sf_dir):
 
 
 def q_top_ngrams(spark, sf_dir):
-    """Corpus heavy-hitter n-grams (the boilerplate forensic): hashed
-    gram-key aggregate + top-k, display strings sliced pre-explode for
-    the k winners only (functions/text.py::top_ngrams). Same
-    single-row-group repartition as the `quality` entry: both scans'
-    tokenize+hash work is CPU-dense and the testdata documents file is
-    one row group — without the exchange every position is hashed on a
-    single core (measured 23.2 s -> ~4 s at sf0.1; a 100 TB scan has
-    thousands of splits and the repartition would be dropped)."""
+    """Corpus heavy-hitter n-grams (the boilerplate forensic): one
+    lazy Arrow counting pass over exact string grams + a map-side-
+    combined aggregate + TakeOrderedAndProject top-k
+    (functions/text.py::top_ngrams, r6 single-scan rewrite). Same
+    single-row-group repartition as the `quality` entry: the per-token
+    counting is CPU-dense and the testdata documents file is one row
+    group — without the exchange every position is counted on a
+    single core (a 100 TB scan has thousands of splits and the
+    repartition would be dropped)."""
     from graphrole_spark.functions.text import top_ngrams
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(

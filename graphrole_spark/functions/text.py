@@ -1829,106 +1829,81 @@ def top_ngrams(
     most frequent word n-grams appearing in ≥ ``min_docs`` distinct
     documents, with occurrence and document counts.
 
-    Two-scan shape so text NEVER rides the big shuffle:
+    ONE lazy scan (the r6 rewrite): an Arrow batch kernel splits each
+    document on ``\\s+`` (the ASCII class, matching the JVM regex and
+    the pytest python oracle's ``str.split()``), counts exact STRING
+    grams per batch with a hash map, and emits the per-batch partial
+    ``(gram, occurrences, distinct_docs)`` rows — every document lives
+    in exactly one batch, so per-batch distinct-doc counts sum exactly.
+    One map-side-combined aggregate + ``min_docs``/``min_occurrences``
+    filter + top-k (TakeOrderedAndProject — per-partition heaps, no
+    global sort) finish the job.
 
-    1. hashed pass — token hashes once per token, gram key built by a
-       chained ``zip_with`` over shifted slices of the token-hash
-       array (one ``xxhash64(acc, next)`` per position per level —
-       O(n) tiny interpreted ops per position, no per-position
-       multi-``get`` expression walk) → one gram-key aggregate
-       (occurrences + distinct docs, map-side combined) → ``min_docs``
-       filter → global top-k via orderBy+limit
-       (TakeOrderedAndProject: per-partition heaps, no global sort);
-    2. display pass — the ≤ ``k`` winning 64-bit keys (collected to
-       the driver: bounded state, never data-sized) are inlined as a
-       literal array into a second scan; matching positions are
-       selected INSIDE an array higher-order ``filter`` and the
-       human-readable gram string is sliced out per match BEFORE the
-       explode, so exploded rows carry only ``(gram, doc_id, pos,
-       text)`` — the per-document token array never rides a Generate
-       output row (the r3-verdict token-array-carry fix). One
-       deterministic exemplar per key (min ``(doc_id, pos)``) via a
-       map-side-combined ``min(struct)`` — the string shuffle carries
-       ≤ one row per (partition, winner).
+    Versus the previous two-scan hashed design: no 64-bit gram-key
+    collisions (counts are exact by construction), no second corpus
+    scan for display strings, no eager pass-1 at call time (the
+    returned frame is fully lazy again), and the per-position cost is
+    a C-speed hash-map update instead of a ~5 µs interpreted
+    ``zip_with`` lambda walk (measured 27 s → 2.5 s for the registry
+    entry at 10× the bench scale). The shuffle carries the per-batch
+    DISTINCT gram strings (boilerplate-heavy corpora collapse
+    map-side); document text itself still never rides a shuffle.
 
-    ``min_occurrences`` adds a pass-1 occurrence-count floor next to
-    ``min_docs`` — with a floor above the corpus's tie-heavy tail and
-    ``k`` sized as a cap rather than the cut, the winner set becomes
-    text-deterministic (every qualifying gram beats the cap), which is
-    what the driver-adjudicated registry entry uses.
-
-    Ties at the k-boundary cut by gram hash (documented arbitrary-but-
-    deterministic); the emitted ``rank`` re-orders by
-    ``(n_occurrences DESC, gram ASC)`` so the visible ordering is
-    text-stable. A 64-bit cross-gram collision would conflate two grams'
-    counts (needs ~2^32 distinct grams to matter — same budget as
-    ``duplicate_ngram_stats``).
+    Ties at the ``k`` boundary cut deterministically by the gram string
+    ascending — the same ordering the emitted ``rank`` uses, so the
+    visible ordering and the cut agree.
 
     Returns ``k`` rows: ``(rank, gram, n_occurrences, n_docs)``.
-
-    EAGER: pass 1 (the full corpus scan + gram aggregate) executes at
-    CALL time — the winning keys must reach the driver before the
-    display pass's plan can be built, so this function is not lazy like
-    most DataFrame-returning operators. Callers that construct the
-    frame twice scan the corpus twice; callers that build plans
-    conditionally should defer the call itself, not the returned frame.
-    (Only the cheap ≤ k-row display pass remains lazy in the returned
-    DataFrame.)
     """
     if n < 1 or k < 1 or min_docs < 1 or min_occurrences < 1:
         raise ValueError(
             "n, k, min_docs and min_occurrences must all be >= 1"
         )
-    # split on ALL whitespace (\s+), not the space-only convention of
-    # tokens(): boilerplate forensics runs over multi-line documents,
-    # and the space-only split would glue line-boundary tokens
-    # ("...17\nboilerplate...") so repeated lines never form repeated
-    # grams. Matches the pytest python oracle's str.split().
-    toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda t: t != "",
-    )
-    # token-hash array in its own projection (see duplicate_ngram_stats)
-    base = documents.select(
-        "doc_id",
-        toks.alias("__toks"),
-    ).select(
-        "doc_id",
-        "__toks",
-        F.transform(F.col("__toks"), lambda t: F.xxhash64(t)).alias("__th"),
-    )
-    th = F.col("__th")
 
-    # gram-key array via a CHAINED zip_with over shifted slices — the
-    # token-hash array appears only as a row-level argument, and each
-    # per-element lambda is a single xxhash64(acc, next): ~n small
-    # interpreted ops per position. The r3 form (transform over a
-    # position sequence with n F.get(th, i+j) reads per position)
-    # walked a ~10-node interpreted expression per position and
-    # measured 7.5× slower on the sf0.1 pass-1 aggregate (PERF.md 41).
-    # Gram key = xxhash64(…xxhash64(h_i, h_{i+1})…, h_{i+n-1}) — a
-    # different 64-bit key than the flat form, same collision budget.
-    m = F.size(th) - n + 1
+    def _count_grams(batches):
+        import re as _re
+        from collections import Counter
 
-    def gram_array():
-        acc = F.slice(th, 1, m)
-        for j in range(1, n):
-            acc = F.zip_with(
-                acc, F.slice(th, 1 + j, m), lambda a, b: F.xxhash64(a, b)
-            )
-        return F.when(F.size(th) >= n, acc).otherwise(
-            F.array().cast("array<bigint>")
-        )
+        # Java regex \\s is the ASCII class [ \\t\\n\\x0B\\f\\r] (no
+        # UNICODE_CHARACTER_CLASS), and python's \\s is unicode-aware —
+        # spell the class out so both engines split identically
+        ws = _re.compile("[ \\t\\n\\x0b\\f\\r]+")
+        for pdf in batches:
+            occ: Counter = Counter()
+            dct: Counter = Counter()
+            for text in pdf[text_col]:
+                toks = [
+                    t
+                    for t in ws.split(text if isinstance(text, str) else "")
+                    if t
+                ]
+                if len(toks) < n:
+                    continue
+                grams = [
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                ]
+                occ.update(grams)
+                dct.update(set(grams))
+            if occ:
+                keys = list(occ.keys())
+                yield pd.DataFrame(
+                    {
+                        "gram": keys,
+                        "occ": [occ[g] for g in keys],
+                        "docs": [dct[g] for g in keys],
+                    }
+                )
 
-    grams = (
-        base.select("doc_id", gram_array().alias("__g"))
-        .select("doc_id", F.explode("__g").alias("gram"))
+    partials = documents.select(text_col).mapInPandas(
+        _count_grams, "gram string, occ long, docs long"
     )
-    top_rows = (
-        grams.groupBy("gram")
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+    return (
+        partials.groupBy("gram")
         .agg(
-            F.count("*").cast("long").alias("n_occurrences"),
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("occ").cast("long").alias("n_occurrences"),
+            F.sum("docs").cast("long").alias("n_docs"),
         )
         .where(
             (F.col("n_docs") >= min_docs)
@@ -1936,77 +1911,13 @@ def top_ngrams(
         )
         .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
         .limit(k)
-        .collect()  # ≤ k rows of (hash, counts): bounded driver state
-    )
-    spark = documents.sparkSession
-    out_schema = (
-        "rank int, gram string, n_occurrences long, n_docs long"
-    )
-    if not top_rows:
-        return spark.createDataFrame([], out_schema)
-    winner_keys = [int(r["gram"]) for r in top_rows]
-    # second scan: rebuild the gram array (same zip_with chain), pair
-    # each gram with its 0-based position, keep winners, then slice the
-    # display text for matches ONLY — all pre-explode, so the Generate
-    # output never carries __toks. Winner membership via isin: above
-    # the InSet threshold (10) Catalyst compiles the literal list to a
-    # HASH-SET probe, O(1) per position regardless of k — the r5
-    # threshold-deterministic registry entry carries up to 400 winners,
-    # where the previous array_contains literal walk was O(k)
-    hit_pos = F.filter(
-        F.zip_with(
-            gram_array(),
-            F.when(F.size(th) >= n, F.sequence(F.lit(0), F.size(th) - n))
-            .otherwise(F.array().cast("array<int>")),
-            lambda g, i: F.struct(g.alias("gram"), i.alias("pos")),
-        ),
-        lambda s: s["gram"].isin(winner_keys),
-    )
-    ex_arr = F.transform(
-        hit_pos,
-        lambda s: F.struct(
-            s["gram"].alias("gram"),
-            F.col("doc_id").alias("doc_id"),
-            s["pos"].alias("pos"),
-            F.array_join(
-                F.slice(F.col("__toks"), s["pos"] + F.lit(1), n), " "
-            ).alias("text"),
-        ),
-    )
-    # no pre-filter on size(__ex): explode already skips empty arrays,
-    # and a Filter node would re-evaluate the whole ex_arr expression
-    # (Catalyst does not CSE across Filter/Project boundaries)
-    display = (
-        base.select(ex_arr.alias("__ex"))
-        .select(F.explode("__ex").alias("e"))
-        .groupBy(F.col("e.gram").alias("gram"))
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("e.doc_id").alias("doc_id"),
-                    F.col("e.pos").alias("pos"),
-                    F.col("e.text").alias("text"),
-                )
-            ).alias("__ex")
-        )
-        .select("gram", F.col("__ex.text").alias("gram_text"))
-    )
-    counts = spark.createDataFrame(
-        [(int(r["gram"]), int(r["n_occurrences"]), int(r["n_docs"]))
-         for r in top_rows],
-        "gram long, n_occurrences long, n_docs long",
-    )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("gram_text").asc())
-    return (
-        display.join(F.broadcast(counts), "gram")
         .select(
             F.row_number().over(w).cast("int").alias("rank"),
-            F.col("gram_text").alias("gram"),
+            "gram",
             "n_occurrences",
             "n_docs",
         )
     )
-
 
 def encoding_quality(
     documents: DataFrame,

@@ -295,11 +295,12 @@ def test_isotonic_apply_is_pure_projection(spark):
     assert "Exchange" not in plan
 
 
-def test_top_ngrams_generate_never_carries_token_array(spark):
-    """The r3-verdict token-array-carry fix: the display pass must
-    slice the gram string BEFORE the explode, so no Generate output row
-    carries the per-document __toks array (per-task memory would be
-    O(positions x doc_len) otherwise)."""
+def test_top_ngrams_single_lazy_arrow_pass(spark):
+    """The r6 rewrite: ONE lazy Arrow counting pass — no Generate
+    (gram explode) anywhere, no second corpus scan for display
+    strings, the top-k cut planned as TakeOrderedAndProject (never a
+    global sort exchange), and the frame is lazy (construction runs no
+    jobs — the pre-r6 form collected pass-1 winners at call time)."""
     from graphrole_spark.functions.text import top_ngrams
 
     docs = spark.createDataFrame(
@@ -308,13 +309,10 @@ def test_top_ngrams_generate_never_carries_token_array(spark):
     )
     out = top_ngrams(docs, n=3, k=5, min_docs=2)
     plan = _plan(out)
-    gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
-    assert gen_lines, plan[:3000]  # the explode is still there
-    for ln in gen_lines:
-        assert "__toks" not in ln, ln
-    # and the winner filter happened pre-explode: the Generate explodes
-    # the pre-sliced exemplar structs, not raw gram hashes
-    assert any("__ex" in ln for ln in gen_lines), gen_lines
+    assert "Generate" not in plan, plan[:3000]
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert plan.count("Scan ") <= 1 or plan.count("FileScan") <= 1
 
 
 def test_conv_decontam_zero_corpus_shuffle(spark):
