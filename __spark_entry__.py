@@ -670,14 +670,28 @@ def q_egonet(spark, sf_dir):
     from graphrole_spark.operators.seeds import egonet_features, node_set
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # Long node keys through the whole membership/semi/anti machinery
+    # (partkey·2 / suppkey·2+1 — injective, namespaces disjoint), the
+    # "p…"/"s…" display strings rendered only in the final projection:
+    # every shuffle/sort/join then compares 8-byte longs instead of
+    # ~10-char UTF8 strings (guide §2.3 "narrower types"). Same rows,
+    # same values — only the internal key representation changes.
     edges = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
         F.lit(1.0).alias("weight"),
     )
     out = egonet_features(edges, directed=True, nodes=node_set(edges))
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("p"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")
+        )
+    )
     return out.select(
-        "node",
+        node_str.alias("node"),
         F.round("internal_edges", 6).alias("internal_edges"),
         F.round("external_edges", 6).alias("external_edges"),
     )

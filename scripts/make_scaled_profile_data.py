@@ -45,8 +45,15 @@ KEYS = {
 
 
 def rotate_text(arr: pa.ChunkedArray, k: int) -> pa.Array:
+    # Deterministic per-copy token SHUFFLE: a cyclic rotation preserves
+    # nearly every n-gram shingle, which made every copy cluster a
+    # minhash near-duplicate group (kept 1/10 of the corpus — a shape
+    # the driver's distinct-document generator does not produce). A
+    # full permutation keeps the unigram/token statistics (lm_score,
+    # quality, mix budgets) while destroying cross-copy shingles.
     if k == 0:
         return arr.combine_chunks()
+    rng = np.random.default_rng(9000 + k)
     texts = arr.to_pylist()
     out = []
     for t in texts:
@@ -54,8 +61,8 @@ def rotate_text(arr: pa.ChunkedArray, k: int) -> pa.Array:
             out.append(None)
             continue
         toks = t.split(" ")
-        r = (k * 7) % max(len(toks), 1)
-        out.append(" ".join(toks[r:] + toks[:r]))
+        perm = rng.permutation(len(toks))
+        out.append(" ".join(toks[i] for i in perm))
     return pa.array(out, type=pa.string())
 
 

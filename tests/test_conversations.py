@@ -1859,3 +1859,40 @@ def test_injection_signals_duckdb_parity_and_goldens(spark):
     for c in ["override_attempt", "exfil_attempt", "persona_attempt",
               "encoding_evasion"]:
         assert got[c].tolist() == oracle[c].tolist(), c
+
+
+def test_hashed_vectors_rowwise_matches_aggregate_kernel(spark):
+    """The r6 row-grain Arrow kernel must be bit-identical to the
+    explode+aggregate kernel on turn-grain keys — including the
+    round-9 component quantization and zero-token rows."""
+    import pandas as pd
+
+    from graphrole_spark.functions.conversations import (
+        _hashed_vectors,
+        _hashed_vectors_rowwise,
+    )
+
+    rows = [
+        ("c1", 0, "user", "alpha beta gamma alpha", TS0.format(0)),
+        ("c1", 1, "agent", "beta   beta gamma", TS0.format(1)),
+        ("c2", 0, "user", "", TS0.format(0)),
+        ("c2", 1, "agent", None, TS0.format(1)),
+        ("c3", 0, "user", "  leading trailing  ", TS0.format(0)),
+        ("c3", 1, "agent", "tab\tstays inside newline\nstays", TS0.format(1)),
+    ]
+    t = _turns(spark, rows)
+    keys = ["conv_id", "turn_idx"]
+    for dim in (8, 64):
+        a = (
+            _hashed_vectors(t, keys, dim, "text")
+            .orderBy(*keys)
+            .toPandas()
+        )
+        b = (
+            _hashed_vectors_rowwise(t, keys, dim, "text")
+            .orderBy(*keys)
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
