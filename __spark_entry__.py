@@ -429,13 +429,23 @@ def q_degree_undirected(spark, sf_dir):
     from graphrole_spark.operators.seeds import degree_features, node_set
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # long node keys through the aggregate, display strings rendered
+    # at the end (the egonet discipline — guide §2.3 narrower types)
     edges = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
         F.col("l_quantity").alias("weight"),
     )
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("p"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")
+        )
+    )
     return degree_features(edges, directed=False, nodes=node_set(edges)).select(
-        "node", F.round("degree", 6).alias("degree")
+        node_str.alias("node"), F.round("degree", 6).alias("degree")
     )
 
 
@@ -446,13 +456,23 @@ def q_degree_directed(spark, sf_dir):
     from graphrole_spark.operators.seeds import degree_features, node_set
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # long node keys through the aggregates, display strings rendered
+    # at the end (the egonet discipline — guide §2.3 narrower types)
     edges = orders.select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("o"), F.col("o_orderkey")).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("o_orderkey") * 2 + 1).alias("dst"),
         F.col("o_totalprice").alias("weight"),
     )
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("o"), ((F.col("node") - 1) / 2).cast("long").cast("string")
+        )
+    )
     return degree_features(edges, directed=True, nodes=node_set(edges)).select(
-        "node",
+        node_str.alias("node"),
         F.round("in_degree", 6).alias("in_degree"),
         F.round("out_degree", 6).alias("out_degree"),
         F.round("total_degree", 6).alias("total_degree"),
@@ -3069,7 +3089,12 @@ def q_ab_test(spark, sf_dir):
     in tests/test_experiment.py."""
     from graphrole_spark.functions.experiment import ab_test
 
-    events = _events(spark, sf_dir)
+    # single-row-group testdata file: the md5 assignment draws would
+    # run one-task without this exchange (documented `quality`-entry
+    # trade; dropped at real scale)
+    events = _events(spark, sf_dir).select("event_id", "value").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     h = F.conv(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10
     ).cast("long")

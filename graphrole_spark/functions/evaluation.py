@@ -744,12 +744,18 @@ def multiclass_metrics(
     # below is on the NULL key and misses, so its tp/n_true/n_pred
     # coalesce to 0 and the all-zero row deflates the macro averages.
     # NULL is unscoreable — exclude it before building the contingency.
+    # contingency-sized (≤ |classes|² rows) but referenced by SIX plan
+    # branches (classes / tp / true_tot / pred_tot, then the macro and
+    # micro summary aggregates) — unmaterialized, every branch re-runs
+    # the full upstream scan of `scored` (the recompute-at-fan-out
+    # trap; measured 7.5 s → 1.5 s on a 50k-doc language-ID input)
     cont = (
         scored.where(
             F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
         )
         .groupBy(F.col(label_col).alias("__l"), F.col(pred_col).alias("__p"))
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .localCheckpoint()
     )
     classes = (
         cont.select(F.col("__l").alias("cls"))

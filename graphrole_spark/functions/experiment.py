@@ -57,11 +57,14 @@ def ab_test(
     )
     if pre_metric_col:
         base = base.where(F.col("__x").isNotNull())
+        # ONE row — checkpointed so the broadcast side does not re-run
+        # the whole base scan to produce it (every reference would
+        # otherwise re-execute the upstream synthesis/scan)
         pooled = base.agg(
             F.avg("__x").alias("__mx"),
             F.covar_samp("__x", "__y").alias("__cxy"),
             F.var_samp("__x").alias("__vx"),
-        )
+        ).localCheckpoint()
         theta = F.when(
             F.col("__vx") > 0, F.col("__cxy") / F.col("__vx")
         ).otherwise(F.lit(0.0))
@@ -71,11 +74,14 @@ def ab_test(
                 "__y"
             ),
         )
+    # |variants| rows — checkpointed: the control collect below AND the
+    # final projection both reference it, and unmaterialized each
+    # would re-run the base scan (plus the CUPED pass) from scratch
     stats = base.groupBy("variant").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.avg("__y").alias("__mean"),
         F.var_samp("__y").alias("__var"),
-    )
+    ).localCheckpoint()
     # The control is 1 row by construction — collect it. This (a) turns
     # a typo'd/absent control value into a loud ValueError instead of a
     # silently empty result, and (b) inlines the control stats as
