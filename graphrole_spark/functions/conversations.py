@@ -544,10 +544,19 @@ def conversation_near_duplicates(
         ]
     ))
     banded = minhash_bands(None, n_hashes=n_hashes, bands=bands, seed=seed, sig=sig)
+    # The band self-join fans out quadratically inside collision
+    # buckets while its INPUT is tiny — AQE sizes the exchange by
+    # input bytes and coalesces it to ~1 partition, so the whole pair
+    # stream is generated and shuffle-written on one core. Explicit
+    # same-key repartitions (user counts are AQE-coalesce-exempt)
+    # satisfy the join's distribution requirement with no extra
+    # exchange and keep the fan-out core-parallel.
+    par = turns.sparkSession.sparkContext.defaultParallelism
     a = banded.select(F.col("doc_id").alias("conv_a"), "band", "bhash")
     b = banded.select(F.col("doc_id").alias("conv_b"), "band", "bhash")
     cand = (
-        a.join(b, ["band", "bhash"])
+        a.repartition(par, "band", "bhash")
+        .join(b.repartition(par, "band", "bhash"), ["band", "bhash"])
         .where(F.col("conv_a") < F.col("conv_b"))
         .select("conv_a", "conv_b")
         .dropDuplicates(["conv_a", "conv_b"])

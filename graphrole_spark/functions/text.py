@@ -896,10 +896,16 @@ def minhash_near_duplicates(
         documents, text_col, shingle_n, n_hashes, bands, seed, hashed=hashed
     )
 
+    # Same-key explicit repartitions keep the quadratic in-bucket
+    # fan-out core-parallel: AQE would coalesce the tiny band-relation
+    # exchange to ~1 partition and serialize the pair generation +
+    # shuffle write (see conversation_near_duplicates).
+    par = documents.sparkSession.sparkContext.defaultParallelism
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bhash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bhash")
     cand = (
-        a.join(b, ["band", "bhash"])
+        a.repartition(par, "band", "bhash")
+        .join(b.repartition(par, "band", "bhash"), ["band", "bhash"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
