@@ -1415,13 +1415,19 @@ def _hashed_vectors(
     also where the hashing trick stops paying anyway.
     """
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), " +")
-    inst = (
-        frame.select(*keys, F.explode(toks).alias("term"))
-        .where(F.col("term") != "")
-    )
+    # keep the explode's empty-term rows (they arise EXACTLY for
+    # empty/whitespace-only text — trim+split cannot produce '' mid
+    # array) with a NULL bucket: every key then reaches the aggregate,
+    # so the zero-token keys need no anti-join + union leg — one
+    # aggregate emits the whole frame (r6; the NULL bucket never
+    # matches a conditional sum and count(__d) counts valid terms)
+    inst = frame.select(*keys, F.explode(toks).alias("term"))
     from graphrole_spark.functions.corpus import _md5_long
 
-    d = F.pmod(_md5_long(F.col("term")), F.lit(dim)).cast("int")
+    valid = F.col("term") != ""
+    d = F.when(
+        valid, F.pmod(_md5_long(F.col("term")), F.lit(dim)).cast("int")
+    )
     sign = (
         F.pmod(_md5_long(F.concat(F.col("term"), F.lit("#s"))), F.lit(2))
         * 2 - 1
@@ -1435,7 +1441,7 @@ def _hashed_vectors(
     dense = (
         inst.select(*keys, d.alias("__d"), sign.alias("__s"))
         .groupBy(*keys)
-        .agg(*sums, F.count("*").cast("long").alias("n_terms"))
+        .agg(*sums, F.count("__d").cast("long").alias("n_terms"))
     )
     norm_sq = None
     for i in range(dim):
@@ -1448,9 +1454,6 @@ def _hashed_vectors(
             for i in range(dim)
         ]
     )
-    zero_tokens = frame.select(*keys).distinct().join(
-        dense.select(*keys), keys, "left_anti"
-    )
     return (
         dense.withColumn("__norm", F.sqrt(norm_sq))
         .select(
@@ -1459,13 +1462,6 @@ def _hashed_vectors(
             .otherwise(empty_vec)
             .alias("embedding"),
             "n_terms",
-        )
-        .unionByName(
-            zero_tokens.select(
-                *keys,
-                empty_vec.alias("embedding"),
-                F.lit(0).cast("long").alias("n_terms"),
-            )
         )
     )
 
